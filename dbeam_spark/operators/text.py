@@ -1,0 +1,84 @@
+"""Text-analysis column expressions for the `documents` table.
+
+Everything here is a pure Catalyst column expression (JVM-side,
+whole-stage-codegen) — no Python touches row data, so these run at
+scan speed on 100 TB. Regex patterns are kept to the common subset of
+Java regex (Spark) and RE2 (DuckDB) so oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Chosen to be disjoint across languages.
+LANG_MARKERS = {
+    "en": r"\b(the|of|and|is)\b",
+    "es": r"\b(el|la|los|es)\b",
+    "fr": r"\b(le|les|est|une)\b",
+}
+
+_WORD_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.lower(text), _WORD_SPLIT)
+
+
+def n_ws_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def n_bpe_tokens(text: Column) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single
+    punctuation marks each count as one token."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(low, F.lit(pat), 0))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax of marker-hit counts with a fixed priority order
+    (en > es > fr) on ties; 'und' when nothing matches."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    # reversed() so earlier languages win ties via later WHEN override
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]: rewards mid-length
+    docs and prose-like word lengths, penalizes symbol soup."""
+    n_chars = F.length(text)
+    n_words = n_ws_tokens(text)
+    avg_word_len = (n_chars - (n_words - 1)) / n_words  # chars sans separators
+    symbol_ratio = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[^a-z0-9 ]"), 0)
+    ) / n_chars
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_len_score = F.when(
+        (avg_word_len >= 3) & (avg_word_len <= 8), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(
+        length_score * 0.5 + word_len_score * 0.3 + (1.0 - symbol_ratio) * 0.2, 4
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 over the sorted distinct vocabulary —
+    order-insensitive, whitespace-normalization-insensitive."""
+    vocab = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.concat_ws(" ", vocab))

@@ -1,0 +1,259 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.C) over `documents` /
+`embeddings`, each paired with a DuckDB oracle where the semantics are
+SQL-expressible. Thresholds are calibrated to the testdata: the
+generator plants near-duplicate documents at Jaccard ≥ 0.9 (next pair
+down is at 0.07), and embedding cosine tops out near 0.51.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbeam_spark.operators import dedup, multimodal, similarity, text
+from dbeam_spark.queries.registry import register
+from dbeam_spark.session import ensure_utc
+from dbeam_spark.sources.files import load_table
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45
+
+# Shared DuckDB CTEs: distinct word-3-gram shingles per doc.
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             i * 1.0 / (sa.sz + sb.sz - i) AS jraw
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, ROUND(jraw, 4) AS jaccard
+    FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_survivors(_docs(spark, sf_dir)).select(
+        "fp", "keep_id", "n_copies"
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact verify: precision 1 by construction, and
+    at the planted-duplicate Jaccard level (≥0.9) the 32×4 banding has
+    recall 1 − ~1e-7, so the output equals the exhaustive oracle."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash")  # fingerprint depends on our hash fn → rows-only gate
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v))
+             * sqrt(list_inner_product(b.v, b.v))) >= {COSINE_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_dedup_pairs(
+        _emb(spark, sf_dir), COSINE_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("knn_ivf")  # approximate by design → rows-only gate
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\b(the|of|and|is)\\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|los|es)\\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\\b(le|les|est|une)\\b')) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en + s_es + s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", text.predicted_lang(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(lower(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_symbols
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             least(n_chars / 500.0, 1.0) * 0.5
+             + CASE WHEN (n_chars - (n_words - 1)) * 1.0 / n_words BETWEEN 3 AND 8
+                    THEN 1.0 ELSE 0.5 END * 0.3
+             + (1.0 - n_symbols * 1.0 / n_chars) * 0.2, 4) AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        text.n_ws_tokens(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text.n_bpe_tokens(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))),
+             ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata plumbing with the Arrow-batched
+    'decode' stub — the deterministic fake keeps this oracle-checkable."""
+    docs = multimodal.with_payload(_docs(spark, sf_dir))
+    return multimodal.decode_batch(docs).orderBy("doc_id")

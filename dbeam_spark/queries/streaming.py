@@ -1,0 +1,113 @@
+"""Structured Streaming operators, driven to completion with
+Trigger.AvailableNow over the events parquet so the registered
+callables still return a finite DataFrame the driver can collect.
+
+Scale notes: in production these run continuously — the windowed agg
+keeps per-(window, type) state bounded by the watermark, and
+`dropDuplicatesWithinWatermark` keeps only event-ids younger than the
+watermark delay instead of an unbounded seen-set.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbeam_spark.queries.registry import register
+from dbeam_spark.session import ensure_utc
+from dbeam_spark.sources.files import load_table
+
+
+def _run_stream(stream_df, name: str, output_mode: str) -> None:
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over events.parquet. The file stores
+    TIMESTAMP(NANOS): stream it as long nanos and convert, like the
+    batch loader does."""
+    ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    # The file source wants a directory; expose the single parquet
+    # file through a temp dir symlink.
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+    )
+
+
+@register(
+    "stream_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation (complete output mode, so
+    the finite replay equals the batch answer exactly)."""
+    name = f"swa_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    _run_stream(agg, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark window."""
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _run_stream(deduped, name, "append")
+    return spark.table(name).agg(
+        F.count_distinct("event_id").alias("n_unique"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

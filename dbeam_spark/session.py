@@ -1,0 +1,57 @@
+"""SparkSession helpers tuned for the engine.
+
+Defaults are scale-oriented: AQE on (runtime coalescing + skew-join
+splitting), Arrow on (fast pandas interchange for the few Pandas-UDF
+operators), UTC session time so date semantics are deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "dbeam-spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin session timezone to UTC so timestamp/window semantics are
+    deterministic regardless of the host timezone.
+
+    Called at the top of every registered query so results match the
+    DuckDB oracle (which is timezone-naive) even when the caller built
+    the session without our defaults.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
