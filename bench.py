@@ -1,0 +1,68 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...}
+
+Mirrors the role of reference jobs/BenchJdbcAvroJob.java (repeatable
+timing harness) for the analytics surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_orders",
+    "window_top_orders",
+    "events_window_agg",
+    "events_sessionize",
+    "asof_join_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dbeam_spark.queries import QUERIES
+    from dbeam_spark.session import get_spark
+
+    spark = get_spark("dbeam-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the timed region
+    QUERIES["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        n = QUERIES[name](spark, sf_dir).collect()
+        per_query[name] = round(time.monotonic() - t0, 3)
+        assert len(n) >= 0
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Minimal Avro OCF reader (pure Python) — the inverse of writer.py.
+
+Used by tests to round-trip exported files and by `read_avro` to load
+Avro exports back into Spark (distributed: one task per file).
+Supports the writer's output surface: null/deflate codecs, primitive
+types, arrays, ["null", T] unions.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    return buf.read(_read_long(buf))
+
+
+def _read_str(buf: io.BytesIO) -> str:
+    return _read_bytes(buf).decode("utf-8")
+
+
+def _make_decoder(avro_type):
+    t = avro_type
+    if isinstance(t, dict) and "logicalType" in t:
+        t = t["type"]
+    if isinstance(t, list):  # union — assume ["null", T]
+        inner = _make_decoder(t[1])
+
+        def dec_union(buf):
+            return None if _read_long(buf) == 0 else inner(buf)
+
+        return dec_union
+    if isinstance(t, dict) and t.get("type") == "array":
+        item = _make_decoder(t["items"])
+
+        def dec_array(buf):
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_long(buf)  # block byte size, unused
+                    n = -n
+                out.extend(item(buf) for _ in range(n))
+
+        return dec_array
+    if t in ("long", "int"):
+        return _read_long
+    if t == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if t == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if t == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if t == "bytes":
+        return _read_bytes
+    if t == "string":
+        return _read_str
+    raise ValueError(f"Unsupported Avro type: {avro_type!r}")
+
+
+def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
+    """Read one OCF file → (schema, rows)."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    buf = io.BytesIO(raw)
+    assert buf.read(4) == b"Obj\x01", "not an Avro OCF"
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            key = _read_str(buf)
+            meta[key] = _read_bytes(buf)
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    decoders = [_make_decoder(f["type"]) for f in schema["fields"]]
+    rows: list[tuple] = []
+    while buf.tell() < len(raw):
+        count = _read_long(buf)
+        size = _read_long(buf)
+        data = buf.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        assert buf.read(16) == sync, "sync marker mismatch"
+        block = io.BytesIO(data)
+        for _ in range(count):
+            rows.append(tuple(d(block) for d in decoders))
+    return schema, rows

@@ -1,0 +1,243 @@
+"""Distributed Avro Object Container File writer (pure Python).
+
+Re-expresses reference avro/JdbcAvroIO.java Spark-first: pyspark 4.1.2
+does not bundle the spark-avro datasource, so we encode Avro binary
+ourselves — but where dbeam streams one ResultSet single-threaded,
+here EVERY partition of the DataFrame encodes and writes its own
+`part-NNNNN.avro` concurrently via mapInPandas (Arrow batches in,
+(file, rows, bytes) stats out). No driver collect, no shuffle: the
+write is map-only, so at 100 TB it scales with the number of
+partitions exactly like Spark's built-in file sinks.
+
+Codecs: null and deflate1-9 (stdlib zlib), matching dbeam's default
+deflate6 (ref args/JdbcAvroArgs.java). snappy needs python-snappy,
+absent here → clear error.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_MAGIC = b"Obj\x01"
+_BLOCK_ROWS = 4096
+
+
+# ---------------------------------------------------------------- encoding
+
+def _zigzag(n: int) -> bytes:
+    """Avro long: zigzag + varint."""
+    n = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _zigzag(len(b)) + b
+
+
+def _enc_str(s: str) -> bytes:
+    return _enc_bytes(s.encode("utf-8"))
+
+
+def _make_cell_encoder(avro_type):
+    """Encoder for a non-null Avro type value (already normalized to
+    python scalars by the column normalizer)."""
+    t = avro_type
+    logical = None
+    if isinstance(t, dict) and "logicalType" in t:
+        logical = t["logicalType"]
+        t = t["type"]
+    if isinstance(t, dict) and t.get("type") == "array":
+        item_type = t["items"]
+        nullable_items = isinstance(item_type, list)
+        inner = _make_cell_encoder(
+            item_type[1] if nullable_items else item_type
+        )
+
+        def enc_array(v) -> bytes:
+            items = list(v)
+            if not items:
+                return _zigzag(0)
+            buf = bytearray(_zigzag(len(items)))
+            for it in items:
+                if nullable_items:
+                    if it is None:
+                        buf += _zigzag(0)
+                        continue
+                    buf += _zigzag(1)
+                buf += inner(it)
+            buf += _zigzag(0)
+            return bytes(buf)
+
+        return enc_array
+    if t in ("long", "int"):
+        return lambda v: _zigzag(int(v))
+    if t == "double":
+        return lambda v: struct.pack("<d", float(v))
+    if t == "float":
+        return lambda v: struct.pack("<f", float(v))
+    if t == "boolean":
+        return lambda v: b"\x01" if v else b"\x00"
+    if t == "bytes":
+        return lambda v: _enc_bytes(bytes(v))
+    if t == "string":
+        return lambda v: _enc_str(str(v))
+    raise ValueError(f"Unsupported Avro type: {avro_type!r} (logical={logical})")
+
+
+def _normalize_series(s, avro_type):
+    """pandas Series → list of python scalars matching the Avro type
+    (timestamps → epoch millis, like dbeam's JdbcAvroRecord)."""
+    import pandas as pd
+
+    t = avro_type
+    if isinstance(t, dict) and "logicalType" in t:
+        t = t["type"]
+    if pd.api.types.is_datetime64_any_dtype(s.dtype):
+        ms = s.astype("int64") // 1_000_000  # ns → ms
+        return [None if pd.isna(v) else int(m) for v, m in zip(s, ms)]
+    import datetime
+
+    out = []
+    for v in s:
+        if v is None or (isinstance(v, float) and v != v):
+            out.append(None)
+        elif isinstance(v, datetime.datetime) and t == "long":
+            out.append(int(v.timestamp() * 1000))
+        elif isinstance(v, datetime.date) and t == "long":
+            out.append(
+                (v - datetime.date(1970, 1, 1)).days * 86_400_000
+            )
+        else:
+            out.append(v)
+    return out
+
+
+def _codec_compress(codec: str):
+    if codec in (None, "", "null"):
+        return "null", lambda b: b
+    if codec.startswith("deflate"):
+        level = int(codec[len("deflate"):] or 6)
+        # Avro deflate blocks are raw-deflate (no zlib header)
+        def compress(b: bytes) -> bytes:
+            c = zlib.compressobj(level, zlib.DEFLATED, -15)
+            return c.compress(b) + c.flush()
+
+        return "deflate", compress
+    if codec == "snappy":
+        raise ValueError(
+            "snappy codec requires python-snappy (unavailable); use deflateN"
+        )
+    raise ValueError(f"Unsupported avro codec: {codec}")
+
+
+class OcfEncoder:
+    """Streaming OCF encoder for one output file."""
+
+    def __init__(self, avro_schema: dict, codec: str = "deflate6") -> None:
+        self.schema = avro_schema
+        codec_name, self._compress = _codec_compress(codec)
+        self._codec_name = codec_name
+        # deterministic per-schema sync marker (content-derived, so
+        # retried partitions produce identical files)
+        import hashlib
+
+        self.sync = hashlib.md5(
+            json.dumps(avro_schema, sort_keys=True).encode()
+        ).digest()
+        self._field_types = [
+            f["type"][1] if isinstance(f["type"], list) else f["type"]
+            for f in avro_schema["fields"]
+        ]
+        self._encoders = [_make_cell_encoder(t) for t in self._field_types]
+
+    def header(self) -> bytes:
+        meta = {
+            "avro.schema": json.dumps(self.schema).encode(),
+            "avro.codec": self._codec_name.encode(),
+        }
+        buf = bytearray(_MAGIC)
+        buf += _zigzag(len(meta))
+        for k, v in meta.items():
+            buf += _enc_str(k) + _enc_bytes(v)
+        buf += _zigzag(0)
+        buf += self.sync
+        return bytes(buf)
+
+    def encode_rows(self, columns: list[list]) -> Iterator[bytes]:
+        """Yield OCF blocks for rows given as normalized columns."""
+        n = len(columns[0]) if columns else 0
+        encs = self._encoders
+        for start in range(0, n, _BLOCK_ROWS):
+            end = min(start + _BLOCK_ROWS, n)
+            block = bytearray()
+            for i in range(start, end):
+                for col, enc in zip(columns, encs):
+                    v = col[i]
+                    if v is None:
+                        block += b"\x00"  # union branch 0 = null
+                    else:
+                        block += b"\x02"  # union branch 1 (zigzag(1))
+                        block += enc(v)
+            data = self._compress(bytes(block))
+            yield _zigzag(end - start) + _zigzag(len(data)) + data + self.sync
+
+
+def write_avro(
+    df: DataFrame,
+    output_dir: str,
+    avro_schema: dict,
+    codec: str = "deflate6",
+    filename_prefix: str = "part",
+) -> list[dict]:
+    """Write df as Avro OCF files, one per partition, in parallel.
+
+    Returns per-file stats [{file, rows, bytes}] (collected — small:
+    one row per partition)."""
+    os.makedirs(output_dir, exist_ok=True)
+    schema_json = json.dumps(avro_schema)
+    field_names = [f["columnName"] for f in avro_schema["fields"]]
+
+    def write_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        schema = json.loads(schema_json)
+        enc = OcfEncoder(schema, codec)
+        path = os.path.join(output_dir, f"{filename_prefix}-{pid:05d}.avro")
+        rows = 0
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(enc.header())
+            for pdf in batches:
+                cols = [
+                    _normalize_series(pdf[name], t)
+                    for name, t in zip(field_names, enc._field_types)
+                ]
+                for block in enc.encode_rows(cols):
+                    fh.write(block)
+                rows += len(pdf)
+        os.replace(tmp, path)
+        yield pd.DataFrame(
+            {"file": [path], "rows": [rows], "bytes": [os.path.getsize(path)]}
+        )
+
+    stats = df.mapInPandas(
+        write_partition, "file string, rows long, bytes long"
+    ).collect()
+    return [r.asDict() for r in stats]

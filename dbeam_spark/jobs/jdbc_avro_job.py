@@ -1,0 +1,133 @@
+"""The JDBC → Avro export job.
+
+Re-expresses reference jobs/JdbcAvroJob.java end-to-end:
+
+  prepare (schema + queries) → export (read JDBC, write Avro) →
+  metadata (_AVRO_SCHEMA.avsc, _queries/query_N.sql, _METRICS.json,
+  _SUCCESS) → validation (minRows).
+
+Where dbeam runs one Beam bundle per generated query, the Spark job is
+a single partitioned JDBC scan feeding a map-only distributed Avro
+write — same outputs, executor-parallel end to end.
+
+CLI (same flags as dbeam):
+  python -m dbeam_spark.jobs.jdbc_avro_job \
+      --connectionUrl=jdbc:postgresql://host/db --table=t \
+      --output=/path/out [--partition=2025-01-01 ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from dbeam_spark.avro.schema import merge_input_schema, spark_schema_to_avro, to_json
+from dbeam_spark.avro.writer import write_avro
+from dbeam_spark.errors import FailedValidationError
+from dbeam_spark.metrics import ExportMetrics
+from dbeam_spark.options import JdbcExportOptions, parse_args
+from dbeam_spark.partitions import parse_instant, parse_period, validate_partition
+from dbeam_spark.passwords import read_password
+from dbeam_spark.sources.jdbc import read_jdbc
+
+
+def job_name(catalog: str | None, table: str | None) -> str:
+    """Sanitized job name (ref options/JobNameConfiguration.java:
+    'dbeam-{catalog}-{table}' lowercased, non-alnum → '')."""
+
+    def norm(s: str) -> str:
+        return "".join(c for c in s.lower() if c.isalnum())
+
+    parts = ["dbeam"] + [norm(p) for p in (catalog, table) if p]
+    return "-".join(p for p in parts if p)
+
+
+def run_export(
+    spark: SparkSession,
+    opts: JdbcExportOptions,
+    input_avro_schema: dict | None = None,
+) -> dict:
+    """Run the export; returns the metrics dict."""
+    opts.validate()
+    validate_partition(
+        parse_instant(opts.partition) if opts.partition else None,
+        parse_period(opts.partitionPeriod),
+        partition_column=opts.partitionColumn,
+        skip_partition_check=opts.skipPartitionCheck,
+        min_partition_period=(
+            parse_instant(opts.minPartitionPeriod)
+            if opts.minPartitionPeriod
+            else None
+        ),
+    )
+    password = read_password(
+        opts.password, opts.passwordFile, opts.passwordFileKmsEncrypted
+    )
+
+    metrics = ExportMetrics()
+    t0 = time.monotonic_ns()
+    plan = read_jdbc(spark, opts, password)
+    schema_name = opts.avroSchemaName or opts.table or "no_table_name"
+    generated = spark_schema_to_avro(
+        plan.df.schema,
+        schema_name=schema_name,
+        namespace=opts.avroSchemaNamespace,
+        doc=opts.avroDoc or f"Generate schema from JDBC ResultSet metadata: {schema_name}",
+        connection_url=opts.connectionUrl,
+        table_name=opts.table,
+        use_logical_types=opts.useAvroLogicalTypes,
+        array_mode=opts.arrayMode,
+        nullable_array_items=opts.nullableArrayItems,
+    )
+    if opts.avroSchemaFilePath and input_avro_schema is None:
+        input_avro_schema = json.loads(Path(opts.avroSchemaFilePath).read_text())
+    if input_avro_schema is not None:
+        generated = merge_input_schema(generated, input_avro_schema)
+    metrics.expose_execute_query_ms((time.monotonic_ns() - t0) // 1_000_000)
+
+    out = Path(opts.output)
+    out.mkdir(parents=True, exist_ok=True)
+    if not opts.dataOnly:
+        (out / "_AVRO_SCHEMA.avsc").write_text(to_json(generated) + "\n")
+        qdir = out / "_queries"
+        qdir.mkdir(exist_ok=True)
+        for i, q in enumerate(plan.queries):
+            (qdir / f"query_{i}.sql").write_text(q + "\n")
+
+    metrics.start_write_meter()
+    stats = write_avro(plan.df, str(out), generated, codec=opts.avroCodec)
+    metrics.expose_write_elapsed()
+    metrics.expose_written(
+        sum(s["rows"] for s in stats), sum(s["bytes"] for s in stats)
+    )
+
+    if not opts.dataOnly:
+        metrics.save(str(out))
+
+    if metrics.record_count < opts.minRows:
+        # validate BEFORE the success marker so a failed export is
+        # never mistaken for a complete one by downstream consumers
+        raise FailedValidationError(
+            f"Unexpected number of rows in the output: got "
+            f"{metrics.record_count}, expecting at least {opts.minRows}"
+        )
+    (out / "_SUCCESS").write_text("")
+    return metrics.to_dict()
+
+
+def main(argv: list[str] | None = None) -> int:
+    from dbeam_spark.session import get_spark
+
+    opts = parse_args(argv if argv is not None else sys.argv[1:])
+    spark = get_spark(job_name(None, opts.table))
+    metrics = run_export(spark, opts)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -237,18 +237,27 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: with 4 chunks of 16 bits, any pair within
-    hamming 3 matches on at least one chunk — candidates come from 4
+    Pigeonhole banding: the 64-bit fingerprint splits into
+    max_hamming+1 chunks, so any pair within max_hamming differing
+    bits matches on at least one chunk — candidates come from the
     chunk-equality joins, then the exact bit_count(xor) filter.
     """
     fps = simhash_fingerprints(docs, id_col, text_col)
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
-    ]
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = []
+    for c in range(n_chunks):
+        start = c * width
+        w = 64 - start if c == n_chunks - 1 else width
+        mask = (1 << w) - 1
+        chunks.append(
+            F.shiftrightunsigned(F.col("simhash"), start)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"c{c}")
+        )
     t = fps.select("sid", "simhash", *chunks)
     cand = None
-    for c in range(4):
+    for c in range(n_chunks):
         a = t.select(
             F.col("sid").alias("id_a"),
             F.col("simhash").alias("sh_a"),

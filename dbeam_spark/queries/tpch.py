@@ -26,7 +26,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -57,8 +58,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REVENUE), 2).alias("sum_disc_price"),
-            F.round(F.sum(_REVENUE * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -99,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -146,7 +147,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -229,7 +230,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
-            _REVENUE.alias("volume"),
+            _revenue().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
@@ -272,7 +273,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            _REVENUE.alias("amount"),
+            _revenue().alias("amount"),
         )
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
@@ -312,7 +313,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -347,11 +348,11 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "PROMO", _REVENUE).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(_REVENUE), 4).alias("promo_revenue")
+            F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_revenue")
         )
     )
 
@@ -446,7 +447,7 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 
@@ -515,7 +516,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum(_REVENUE), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))

@@ -1,0 +1,125 @@
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import types as T
+
+from dbeam_spark.avro.reader import read_avro_file
+from dbeam_spark.avro.schema import (
+    merge_input_schema,
+    spark_schema_to_avro,
+)
+from dbeam_spark.avro.writer import OcfEncoder, write_avro
+
+
+def _schema():
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("small", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("ratio", T.FloatType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+
+
+def test_type_mapping_matches_dbeam_table():
+    avro = spark_schema_to_avro(_schema(), "tbl", use_logical_types=False)
+    types = {f["name"]: f["type"][1] for f in avro["fields"]}
+    assert types["id"] == "long"
+    assert types["small"] == "int"
+    assert types["name"] == "string"
+    assert types["amount"] == "double"
+    assert types["ratio"] == "float"
+    assert types["flag"] == "boolean"
+    assert types["ts"] == "long"
+    assert types["blob"] == "bytes"
+    assert types["tags"] == {"type": "array", "items": "string"}
+    # every field is a nullable union with null default, like dbeam
+    for f in avro["fields"]:
+        assert f["type"][0] == "null" and f["default"] is None
+
+
+def test_logical_types_flag():
+    avro = spark_schema_to_avro(_schema(), "tbl", use_logical_types=True)
+    ts = next(f for f in avro["fields"] if f["name"] == "ts")
+    assert ts["type"][1] == {"type": "long", "logicalType": "timestamp-millis"}
+
+
+def test_array_mode_bytes():
+    avro = spark_schema_to_avro(_schema(), "tbl", array_mode="bytes")
+    tags = next(f for f in avro["fields"] if f["name"] == "tags")
+    assert tags["type"][1] == "bytes"
+
+
+def test_nullable_array_items():
+    avro = spark_schema_to_avro(_schema(), "tbl", nullable_array_items=True)
+    tags = next(f for f in avro["fields"] if f["name"] == "tags")
+    assert tags["type"][1]["items"] == ["null", "string"]
+
+
+def test_merge_input_schema_propagates_docs():
+    generated = spark_schema_to_avro(_schema(), "tbl")
+    merged = merge_input_schema(
+        generated,
+        {
+            "doc": "my table doc",
+            "namespace": "my.ns",
+            "fields": [{"name": "id", "doc": "primary key"}],
+        },
+    )
+    assert merged["doc"] == "my table doc"
+    assert merged["namespace"] == "my.ns"
+    assert next(f for f in merged["fields"] if f["name"] == "id")["doc"] == "primary key"
+    # non-propagated fields keep the generated doc
+    assert "sparkType" in next(f for f in merged["fields"] if f["name"] == "name")["doc"]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate1", "deflate9"])
+def test_ocf_roundtrip_codecs(codec, tmp_path):
+    schema = spark_schema_to_avro(
+        T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("arr", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+        "t",
+    )
+    enc = OcfEncoder(schema, codec)
+    cols = [[1, None, 3], ["x", "y", None], [[1, 2], [], None]]
+    p = tmp_path / "t.avro"
+    p.write_bytes(enc.header() + b"".join(enc.encode_rows(cols)))
+    _, rows = read_avro_file(str(p))
+    assert rows == [(1, "x", [1, 2]), (None, "y", []), (3, None, None)]
+
+
+def test_snappy_unavailable():
+    with pytest.raises(ValueError, match="snappy"):
+        OcfEncoder(spark_schema_to_avro(T.StructType([]), "t"), "snappy")
+
+
+def test_distributed_write(spark, tmp_path):
+    df = spark.range(0, 10_000, numPartitions=8).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "CAST(id * 0.5 AS DOUBLE) AS d"
+    )
+    avro = spark_schema_to_avro(df.schema, "nums")
+    out = str(tmp_path / "out")
+    stats = write_avro(df, out, avro, codec="deflate6")
+    assert sum(s["rows"] for s in stats) == 10_000
+    files = sorted(glob.glob(out + "/part-*.avro"))
+    assert len(files) == 8
+    rows = []
+    for f in files:
+        _, r = read_avro_file(f)
+        rows.extend(r)
+    assert len(rows) == 10_000
+    assert sorted(rows)[0] == (0, "0", 0.0)
+    assert sorted(rows)[-1] == (9999, "9999", 4999.5)

@@ -1,0 +1,207 @@
+"""End-to-end export tests on embedded Derby (the reference's
+JdbcAvroJobTest does the same against H2)."""
+
+from __future__ import annotations
+
+import glob
+import json
+from pathlib import Path
+
+import pytest
+
+from dbeam_spark.avro.reader import read_avro_file
+from dbeam_spark.errors import FailedValidationError, NotReadyError
+from dbeam_spark.jobs.jdbc_avro_job import job_name, run_export
+from dbeam_spark.options import JdbcExportOptions, parse_args
+from dbeam_spark.sources.jdbc import driver_for_url, read_jdbc
+
+
+def opts_for(derby_db, out, **kw):
+    defaults = dict(
+        connectionUrl=derby_db,
+        table="COFFEES",
+        output=str(out),
+        username="dbeam",
+        skipPartitionCheck=True,
+    )
+    defaults.update(kw)
+    return JdbcExportOptions(**defaults)
+
+
+def read_all(out) -> list[tuple]:
+    rows = []
+    for p in sorted(glob.glob(str(out) + "/part-*.avro")):
+        rows.extend(read_avro_file(p)[1])
+    return rows
+
+
+def test_basic_export(spark, derby_db, tmp_path):
+    out = tmp_path / "basic"
+    metrics = run_export(spark, opts_for(derby_db, out))
+    assert metrics["recordCount"] == 1000
+    assert (out / "_SUCCESS").exists()
+    assert (out / "_AVRO_SCHEMA.avsc").exists()
+    assert (out / "_METRICS.json").exists()
+    saved = json.loads((out / "_METRICS.json").read_text())
+    assert saved["recordCount"] == 1000
+    queries = sorted(glob.glob(str(out / "_queries" / "*.sql")))
+    assert [Path(q).read_text().strip() for q in queries] == [
+        "SELECT * FROM COFFEES WHERE 1=1"
+    ]
+    rows = read_all(out)
+    assert len(rows) == 1000
+    first = sorted(rows)[0]
+    assert first[0] == 0 and first[2] == "name_0" and first[4] is True
+
+
+def test_parallel_export_ranges(spark, derby_db, tmp_path):
+    out = tmp_path / "parallel"
+    metrics = run_export(
+        spark,
+        opts_for(derby_db, out, splitColumn="C_ID", queryParallelism=4),
+    )
+    assert metrics["recordCount"] == 1000
+    queries = [
+        Path(p).read_text().strip()
+        for p in sorted(glob.glob(str(out / "_queries" / "*.sql")))
+    ]
+    # same range-split SQL the reference generates
+    assert queries[0] == (
+        "SELECT * FROM COFFEES WHERE 1=1 AND C_ID >= 0 AND C_ID < 250"
+    )
+    assert queries[-1] == (
+        "SELECT * FROM COFFEES WHERE 1=1 AND C_ID >= 750 AND C_ID <= 999"
+    )
+    # 4 ranges → 4 avro files, no row lost or duplicated
+    rows = read_all(out)
+    assert sorted(r[0] for r in rows) == list(range(1000))
+
+
+def test_limit(spark, derby_db, tmp_path):
+    out = tmp_path / "limit"
+    metrics = run_export(spark, opts_for(derby_db, out, limit=10))
+    assert metrics["recordCount"] == 10
+    assert len(read_all(out)) == 10
+
+
+def test_min_rows_validation(spark, derby_db, tmp_path):
+    with pytest.raises(FailedValidationError):
+        run_export(spark, opts_for(derby_db, tmp_path / "mr", minRows=100_000))
+
+
+def test_data_only(spark, derby_db, tmp_path):
+    out = tmp_path / "dataonly"
+    run_export(spark, opts_for(derby_db, out, dataOnly=True))
+    assert (out / "_SUCCESS").exists()
+    assert not (out / "_AVRO_SCHEMA.avsc").exists()
+    assert not (out / "_METRICS.json").exists()
+    assert not (out / "_queries").exists()
+
+
+def test_partition_too_old_fails(spark, derby_db, tmp_path):
+    with pytest.raises(NotReadyError):
+        run_export(
+            spark,
+            opts_for(
+                derby_db,
+                tmp_path / "old",
+                skipPartitionCheck=False,
+                partition="2001-01-01",
+            ),
+        )
+
+
+def test_sql_file_export(spark, derby_db, tmp_path):
+    sql = tmp_path / "q.sql"
+    sql.write_text("SELECT C_ID, NAME FROM COFFEES WHERE C_ID < 5")
+    out = tmp_path / "sqlfile"
+    metrics = run_export(
+        spark, opts_for(derby_db, out, table=None, sqlFile=str(sql))
+    )
+    assert metrics["recordCount"] == 5
+    queries = [
+        Path(p).read_text().strip()
+        for p in sorted(glob.glob(str(out / "_queries" / "*.sql")))
+    ]
+    assert queries == [
+        "SELECT * FROM (SELECT C_ID, NAME FROM COFFEES WHERE C_ID < 5) "
+        "as user_sql_query WHERE 1=1"
+    ]
+
+
+def test_input_avro_schema_docs(spark, derby_db, tmp_path):
+    out = tmp_path / "docs"
+    run_export(
+        spark,
+        opts_for(derby_db, out),
+        input_avro_schema={
+            "doc": "coffee table",
+            "namespace": "com.example",
+            "fields": [{"name": "C_ID", "doc": "the id"}],
+        },
+    )
+    schema = json.loads((out / "_AVRO_SCHEMA.avsc").read_text())
+    assert schema["doc"] == "coffee table"
+    assert schema["namespace"] == "com.example"
+    assert next(f for f in schema["fields"] if f["name"] == "C_ID")["doc"] == "the id"
+
+
+def test_pushed_down_subquery_plan(spark, derby_db, tmp_path):
+    """The WHERE conditions live inside the JDBC subquery — the
+    database filters, not Spark."""
+    plan = read_jdbc(
+        spark,
+        opts_for(
+            derby_db,
+            tmp_path,
+            skipPartitionCheck=True,
+            partition="2001-01-01",
+            partitionColumn="CREATED_AT",
+        ),
+    )
+    assert "CREATED_AT >= '2001-01-01'" in plan.queries[0]
+    physical = plan.df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in physical
+
+
+def test_cli_arg_parsing():
+    opts = parse_args(
+        [
+            "--connectionUrl=jdbc:postgresql://h/db",
+            "--table=t",
+            "--output=/tmp/o",
+            "--limit=5",
+            "--useAvroLogicalTypes=true",
+            "--preCommand=SET a",
+            "--preCommand=SET b",
+        ]
+    )
+    assert opts.limit == 5
+    assert opts.useAvroLogicalTypes is True
+    assert opts.preCommand == ["SET a", "SET b"]
+
+
+def test_option_validation():
+    with pytest.raises(ValueError, match="connection URL"):
+        JdbcExportOptions(connectionUrl="bogus", table="t").validate()
+    with pytest.raises(ValueError, match="table"):
+        JdbcExportOptions(connectionUrl="jdbc:h2:mem").validate()
+    with pytest.raises(ValueError, match="queryParallelism"):
+        JdbcExportOptions(
+            connectionUrl="jdbc:h2:mem", table="t", queryParallelism=4
+        ).validate()
+    with pytest.raises(ValueError, match="partition"):
+        JdbcExportOptions(
+            connectionUrl="jdbc:h2:mem", table="t", partitionColumn="c"
+        ).validate()
+
+
+def test_driver_mapping():
+    assert driver_for_url("jdbc:postgresql://h/db") == "org.postgresql.Driver"
+    assert driver_for_url("jdbc:mysql://h/db") == "com.mysql.cj.jdbc.Driver"
+    assert driver_for_url("jdbc:unknown:x") is None
+
+
+def test_job_name():
+    assert job_name("MyDb", "my_table") == "dbeam-mydb-mytable"
+    assert job_name(None, "T!x") == "dbeam-tx"

@@ -1,0 +1,141 @@
+"""Operator semantics on crafted micro-data (planted duplicates /
+neighbors), independent of the driver's oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbeam_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words appear in this document here"),
+        (5, "el gato la casa los perros es bueno aqui"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.exact_dedup_survivors(docs).collect()
+    }
+    assert out[1] == 2  # docs 1 and 3 collapse, min id survives
+    assert out[2] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_equals_exhaustive(docs):
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert lsh == exhaustive
+
+
+def test_simhash_close_for_near_dups(docs):
+    fps = {
+        r["sid"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(docs).collect()
+    }
+
+    def d(a, b):
+        return bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+
+    assert d(1, 3) == 0  # identical text → identical fingerprint
+    assert d(1, 2) < d(1, 4)  # near-dup closer than unrelated
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=max(d(1, 2), 1)).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs  # pigeonhole banding recalls it at its distance
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.99, 0.14, 0.0]),  # near 2
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_bruteforce_exact(vectors):
+    out = similarity.knn_bruteforce(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert got[0] == (1, 1)  # nearest is the planted neighbor
+
+
+def test_embedding_dedup_pairs(vectors):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_dedup_pairs(vectors, 0.95).collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_knn_ivf_probes_enough_cells(vectors):
+    out = similarity.knn_ivf(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2, n_cells=2, n_probe=2
+    )
+    got = [r["neighbor_id"] for r in out.collect()]
+    assert got[0] == 1  # with all cells probed, IVF == exact
+
+
+def test_text_expressions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, "el gato es la casa")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        text.predicted_lang(F.col("text")).alias("lang"),
+        text.n_ws_tokens(F.col("text")).alias("nws"),
+        text.n_bpe_tokens(F.col("text")).alias("nbpe"),
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[1]["lang"] == "en"
+    assert byid[2]["lang"] == "es"
+    assert byid[1]["nws"] == 5
+    assert byid[1]["nbpe"] == 6  # 5 words + '!'
+    assert 0.0 <= byid[1]["q"] <= 1.0
+    # fingerprint ignores word order
+    df2 = spark.createDataFrame([(1, "dog the and cat The!")], ["doc_id", "text"])
+    fp2 = df2.select(text.fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert fp2 != byid[1]["fp"]  # '!' attached to a different word
+    df3 = spark.createDataFrame([(1, "dog! and the The cat")], ["doc_id", "text"])
+    fp3 = df3.select(text.fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert fp3 == byid[1]["fp"]
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    out = multimodal.decode_batch(multimodal.with_payload(df)).collect()[0]
+    assert out["n_bytes"] == 5
+    assert out["width"] == 5 and out["height"] == 35
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "image/png")

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbeam_spark.queries.streaming import stream_dedup, stream_window_agg
+from dbeam_spark.sources.files import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_window_agg_equals_batch(spark):
+    streamed = stream_window_agg(spark, SF_DIR).collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_stream_dedup_counts(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    expected = ev.agg(
+        F.count_distinct("event_id"), F.count_distinct("user_id")
+    ).collect()[0]
+    got = stream_dedup(spark, SF_DIR).collect()[0]
+    assert tuple(got) == tuple(expected)
