@@ -111,3 +111,58 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_id").alias("n_unique"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) kept in
+    arbitrary state via applyInPandasWithState — the escape hatch for
+    stateful logic Spark's built-in windows can't express. State size
+    is O(active users); at 100 TB the watermark/timeout evicts idle
+    keys (NoTimeout here since the replay is finite)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_stats(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "total_value": [round(total, 2)]}
+        )
+
+    name = f"sus_{uuid.uuid4().hex[:8]}"
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_stats,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="count long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_stream(out, name, "update")
+    # one emission per user per batch; keep the final (max) state
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -558,3 +558,189 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (EXISTS adapted to shipdate >
+    orderdate since the testdata has no commitdate): left_semi join —
+    at scale a single shuffle on the order key, no row duplication."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    oracle="""
+    SELECT SUBSTRING(c_name, 1, 9) AS name_prefix,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY SUBSTRING(c_name, 1, 9)
+    ORDER BY name_prefix
+    """,
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity shape: scalar subquery (broadcast 1-row
+    cross) + NOT EXISTS as a left_anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("name_prefix")
+    )
+
+
+@register(
+    "cube_sales",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over two dimensions: all four grouping sets in one
+    Expand + one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.asc_nulls_first("c_mktsegment"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+@register(
+    "percentile_prices",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use the
+    same linear interpolation); the approximate sketch path at scale
+    is approx_percentile (rows-only sibling below)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register("approx_percentile_prices")  # t-digest sketch ≠ DuckDB's → rows-only
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the 100 TB path (mergeable state,
+    no full sort/collect per group)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.95), 1000)"
+            ).alias("p50_p95")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "salted_join_volume",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def salted_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation demo: the same customer⋈nation aggregation
+    routed through operators.joins.salted_join — identical results to
+    the plain join, with hot nation keys scattered across 8 salt
+    buckets (the pattern for hot-key fact⋈dim joins when a broadcast
+    isn't possible)."""
+    from dbeam_spark.operators.joins import salted_join
+
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    return (
+        salted_join(cust, nation, on="nationkey", salt_buckets=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

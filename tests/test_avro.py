@@ -123,3 +123,22 @@ def test_distributed_write(spark, tmp_path):
     assert len(rows) == 10_000
     assert sorted(rows)[0] == (0, "0", 0.0)
     assert sorted(rows)[-1] == (9999, "9999", 4999.5)
+
+
+def test_read_avro_roundtrip_source(spark, tmp_path):
+    from dbeam_spark.sources.avro import read_avro
+
+    df = spark.range(0, 5_000, numPartitions=4).selectExpr(
+        "id",
+        "CONCAT('v', id) AS s",
+        "timestamp_millis(1700000000000 + id * 1000) AS ts",
+    )
+    avro = spark_schema_to_avro(df.schema, "t", use_logical_types=True)
+    out = str(tmp_path / "rt")
+    write_avro(df, out, avro)
+    back = read_avro(spark, out)
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    assert back.count() == 5_000
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b

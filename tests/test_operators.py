@@ -139,3 +139,15 @@ def test_multimodal_decode_stub(spark):
     assert out["width"] == 5 and out["height"] == 35
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"x", "image/png")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from dbeam_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(1000)], ["id", "k"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    plain = big.join(small, "k").groupBy("v").count()
+    salted = salted_join(big, small, on="k", salt_buckets=4).groupBy("v").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
