@@ -49,6 +49,29 @@ def main() -> None:
         n = QUERIES[name](spark, sf_dir).collect()
         per_query[name] = round(time.monotonic() - t0, 3)
         assert len(n) >= 0
+
+    # export-path throughput (the reference's headline dimension:
+    # rows/min through the Avro writer — see BenchJdbcAvroJob)
+    import shutil
+    import tempfile
+
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.sources.files import load_table
+
+    # repartition so every core encodes a file concurrently (a 20 MB
+    # parquet arrives as one input split; real exports have many)
+    li = load_table(spark, sf_dir, "lineitem").repartition(16)
+    out = tempfile.mkdtemp(prefix="bench_avro_")
+    t0 = time.monotonic()
+    stats = write_avro(
+        li, out, spark_schema_to_avro(li.schema, "lineitem"), codec="deflate6"
+    )
+    export_sec = time.monotonic() - t0
+    export_rows = sum(s["rows"] for s in stats)
+    per_query["avro_export_lineitem"] = round(export_sec, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -59,6 +82,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "export_rows_per_minute": int(export_rows * 60 / export_sec),
             }
         )
     )
