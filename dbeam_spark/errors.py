@@ -1,7 +1,8 @@
-"""Job failure types.
+"""Job failure types and exit-code mapping.
 
-Mirrors reference jobs/FailedValidationException.java and
-jobs/NotReadyException.java.
+Mirrors reference jobs/FailedValidationException.java,
+jobs/NotReadyException.java and jobs/ExceptionHandling.java — the
+same exit codes, so wrappers scripted around dbeam keep working.
 """
 
 from __future__ import annotations
@@ -14,3 +15,24 @@ class FailedValidationError(Exception):
 class NotReadyError(Exception):
     """Pre-conditions for the export are not met (e.g. replication
     lag, partition too old)."""
+
+
+class ExportTimeoutError(Exception):
+    """Job exceeded --exportTimeout and was cancelled (the reference
+    maps this through PipelineExecutionException → 47)."""
+
+
+def exit_code(e: BaseException) -> int:
+    """ref ExceptionHandling.exitCode: first matching class wins,
+    49 otherwise."""
+    codes = [
+        (NotReadyError, 20),
+        (IOError, 41),
+        (ValueError, 43),
+        (ExportTimeoutError, 47),
+        (FailedValidationError, 50),
+    ]
+    for cls, code in codes:
+        if isinstance(e, cls):
+            return code
+    return 49

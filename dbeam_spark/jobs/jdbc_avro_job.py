@@ -27,7 +27,7 @@ from pyspark.sql import SparkSession
 
 from dbeam_spark.avro.schema import merge_input_schema, spark_schema_to_avro, to_json
 from dbeam_spark.avro.writer import write_avro
-from dbeam_spark.errors import FailedValidationError
+from dbeam_spark.errors import ExportTimeoutError, FailedValidationError, exit_code
 from dbeam_spark.metrics import ExportMetrics
 from dbeam_spark.options import JdbcExportOptions, parse_args
 from dbeam_spark.partitions import parse_instant, parse_period, validate_partition
@@ -44,6 +44,49 @@ def job_name(catalog: str | None, table: str | None) -> str:
 
     parts = ["dbeam"] + [norm(p) for p in (catalog, table) if p]
     return "-".join(p for p in parts if p)
+
+
+def parse_iso_duration(value: str) -> float:
+    """ISO-8601 duration → seconds ('P7D', 'PT30M', 'P1DT2H'...)."""
+    import re
+
+    m = re.fullmatch(
+        r"P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+        value.strip().upper(),
+    )
+    if not m or not any(m.groups()):
+        raise ValueError(f"Unsupported exportTimeout: {value}")
+    d, h, mi, s = (float(x or 0) for x in m.groups())
+    return d * 86400 + h * 3600 + mi * 60 + s
+
+
+def run_with_timeout(spark: SparkSession, seconds: float, fn):
+    """Run fn(); cancel its Spark jobs and raise ExportTimeoutError if
+    it exceeds the budget (ref BeamHelper.waitUntilDone: wait, cancel,
+    raise 'Job cancelled after exceeding timeout')."""
+    import threading
+
+    group = f"dbeam-export-{id(fn)}"
+    timed_out = threading.Event()
+
+    def cancel() -> None:
+        timed_out.set()
+        spark.sparkContext.cancelJobGroup(group)
+
+    timer = threading.Timer(seconds, cancel)
+    spark.sparkContext.setJobGroup(group, "dbeam export", interruptOnCancel=True)
+    timer.start()
+    try:
+        return fn()
+    except Exception:
+        if timed_out.is_set():
+            raise ExportTimeoutError(
+                f"Job cancelled after exceeding timeout {seconds}s"
+            ) from None
+        raise
+    finally:
+        timer.cancel()
+        spark.sparkContext.setJobGroup("", "")
 
 
 def run_export(
@@ -99,7 +142,11 @@ def run_export(
             (qdir / f"query_{i}.sql").write_text(q + "\n")
 
     metrics.start_write_meter()
-    stats = write_avro(plan.df, str(out), generated, codec=opts.avroCodec)
+    stats = run_with_timeout(
+        spark,
+        parse_iso_duration(opts.exportTimeout),
+        lambda: write_avro(plan.df, str(out), generated, codec=opts.avroCodec),
+    )
     metrics.expose_write_elapsed()
     metrics.expose_written(
         sum(s["rows"] for s in stats), sum(s["bytes"] for s in stats)
@@ -120,11 +167,19 @@ def run_export(
 
 
 def main(argv: list[str] | None = None) -> int:
+    """CLI entry; failures map to dbeam's exit codes
+    (ref jobs/ExceptionHandling.java: NotReady=20, IO=41, invalid
+    args=43, timeout≈pipeline failure=47, FailedValidation=50,
+    other=49)."""
     from dbeam_spark.session import get_spark
 
-    opts = parse_args(argv if argv is not None else sys.argv[1:])
-    spark = get_spark(job_name(None, opts.table))
-    metrics = run_export(spark, opts)
+    try:
+        opts = parse_args(argv if argv is not None else sys.argv[1:])
+        spark = get_spark(job_name(None, opts.table))
+        metrics = run_export(spark, opts)
+    except Exception as e:  # noqa: BLE001 - CLI boundary
+        print(f"Failure: {type(e).__name__}: {e}", file=sys.stderr)
+        return exit_code(e)
     print(json.dumps(metrics))
     return 0
 

@@ -166,3 +166,34 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def stream_to_avro(
+    stream_df, output_dir: str, schema_name: str = "stream", codec: str = "deflate6"
+) -> None:
+    """Continuous Avro export: every micro-batch lands as OCF files in
+    `output_dir/batch_N/` through the same distributed writer the
+    batch export job uses — dbeam's output format fed by a stream.
+    Runs with availableNow (finite replay) here; remove the trigger
+    for a long-running sink."""
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+
+    avro_schema = spark_schema_to_avro(stream_df.schema, schema_name)
+
+    def sink(batch_df, batch_id: int) -> None:
+        write_avro(
+            batch_df,
+            os.path.join(output_dir, f"batch_{batch_id}"),
+            avro_schema,
+            codec=codec,
+        )
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_avro_sink_")
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

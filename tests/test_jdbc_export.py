@@ -205,3 +205,60 @@ def test_driver_mapping():
 def test_job_name():
     assert job_name("MyDb", "my_table") == "dbeam-mydb-mytable"
     assert job_name(None, "T!x") == "dbeam-tx"
+
+
+def test_exit_codes():
+    from dbeam_spark.errors import (
+        ExportTimeoutError,
+        FailedValidationError,
+        NotReadyError,
+        exit_code,
+    )
+
+    # same codes as reference jobs/ExceptionHandling.java
+    assert exit_code(NotReadyError()) == 20
+    assert exit_code(IOError()) == 41
+    assert exit_code(ValueError()) == 43
+    assert exit_code(ExportTimeoutError()) == 47
+    assert exit_code(FailedValidationError()) == 50
+    assert exit_code(RuntimeError()) == 49
+
+
+def test_parse_iso_duration():
+    from dbeam_spark.jobs.jdbc_avro_job import parse_iso_duration
+
+    assert parse_iso_duration("P7D") == 7 * 86400
+    assert parse_iso_duration("PT30M") == 1800
+    assert parse_iso_duration("P1DT2H") == 93600
+    with pytest.raises(ValueError):
+        parse_iso_duration("7 days")
+
+
+def test_export_timeout_cancels(spark):
+    import time
+
+    from dbeam_spark.errors import ExportTimeoutError
+    from dbeam_spark.jobs.jdbc_avro_job import run_with_timeout
+
+    def slow_job():
+        def snooze(batches):
+            for pdf in batches:
+                time.sleep(30)
+                yield pdf
+
+        return (
+            spark.range(0, 8, numPartitions=8)
+            .mapInPandas(snooze, "id long")
+            .count()
+        )
+
+    t0 = time.monotonic()
+    with pytest.raises(ExportTimeoutError, match="exceeding timeout"):
+        run_with_timeout(spark, 2.0, slow_job)
+    assert time.monotonic() - t0 < 20  # cancelled, not waited out
+
+
+def test_run_with_timeout_passthrough(spark):
+    from dbeam_spark.jobs.jdbc_avro_job import run_with_timeout
+
+    assert run_with_timeout(spark, 60.0, lambda: spark.range(10).count()) == 10

@@ -30,3 +30,22 @@ def test_stream_dedup_counts(spark):
     ).collect()[0]
     got = stream_dedup(spark, SF_DIR).collect()[0]
     assert tuple(got) == tuple(expected)
+
+
+def test_stream_to_avro_sink(spark, tmp_path):
+    import glob
+
+    from dbeam_spark.avro.reader import read_avro_file
+    from dbeam_spark.queries.streaming import _events_stream, stream_to_avro
+
+    out = str(tmp_path / "stream_avro")
+    stream = _events_stream(spark, SF_DIR).select("event_id", "user_id", "event_type")
+    stream_to_avro(stream, out, schema_name="events")
+    files = glob.glob(out + "/batch_*/part-*.avro")
+    assert files
+    rows = []
+    for f in files:
+        rows.extend(read_avro_file(f)[1])
+    expected = load_table(spark, SF_DIR, "events").count()
+    assert len(rows) == expected
+    assert len({r[0] for r in rows}) == expected  # event_ids intact
