@@ -151,3 +151,45 @@ def test_salted_join_equals_plain_join(spark):
     plain = big.join(small, "k").groupBy("v").count()
     salted = salted_join(big, small, on="k", salt_buckets=4).groupBy("v").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from dbeam_spark.operators.bucketing import bucket_star_facts
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tables = bucket_star_facts(
+            spark, "/root/testdata/sf0.001", n_buckets=4, prefix="tbkt"
+        )
+        joined = (
+            spark.table(tables["orders"])
+            .join(
+                spark.table(tables["lineitem"]),
+                spark.table(tables["orders"]).o_orderkey
+                == spark.table(tables["lineitem"]).l_orderkey,
+            )
+            .groupBy("o_orderkey")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: the scan satisfies the join distribution
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+        # sanity: the same join over raw parquet DOES shuffle
+        from dbeam_spark.sources.files import load_table
+
+        o = load_table(spark, "/root/testdata/sf0.001", "orders")
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        raw_plan = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" in raw_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        for t in ("tbkt_orders", "tbkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
