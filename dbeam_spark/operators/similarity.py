@@ -224,3 +224,87 @@ def embedding_dedup_pairs(
     return d.mapInPandas(
         block_sims, "id_a long, id_b long, sim double"
     ).orderBy("id_a", "id_b")
+
+
+def rh_lsh_embedding_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH scale path for embedding near-dup pairs.
+
+    Multi-table (banded) LSH: L independent tables of k sign bits
+    each; a pair is a candidate when it collides in ANY table, then
+    exact cosine verifies. P[candidate] = 1-(1-(1-θ/π)^k)^L — with
+    8×8 that is ≈0.99 at cos 0.95 and ≈0.23 at cos 0.45, so recall is
+    governed by the (L, k) knobs while precision stays 1.0 via the
+    exact check. The bucket join replaces `embedding_dedup_pairs`'
+    all-pairs broadcast at 100 TB; the gate is rows-only (recall < 1).
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    d = _as_double(df, vec_col).select(
+        F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
+    )
+    dim = _dim_of(d, "v")
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    bc = d.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        import pandas as pd
+
+        pl = bc.value
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (mat @ pl.T) >= 0  # (rows, L*k)
+            out = []
+            for t in range(n_tables):
+                bucket = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+                out.append(
+                    pd.DataFrame(
+                        {"pid": pdf["pid"], "table": t, "bucket": bucket}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    buckets = d.mapInPandas(bucketize, "pid long, table int, bucket long")
+    a = buckets.select(F.col("pid").alias("id_a"), "table", "bucket")
+    b = buckets.select(
+        F.col("pid").alias("id_b"),
+        F.col("table").alias("table_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("table") == F.col("table_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = d.select(
+        F.col("pid").alias("id_a"),
+        F.col("v").alias("v_a"),
+        norm(F.col("v"), dim).alias("n_a"),
+    )
+    vb = d.select(
+        F.col("pid").alias("id_b"),
+        F.col("v").alias("v_b"),
+        norm(F.col("v"), dim).alias("n_b"),
+    )
+    sim = dot(F.col("v_a"), F.col("v_b"), dim) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(sim, 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    )

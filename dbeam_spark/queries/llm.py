@@ -257,3 +257,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     'decode' stub — the deterministic fake keeps this oracle-checkable."""
     docs = multimodal.with_payload(_docs(spark, sf_dir))
     return multimodal.decode_batch(docs).orderBy("doc_id")
+
+
+@register("dedup_embedding_lsh")  # recall < 1 by design → rows-only gate
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-bucketed variant of dedup_embedding: the
+    100 TB path (bucket join instead of all-pairs)."""
+    return similarity.rh_lsh_embedding_pairs(
+        _emb(spark, sf_dir), COSINE_THRESHOLD
+    )

@@ -197,3 +197,52 @@ def stream_to_avro(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, view_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user
+    views in the preceding hour. Watermarks bound both join states to
+    ~1 hour of events per side; an inner time-interval join emits the
+    same matches as the batch oracle regardless of micro-batching."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    _run_stream(joined, name, "append")
+    return spark.table(name).orderBy("purchase_id", "view_id")

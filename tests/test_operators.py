@@ -193,3 +193,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         for t in ("tbkt_orders", "tbkt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rh_lsh_finds_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((50, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant two near-duplicate pairs (tiny perturbations)
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    rows.append((101, [float(x) for x in base[1] + 0.01 * rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.rh_lsh_embedding_pairs(df, 0.95).collect()
+    }
+    assert (0, 100) in got and (1, 101) in got  # ~0.99 recall at cos≥0.95
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dedup_pairs(df, 0.95).collect()
+    }
+    assert got <= exhaustive  # precision 1.0 (exact verify)
