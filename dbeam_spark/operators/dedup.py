@@ -294,3 +294,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters: returns one row per
+    node appearing in any pair, with `cluster_id` = the minimum node id
+    of its connected component.
+
+    Spark-first shape: iterative min-label propagation. Each round is
+    one shuffle (edges ⋈ labels on src, then min-agg on dst) and labels
+    only ever decrease, so `sum(label)` is a strictly-decreasing
+    convergence metric — no driver-side graph state, no collect.
+    `localCheckpoint` truncates lineage each round so the plan stays
+    O(1) deep instead of O(iterations).
+
+    100 TB posture: rounds needed = graph diameter. Near-dup graphs are
+    star-like (diameter ~2-4), so 3-5 shuffles in practice. For
+    pathological chains, switch to the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log^2 n) rounds with the same join-agg primitive —
+    the per-round operator below is deliberately that primitive.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

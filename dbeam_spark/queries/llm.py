@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbeam_spark.operators import dedup, multimodal, similarity, text
+from dbeam_spark.operators import dedup, multimodal, sampling, similarity, text
 from dbeam_spark.queries.registry import register
 from dbeam_spark.session import ensure_utc
 from dbeam_spark.sources.files import load_table
@@ -266,3 +266,103 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rh_lsh_embedding_pairs(
         _emb(spark, sf_dir), COSINE_THRESHOLD
     )
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: shingle-Jaccard pairs →
+    connected components (iterative min-label propagation, one
+    shuffle per round, diameter rounds). Output: every doc in a dup
+    pair labeled with its component's min doc_id — the survivor-set
+    is then `cluster_id = doc_id` rows (keep-min policy), same policy
+    as dedup_exact."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 1) IN ('0', '1', '2')
+    ORDER BY doc_id
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3/16 content-hash sample: reproducible across
+    engines, partitionings, and re-runs (no RNG). Map-only — the
+    predicate rides the parquet scan."""
+    docs = _docs(spark, sf_dir)
+    return (
+        sampling.sample_by_hash(docs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 20
+    ORDER BY lang, sample_rank
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language stratified sample via md5-ordered
+    row_number — balanced training mixes from skewed corpora. One
+    window shuffle on the stratum key."""
+    docs = _docs(spark, sf_dir)
+    return (
+        sampling.stratified_sample(docs, "lang", 20)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST((i - 1) // 150 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(i AS BIGINT), 200)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(i AS BIGINT), 200)) AS chunk_hash
+    FROM documents, unnest(generate_series(1, length(text), 150)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char training windows (stride 150) via
+    sequence+explode+substring — whole-stage-codegen flatMap, no
+    Python, map-only (chunk hash stands in for the chunk text in the
+    gate so the compare payload stays small)."""
+    docs = _docs(spark, sf_dir)
+    return sampling.chunk_documents(docs, 200, 150).orderBy("doc_id", "chunk_idx")

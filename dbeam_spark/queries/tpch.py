@@ -877,3 +877,313 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT p_partkey, s_acctbal, s_name, n_name,
+             l_extendedprice / l_quantity AS cost,
+             MIN(l_extendedprice / l_quantity)
+               OVER (PARTITION BY p_partkey) AS min_cost
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+    )
+    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           ROUND(cost, 4) AS unit_cost
+    FROM costs WHERE cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 adapted: no partsupp table in
+    the testdata, so lineitem IS the part-supplier price list and
+    unit cost is l_extendedprice/l_quantity; reference semantics
+    `args/QueryBuilder.java` has no analytics — this suite is the
+    beyond-parity engine).
+
+    The correlated MIN subquery of textbook Q2 becomes one window MIN
+    over p_partkey — at 100 TB that is a single shuffle on partkey
+    instead of a per-row subquery; all four dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    cost = F.col("l_extendedprice") / F.col("l_quantity")
+    w = Window.partitionBy("p_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("p_partkey", "s_acctbal", "s_name", "n_name", cost.alias("cost"))
+        .withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q11_important_values",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey, SUM(l_extendedprice) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(val, 2) AS part_value
+    FROM v
+    WHERE val > (SELECT SUM(val) * 0.002 FROM v)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important part values (TPC-H Q11 adapted to lineitem as the
+    part-supplier relation). The scalar total-value subquery becomes a
+    1-row aggregate cross-joined (broadcast) onto the per-part
+    aggregate — the fact table is scanned once, re-aggregated from the
+    grouped intermediate, never rescanned."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    total = v.agg((F.sum("val") * 0.002).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 0 THEN 'early'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'on_time'
+                ELSE 'late' END AS delay_bucket,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay priority report (TPC-H Q12 adapted: the testdata
+    has no l_shipmode/commitdate, so lines bucket by actual shipping
+    delay vs order date). One fact-fact join shuffled on orderkey, then
+    a 3-group aggregate with map-side partials."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(delay < 0, "early")
+            .when(delay <= 30, "on_time")
+            .otherwise("late")
+            .alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("h"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("h").alias("high_line_count"),
+            F.sum(1 - F.col("h")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13; the comment-regex
+    exclusion becomes a priority exclusion — the testdata has no
+    comment column). Outer join keeps zero-order customers; the second
+    aggregate is tiny. At 100 TB the join shuffles once on custkey and
+    the distribution agg is a few hundred groups."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'SMALL'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts by part attributes (TPC-H Q16 adapted: lineitem
+    as the part-supplier relation; the complaints NOT IN becomes a
+    negative-balance supplier exclusion). NOT IN → broadcast left_anti
+    join; COUNT(DISTINCT) shuffles on the group keys after a map-side
+    distinct partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS q
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS tq FROM sp GROUP BY l_partkey)
+    SELECT DISTINCT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM sp
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE q > 0.5 * tq
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers dominating a PROMO part's 1997 volume (TPC-H Q20
+    adapted: availqty-vs-half-shipped becomes supplier-share-of-part >
+    50%). The nested IN-subquery chain of textbook Q20 flattens into
+    grouped aggregates re-joined on partkey; l_quantity is integral so
+    the share comparison is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tot = sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(F.sum("q").alias("tq"))
+    return (
+        sp.join(tot, sp.l_partkey == F.col("t_partkey"))
+        .filter(F.col("q") > 0.5 * F.col("tq"))
+        .join(F.broadcast(supp), sp.l_suppkey == supp.s_suppkey)
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                 THEN l_suppkey END) AS n_fail
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+    FROM lineitem l
+    JOIN orders ON o_orderkey = l.l_orderkey AND o_orderstatus = 'F'
+    JOIN per_order po ON po.l_orderkey = l.l_orderkey
+    JOIN supplier ON s_suppkey = l.l_suppkey
+    WHERE l.l_returnflag = 'R' AND po.n_supp > 1 AND po.n_fail = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who solely failed multi-supplier orders (TPC-H Q21
+    adapted: receiptdate>commitdate becomes l_returnflag='R'). The
+    EXISTS / NOT-EXISTS pair of textbook Q21 becomes ONE per-order
+    aggregate (distinct suppliers vs distinct failing suppliers)
+    joined back — two scans of lineitem instead of three, both
+    shuffled on orderkey so AQE can reuse the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(per_order, li.l_orderkey == F.col("po_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -217,3 +217,48 @@ def test_rh_lsh_finds_near_duplicates(spark):
         for r in similarity.embedding_dedup_pairs(df, 0.95).collect()
     }
     assert got <= exhaustive  # precision 1.0 (exact verify)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component), pair 10-11, and 20-21-22 star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_sampling_deterministic(spark):
+    from dbeam_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", "en" if i % 2 else "de") for i in range(200)],
+        ["doc_id", "text", "lang"],
+    )
+    s1 = sorted(r.doc_id for r in sampling.sample_by_hash(docs).collect())
+    s2 = sorted(r.doc_id for r in sampling.sample_by_hash(docs).collect())
+    assert s1 == s2 and 0 < len(s1) < 200  # stable, non-trivial subset
+
+    strat = sampling.stratified_sample(docs, "lang", 5).collect()
+    by_lang = {}
+    for r in strat:
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_lang.values())
+
+
+def test_chunk_documents_covers_text(spark):
+    from dbeam_spark.operators import sampling
+
+    docs = spark.createDataFrame([(1, "a" * 500), (2, "b" * 100)], ["doc_id", "text"])
+    rows = sampling.chunk_documents(docs, chunk_size=200, stride=150).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_len))
+    # doc 1: starts 1,151,301,451 -> lens 200,200,200,50
+    assert sorted(by_doc[1]) == [(0, 200), (1, 200), (2, 200), (3, 50)]
+    # doc 2: single short chunk
+    assert sorted(by_doc[2]) == [(0, 100)]
