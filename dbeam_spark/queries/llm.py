@@ -366,3 +366,98 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate so the compare payload stays small)."""
     docs = _docs(spark, sf_dir)
     return sampling.chunk_documents(docs, 200, 150).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "top_tokens",
+    oracle="""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 25
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency top-25 tokens: explode+groupBy, all codegen.
+    At 100 TB the token agg is the classic word-count shape — map-side
+    partial counts shrink the shuffle to |vocabulary|, and the final
+    top-N is a TakeOrdered, not a full sort."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(25)
+    )
+
+
+@register(
+    "text_redact",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[aeiou]+', '*', 'g')) AS redacted_hash,
+           CAST(length(text) - length(regexp_replace(text, '[aeiou]+', '', 'g'))
+                AS BIGINT) AS n_masked_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-masking pass (the PII-scrub shape: same plan as masking
+    emails/phones/SSNs, exercised here with a vowel-run pattern the
+    corpus actually contains). Pure map-only regexp_replace in codegen;
+    the gate compares a hash of the redacted text plus the masked-char
+    count so the full text never enters the compare payload."""
+    docs = _docs(spark, sf_dir)
+    redacted = F.regexp_replace(F.col("text"), "[aeiou]+", "*")
+    stripped = F.regexp_replace(F.col("text"), "[aeiou]+", "")
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        (F.length("text") - F.length(stripped)).cast("long").alias("n_masked_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           ROUND(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                          AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 4) + 0.0 AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the class-centroid / cluster-seed
+    primitive), emitted in long form (label, dim, value) so the gate
+    needs no array-ordering guarantees. Elements are quantized to
+    1e-6 integers BEFORE summing so the aggregate is exact integer
+    math — order-independent, hence bit-identical across engines,
+    partitionings, and cluster sizes (a float AVG is not: summation
+    order shifts the last ulp and can flip a rounding boundary).
+    posexplode+groupBy stays in codegen; the shuffle carries
+    |labels|×|dims| groups regardless of row count — at 100 TB the
+    map-side partial agg does all the work."""
+    emb = _emb(spark, sf_dir)
+    scaled = F.round(F.col("val").cast("double") * 1000000).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            (
+                F.round(F.sum(scaled) / (F.count(F.lit(1)) * 1000000.0), 4)
+                + 0.0  # normalize IEEE -0.0 → +0.0 (hash compares repr)
+            ).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    )

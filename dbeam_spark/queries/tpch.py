@@ -1187,3 +1187,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "pivot_returns",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_a,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_n,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS rev_r
+    FROM lineitem
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+)
+def pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by year pivoted on return flag. The pivot values are
+    declared explicitly so Spark skips the extra distinct-values job
+    and the plan is a single hash aggregate with map-side partials —
+    a pivot over K known values costs the same as a K-way conditional
+    agg at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(_revenue()), 2))
+        .select(
+            "ship_year",
+            F.coalesce(F.col("A"), F.lit(0.0)).alias("rev_a"),
+            F.coalesce(F.col("N"), F.lit(0.0)).alias("rev_n"),
+            F.coalesce(F.col("R"), F.lit(0.0)).alias("rev_r"),
+        )
+        .orderBy("ship_year")
+    )
