@@ -1,0 +1,92 @@
+"""Incremental (CDC-style) export: watermark state, delta-only runs,
+idempotent no-new-rows runs — end-to-end on embedded Derby."""
+
+from __future__ import annotations
+
+import glob
+import json
+from pathlib import Path
+
+import tempfile
+
+import pytest
+
+from dbeam_spark.avro.reader import read_avro_file
+from dbeam_spark.jobs.incremental_export import run_incremental
+from dbeam_spark.options import JdbcExportOptions
+
+
+@pytest.fixture(scope="module")
+def incr_db(spark):
+    """Private Derby db: this test APPENDS rows, so it must not share
+    the session-scoped fixture other suites assume has 1000 rows."""
+    dbdir = tempfile.mkdtemp(prefix="derby_incr_") + "/db"
+    url = f"jdbc:derby:{dbdir};create=true"
+    _append_rows(spark, url, 0, 1000, mode="overwrite")
+    return f"jdbc:derby:{dbdir}"
+
+
+def _opts(derby_db, out):
+    return JdbcExportOptions(
+        connectionUrl=derby_db,
+        table="COFFEES",
+        output=str(out),
+        username="dbeam",
+        skipPartitionCheck=True,
+    )
+
+
+def _rows_in(run_dir) -> list[tuple]:
+    rows = []
+    for p in sorted(glob.glob(str(run_dir) + "/part-*.avro")):
+        rows.extend(read_avro_file(p)[1])
+    return rows
+
+
+def _append_rows(spark, derby_db, start, n, mode="append"):
+    df = spark.range(start, start + n).selectExpr(
+        "id AS C_ID",
+        "CAST(id * 1.5 AS DOUBLE) AS AMOUNT",
+        "CONCAT('name_', id) AS NAME",
+        "timestamp_millis(1700000000000 + id * 1000) AS CREATED_AT",
+        "id % 2 = 0 AS FLAG",
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", derby_db)
+        .option("user", "dbeam")
+        .option("dbtable", "COFFEES")
+        .mode(mode)
+        .save()
+    )
+
+
+def test_incremental_runs(spark, incr_db, tmp_path):
+    derby_db = incr_db
+    out = tmp_path / "incr"
+
+    r1 = run_incremental(spark, _opts(derby_db, out), "C_ID")
+    assert not r1["skipped"] and r1["watermark"] == 999
+    first = _rows_in(r1["run_dir"])
+    assert len(first) == 1000
+    assert (Path(r1["run_dir"]) / "_SUCCESS").exists()
+
+    # no new rows -> skipped, no new run dir, watermark unchanged
+    r2 = run_incremental(spark, _opts(derby_db, out), "C_ID")
+    assert r2["skipped"] and r2["watermark"] == 999
+    assert len(list(out.glob("run_*"))) == 1
+
+    _append_rows(spark, derby_db, 1000, 100)
+    r3 = run_incremental(spark, _opts(derby_db, out), "C_ID")
+    assert not r3["skipped"] and r3["rows"] == 100 and r3["watermark"] == 1099
+    third = _rows_in(r3["run_dir"])
+    ids = sorted(r[0] for r in third)
+    assert ids == list(range(1000, 1100))  # ONLY the delta
+
+    state = json.loads((out / "_WATERMARK").read_text())
+    assert state["column"] == "C_ID" and state["value"] == 1099
+    assert [run["run"] for run in state["runs"]] == [0, 1]
+
+    # generated SQL is window-bounded on both ends
+    q = (Path(r3["run_dir"]) / "_queries" / "query_0.sql").read_text()
+    assert "C_ID > 999" in q and "C_ID <= 1099" in q
