@@ -37,3 +37,51 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Batch interval join: each `points` row matched to every
+    `intervals` row whose [lo, hi) contains point_ts (hi exclusive).
+
+    Spark plans a bare range predicate as BroadcastNestedLoopJoin —
+    O(|points|×|intervals|) compares, a non-starter at scale. This
+    rewrites it as an EQUI join on a time bucket: intervals explode to
+    the buckets they cover (⌈duration/bucket⌉ rows — bounded when
+    interval lengths are), points compute one bucket, the join hashes
+    on bucket, and the exact [lo, hi) predicate runs as a residual
+    filter on the ~bucket-local candidates. Cost drops to
+    O(points + intervals×buckets_covered + true_matches), shuffled on
+    the bucket key — the same idea as Flink's interval join and
+    spatial grid joins. Pick bucket_seconds ≈ typical interval length:
+    too small multiplies the interval side, too large widens the
+    candidate set the residual filter must discard.
+
+    Bucket ids come from epoch seconds (timezone-independent).
+    """
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    i_lo = F.unix_timestamp(F.col(lo))
+    i_hi = F.unix_timestamp(F.col(hi))
+    exploded = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(i_lo / bucket_seconds),
+                # hi is exclusive: an interval ending exactly on a
+                # bucket boundary does not cover that bucket
+                F.floor((i_hi - 1) / bucket_seconds),
+            )
+        ),
+    )
+    return (
+        points.withColumn("_bucket", p_bucket)
+        .join(exploded, "_bucket")
+        .filter((F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
+        .drop("_bucket")
+    )

@@ -160,3 +160,126 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS purchase_id, ts AS lo,
+             ts + INTERVAL 1 HOUR AS hi
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT purchase_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events_1h
+    FROM purch JOIN events e ON e.ts >= lo AND e.ts < hi
+    GROUP BY purchase_id
+    ORDER BY purchase_id
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join (Flink-style): for every purchase, count
+    ALL events landing in the hour after it. There is no equi key, so
+    Spark's native plan would be a nested-loop join; the
+    `interval_join` operator rewrites it as an equi join on 1-hour
+    time buckets (intervals exploded to covered buckets, exact range
+    as residual filter) — shuffle on bucket, candidates bucket-local.
+    """
+    from dbeam_spark.operators.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+        )
+    )
+    points = ev.select(F.col("event_id").alias("pt_id"), F.col("ts"))
+    return (
+        interval_join(points, purch, "ts", "lo", "hi", bucket_seconds=3600)
+        .groupBy("purchase_id")
+        .agg(F.count("pt_id").alias("n_events_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+      SELECT value, ts,
+             unnest([
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes'
+             ]) AS ws
+      FROM events)
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in
+    duration/slide = 2 windows. Spark's `window()` does the replication
+    inside the aggregate — output cardinality is 2× windows, shuffle is
+    on window_start with map-side partials, so the slide factor (not
+    the row count) bounds the overhead at any scale."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '15 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 15-minute inactivity gap, using
+    Spark's NATIVE session_window aggregate (the batch twin of
+    streaming session windows; `events_sessionize` builds the same
+    sessions out of lag/cumsum primitives). One shuffle on user_id;
+    the session merge happens inside the aggregation operator, no
+    window-function second pass."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "15 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1224,3 +1224,37 @@ def pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+@register(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / 25000) AS BIGINT) * 25000.0 AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (the data-profiling
+    primitive): binning is pure column math riding the scan, the agg
+    shuffles |bins| groups no matter the row count."""
+    orders = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 25000).cast("long")
+    return (
+        orders.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 25000.0).alias("bin_lo"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("bin")
+    )

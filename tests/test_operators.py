@@ -262,3 +262,33 @@ def test_chunk_documents_covers_text(spark):
     assert sorted(by_doc[1]) == [(0, 200), (1, 200), (2, 200), (3, 50)]
     # doc 2: single short chunk
     assert sorted(by_doc[2]) == [(0, 100)]
+
+
+def test_interval_join_semantics_and_plan(spark):
+    from datetime import datetime
+
+    from dbeam_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, datetime(2024, 1, 1, 1, 0, 0)),   # == hi of iv10 -> excluded
+            (3, datetime(2024, 1, 1, 0, 59, 59)),
+            (4, datetime(2024, 1, 3, 12, 0, 0)),  # inside 3-day interval
+        ],
+        ["pid", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 1, 0, 0)),
+            (20, datetime(2024, 1, 2, 0, 0, 0), datetime(2024, 1, 5, 0, 0, 0)),
+        ],
+        ["iid", "lo", "hi"],
+    )
+    out = interval_join(pts, ivs, "ts", "lo", "hi", bucket_seconds=3600)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # hi exclusive: point 2 at exactly 01:00 does NOT match iv10;
+    # iv20 spans 72 buckets and still matches point 4 exactly once
+    assert got == [(1, 10), (3, 10), (4, 20)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
