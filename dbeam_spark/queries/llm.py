@@ -461,3 +461,99 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents),
+    f AS (SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 1.0 / (SELECT SUM(cnt) FROM f), 6) AS share
+    FROM f
+    WHERE cnt * 100 > (SELECT SUM(cnt) FROM f)
+    ORDER BY cnt DESC, tok
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens with > 1 % corpus share. The share
+    threshold is evaluated in integer math (cnt*100 > total) so the
+    cut is exact in any engine; the corpus total is a 1-row broadcast.
+    At 100 TB this is word-count plus one scalar join — for a first
+    pass at petabyte vocabulary, swap in approx (count-min / SpaceSaving)
+    and verify survivors exactly with this same plan."""
+    docs = _docs(spark, sf_dir)
+    f = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = f.agg(F.sum("cnt").alias("total"))
+    return (
+        f.join(F.broadcast(total))
+        .filter(F.col("cnt") * 100 > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+    )
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+           FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+           ROUND(tf * ((SELECT n FROM n) * 1.0 / df), 4) AS score
+    FROM tf JOIN df USING (tok)
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY tf * ((SELECT n FROM n) * 1.0 / df) DESC, tok) <= 3
+    ORDER BY doc_id, score DESC, tok
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document — the TF-IDF shape with
+    a LINEAR idf (tf × N/df): integer tf/df/N and one IEEE division
+    make the score bit-identical across engines, where a log-based idf
+    would differ in the last ulp between libm implementations and flip
+    rank ties. Two aggregates (tf, then df over the tf table — already
+    |vocab|-sized), a broadcast-friendly join back, one window top-N
+    per doc."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    from pyspark.sql import Window
+
+    score = F.col("tf") * (F.col("n") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "tok")
+    return (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", F.round(score, 4).alias("score"))
+        .orderBy("doc_id", F.col("score").desc(), "tok")
+    )

@@ -1258,3 +1258,50 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "p95_outlier_orders",
+    oracle="""
+    WITH thresh AS (
+      SELECT c_mktsegment AS seg,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY seg)
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           ROUND(MIN(o_totalprice), 2) AS min_outlier,
+           ROUND(MAX(o_totalprice), 2) AS max_outlier
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN thresh ON seg = c_mktsegment
+    WHERE o_totalprice > p95
+    GROUP BY seg
+    ORDER BY seg
+    """,
+)
+def p95_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment p95 outlier report (the anomaly-detection shape:
+    compute a per-group threshold, join it back, filter). Spark's
+    `percentile` interpolates exactly like DuckDB's quantile_cont, so
+    the cut is engine-exact. The threshold table is |segments| rows —
+    broadcast back onto the fact join; the facts shuffle once on
+    custkey, reused by both passes under AQE."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), "o_totalprice"
+    )
+    thresh = oc.groupBy("seg").agg(
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95")
+    )
+    return (
+        oc.join(F.broadcast(thresh), "seg")
+        .filter(F.col("o_totalprice") > F.col("p95"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("o_totalprice"), 2).alias("min_outlier"),
+            F.round(F.max("o_totalprice"), 2).alias("max_outlier"),
+        )
+        .orderBy("seg")
+    )
