@@ -1305,3 +1305,81 @@ def p95_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders
+      WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE year(o_orderdate) = 1998
+    )
+    ORDER BY c_custkey
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1996 AND 1997 but NOT 1998 — INTERSECT /
+    EXCEPT set algebra. Catalyst plans both as aggregates/anti-joins
+    on the key; each leg is the same scan with a different pushed
+    year filter, so AQE reuses the exchange. (Chained set ops are
+    left-associative in both engines: (A ∩ B) \\ C.)"""
+    orders = _t(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+
+    return (
+        active(1996)
+        .intersect(active(1997))
+        .exceptAll(active(1998))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "unpivot_yearly_metrics",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price,
+             ROUND(SUM(l_tax * l_extendedprice), 2) AS sum_tax
+      FROM lineitem GROUP BY ship_year)
+    SELECT ship_year, metric, val FROM (
+      SELECT ship_year, 'sum_qty' AS metric, sum_qty AS val FROM y
+      UNION ALL
+      SELECT ship_year, 'sum_price', sum_price FROM y
+      UNION ALL
+      SELECT ship_year, 'sum_tax', sum_tax FROM y)
+    ORDER BY ship_year, metric
+    """,
+)
+def unpivot_yearly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native `unpivot` (melt) operator:
+    the yearly aggregate is tiny, the unpivot is a zero-shuffle
+    generator over it — the standard shape for feeding wide metric
+    tables into long-format consumers."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_tax") * F.col("l_extendedprice")), 2).alias(
+                "sum_tax"
+            ),
+        )
+    )
+    return wide.unpivot(
+        ["ship_year"], ["sum_qty", "sum_price", "sum_tax"], "metric", "val"
+    ).orderBy("ship_year", "metric")

@@ -35,6 +35,11 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime row-level pruning: build a bloom filter from the
+        # selective side of a join and push it into the other side's
+        # scan — at 100 TB this skips whole row groups for star joins
+        # whose dim filters are selective (no-op when not).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")

@@ -292,3 +292,62 @@ def test_interval_join_semantics_and_plan(spark):
     assert got == [(1, 10), (3, 10), (4, 20)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    pts = [
+        (i, base + timedelta(seconds=rng.randint(0, 3 * 86400)))
+        for i in range(200)
+    ]
+    ivs = []
+    for j in range(40):
+        lo = base + timedelta(seconds=rng.randint(0, 3 * 86400))
+        hi = lo + timedelta(seconds=rng.randint(1, 2 * 86400))
+        ivs.append((j, lo, hi))
+    from dbeam_spark.operators.joins import interval_join
+
+    out = interval_join(
+        spark.createDataFrame(pts, ["pid", "ts"]),
+        spark.createDataFrame(ivs, ["iid", "lo", "hi"]),
+        "ts", "lo", "hi", bucket_seconds=7200,
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    want = sorted(
+        (pid, iid)
+        for pid, ts in pts
+        for iid, lo, hi in ivs
+        if lo <= ts < hi
+    )
+    assert got == want
+
+
+def test_connected_components_matches_union_find_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)}
+    )
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    out = dedup.connected_components(
+        spark.createDataFrame(edges, ["id_a", "id_b"])
+    )
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got == want
