@@ -49,3 +49,34 @@ def bucket_star_facts(
         )
         tables[name] = tname
     return tables
+
+
+def materialize_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist df hive-partitioned (`path/col=value/part-*.parquet`).
+
+    The partition column becomes directory structure, so any filter on
+    it prunes whole directories BEFORE listing files — at 100 TB a
+    `WHERE ship_date = X` touches 1/N of the data without reading a
+    single footer. Combine with `max_records_per_file` to bound file
+    sizes (small-file storms are the classic failure of high-
+    cardinality partitioning: keep partition columns low-cardinality —
+    dates, regions — never ids).
+    """
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Read a hive-partitioned layout (partition cols inferred from
+    directories). Filters on partition columns turn into
+    PartitionFilters in the scan — tests assert the pruned file count."""
+    return spark.read.parquet(path)

@@ -351,3 +351,28 @@ def test_connected_components_matches_union_find_random(spark):
     )
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert got == want
+
+
+def test_partitioned_materialization_prunes(spark, tmp_path):
+    from dbeam_spark.operators.bucketing import (
+        materialize_partitioned,
+        read_partition_pruned,
+    )
+    from dbeam_spark.sources.files import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_by_year")
+    materialize_partitioned(li, path, ["ship_year"])
+
+    back = read_partition_pruned(spark, path)
+    q = back.filter(F.col("ship_year") == 1997).select("l_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the year filter must prune at the DIRECTORY level, not post-scan
+    assert "PartitionFilters: [" in plan and "ship_year" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    got = q.count()
+    want = li.filter(F.col("ship_year") == 1997).count()
+    assert got == want > 0
