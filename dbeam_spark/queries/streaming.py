@@ -246,3 +246,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
     _run_stream(joined, name, "append")
     return spark.table(name).orderBy("purchase_id", "view_id")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+      SELECT value, ts,
+             unnest([
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes'
+             ]) AS ws
+      FROM events)
+    WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h / 30 min): the streaming twin of
+    batch `events_sliding_window` — same window replication, but
+    maintained incrementally in the state store. Complete output mode
+    over the finite replay equals the batch answer exactly."""
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    _run_stream(agg, name, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )

@@ -1383,3 +1383,75 @@ def unpivot_yearly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["ship_year"], ["sum_qty", "sum_price", "sum_tax"], "metric", "val"
     ).orderBy("ship_year", "metric")
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    SELECT col_name,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_null AS BIGINT) AS n_null,
+           ROUND(mn, 2) AS min_val,
+           ROUND(mx, 2) AS max_val,
+           ROUND(avg_val, 4) AS avg_val,
+           ROUND(stddev_val, 4) AS stddev_val
+    FROM (
+      SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n,
+             COUNT(*) - COUNT(l_quantity) AS n_null,
+             MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+             AVG(l_quantity) AS avg_val, STDDEV_SAMP(l_quantity) AS stddev_val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(l_extendedprice),
+             COUNT(*) - COUNT(l_extendedprice),
+             MIN(l_extendedprice), MAX(l_extendedprice),
+             AVG(l_extendedprice), STDDEV_SAMP(l_extendedprice)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(l_discount),
+             COUNT(*) - COUNT(l_discount),
+             MIN(l_discount), MAX(l_discount),
+             AVG(l_discount), STDDEV_SAMP(l_discount)
+      FROM lineitem)
+    ORDER BY col_name
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (count/nulls/min/max/mean/stddev per
+    numeric column) — the data-quality primitive run before training
+    ingestion. One scan computes ALL columns' stats in a single
+    aggregate (Spark evaluates the agg expressions together), then the
+    wide row unpivots to long form driver-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    wide = li.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.count(c).alias(f"{c}__n"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+                F.round(F.min(c), 2).alias(f"{c}__min_val"),
+                F.round(F.max(c), 2).alias(f"{c}__max_val"),
+                F.round(F.avg(c), 4).alias(f"{c}__avg_val"),
+                F.round(F.stddev_samp(c), 4).alias(f"{c}__stddev_val"),
+            )
+        ]
+    )
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+            F.col(f"{c}__avg_val").alias("avg_val"),
+            F.col(f"{c}__stddev_val").alias("stddev_val"),
+        )
+        for c in cols
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
