@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -86,3 +87,113 @@ def decode_batch(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return cols.mapInPandas(decode, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def frame_sample(
+    docs_with_payload: DataFrame,
+    frame_bytes: int = 256,
+    every_k: int = 4,
+) -> DataFrame:
+    """Video-style frame sampling: treat the payload as a sequence of
+    fixed-size frames and emit every k-th (doc_id, frame_idx,
+    frame_len) row — the 1→N fan-out plumbing a real decoder needs
+    (pyav would yield decoded frames here; the slicing is the same).
+
+    Arrow-batched mapInPandas: output rows per input row vary freely,
+    which is exactly what per-frame extraction produces. Partition
+    sizing note: output is ≈ input_bytes/(frame_bytes·k) rows — bound
+    input partition bytes accordingly.
+    """
+    cols = docs_with_payload.select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_len = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for idx in range(0, (n + frame_bytes - 1) // frame_bytes, every_k):
+                    start = idx * frame_bytes
+                    out_id.append(doc_id)
+                    out_idx.append(idx)
+                    out_len.append(min(frame_bytes, n - start))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_len": out_len}
+            )
+
+    return cols.mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_batch(
+    docs_with_payload: DataFrame, width: int = 64, height: int = 48
+) -> DataFrame:
+    """'Resize' each payload to a fixed byte budget (width×height) —
+    binary-in/binary-out Arrow plumbing (a real PIL resize swaps in at
+    the marked line; truncate/pad is the deterministic stand-in)."""
+    cols = docs_with_payload.select("doc_id", "payload")
+    budget = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p[:budget]).ljust(budget, b"\0")  # <- real resize here
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": [width] * len(resized),
+                    "height": [height] * len(resized),
+                }
+            )
+
+    return cols.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def extract_features(docs_with_payload: DataFrame, dim: int = 16) -> DataFrame:
+    """Payload → fixed-dim float vector (the embedding-extraction
+    shape: binary in, array<float> out, Arrow-batched numpy inside).
+    The stand-in folds a byte histogram into `dim` buckets and
+    L2-normalizes — deterministic, so tests are exact; a real model
+    forward pass replaces one line."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+    cols = docs_with_payload.select("doc_id", "payload")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype("float32"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return cols.mapInPandas(featurize, schema)

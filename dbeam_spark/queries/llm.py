@@ -557,3 +557,28 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tok", "tf", F.round(score, 4).alias("score"))
         .orderBy("doc_id", F.col("score").desc(), "tok")
     )
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(least(256, octet_length(encode(text)) - i * 256)
+                AS INTEGER) AS frame_len
+    FROM documents,
+         unnest(generate_series(
+           0, (octet_length(encode(text)) + 255) // 256 - 1, 4)) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads: every 4th
+    256-byte frame per document through the Arrow-batched 1→N
+    `frame_sample` operator (a real video decoder swaps into the same
+    shape). The oracle recomputes the frame geometry in SQL from the
+    payload length, so the fan-out arithmetic is exactly pinned."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.frame_sample(
+        multimodal.with_payload(docs), frame_bytes=256, every_k=4
+    ).orderBy("doc_id", "frame_idx")

@@ -376,3 +376,37 @@ def test_partitioned_materialization_prunes(spark, tmp_path):
     got = q.count()
     want = li.filter(F.col("ship_year") == 1997).count()
     assert got == want > 0
+
+
+def test_multimodal_resize_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 5000)], ["doc_id", "text"]
+    )
+    wp = multimodal.with_payload(docs)
+
+    resized = {r.doc_id: r for r in multimodal.resize_batch(wp, 8, 4).collect()}
+    assert all(len(r.payload) == 32 for r in resized.values())
+    assert bytes(resized[1].payload).startswith(b"short\0")  # padded
+    assert bytes(resized[2].payload) == b"x" * 32  # truncated
+
+    feats = {r.doc_id: r.features for r in multimodal.extract_features(wp).collect()}
+    assert all(len(v) == 16 for v in feats.values())
+    import math
+
+    for v in feats.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+
+
+def test_multimodal_frame_sample(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 1500), (2, "b" * 100)], ["doc_id", "text"]
+    )
+    rows = multimodal.frame_sample(
+        multimodal.with_payload(docs), frame_bytes=256, every_k=2
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_len))
+    # doc1: 1500 bytes -> frames 0..5 (last len 220), sampled 0,2,4
+    assert sorted(by_doc[1]) == [(0, 256), (2, 256), (4, 256)]
+    assert sorted(by_doc[2]) == [(0, 100)]
