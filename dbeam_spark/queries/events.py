@@ -283,3 +283,81 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(ts) AS t1 FROM events e JOIN s USING (user_id)
+          WHERE event_type = 'view' AND ts > t0 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+    SELECT stage, CAST(n AS BIGINT) AS n_users FROM (
+      SELECT 'a_signup' AS stage, COUNT(*) AS n FROM s
+      UNION ALL SELECT 'b_view', COUNT(*) FROM v
+      UNION ALL SELECT 'c_purchase', COUNT(*) FROM p)
+    ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view after it → purchase
+    after that): each stage is a min-timestamp aggregate semi-joined
+    to the previous stage's survivors. All three stages shuffle on the
+    SAME key (user_id), so at scale the exchange is planned once and
+    reused; stage outputs are |users|-sized, not |events|-sized."""
+    ev = _events(spark, sf_dir)
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    s = first_after("signup", None)
+    v = first_after("view", s)
+    p = first_after("purchase", v)
+    stages = [("a_signup", s), ("b_view", v), ("c_purchase", p)]
+    out = None
+    for label, df_stage in stages:
+        cnt = df_stage.agg(
+            F.lit(label).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+        out = cnt if out is None else out.unionAll(cnt)
+    return out.orderBy("stage")
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH first AS (SELECT user_id, date_trunc('day', MIN(ts)) AS d0
+                   FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS day_k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM act JOIN first USING (user_id)
+    GROUP BY day_k
+    ORDER BY day_k
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention curve: users active k days after their first
+    activity. First-touch is one aggregate on user_id; the activity
+    set is a distinct on (user, day) — both shuffle on user_id and the
+    final day_k aggregate is |days| groups. The classic shape whose
+    naive form (self-join events×events) explodes; this one stays
+    linear in events."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(F.datediff(F.col("d"), F.col("d0")).cast("long").alias("day_k"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("day_k")
+    )

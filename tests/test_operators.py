@@ -410,3 +410,30 @@ def test_multimodal_frame_sample(spark):
     # doc1: 1500 bytes -> frames 0..5 (last len 220), sampled 0,2,4
     assert sorted(by_doc[1]) == [(0, 256), (2, 256), (4, 256)]
     assert sorted(by_doc[2]) == [(0, 100)]
+
+
+def test_jsonl_source_quarantines_corrupt(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dbeam_spark.sources.json import read_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        '{"doc_id": 2, "text": "world"}\n'
+        "{broken json!!\n"
+        '{"doc_id": 3, "text": "ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    qdir = str(tmp_path / "quarantine")
+    good = read_jsonl(spark, str(src), schema, quarantine_path=qdir)
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 3]
+    assert good.columns == ["doc_id", "text"]
+
+    bad_lines = [r.value for r in spark.read.text(qdir).collect()]
+    assert bad_lines == ["{broken json!!"]
