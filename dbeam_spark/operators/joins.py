@@ -85,3 +85,40 @@ def interval_join(
         .filter((F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi)))
         .drop("_bucket")
     )
+
+
+def blocked_fuzzy_join(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_len: int = 16,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Self fuzzy-match: pairs of rows whose `name_col` values share a
+    `block_len`-char prefix AND are within `max_dist` edit distance.
+
+    The record-linkage shape: an all-pairs levenshtein is O(n²) and
+    unshardable, so candidate generation ALWAYS goes through a
+    blocking key (prefix, phonetic code, shingle bucket). The block
+    key becomes the shuffle key — each block's pairs are computed
+    locally; recall is bounded by the blocking (edits inside the
+    prefix are missed by design — run multiple blocking passes with
+    different keys to raise it, same plan each pass).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.substring(F.col(name_col), 1, block_len).alias("_blk"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.substring(F.col(name_col), 1, block_len).alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .drop("_blk")
+    )

@@ -1455,3 +1455,62 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("col_name")
     )
+
+
+@register(
+    "fuzzy_supplier_names",
+    oracle="""
+    SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+    FROM supplier a JOIN supplier b
+      ON substr(a.s_name, 1, 16) = substr(b.s_name, 1, 16)
+     AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical supplier names via blocked fuzzy self-join
+    (operators/joins.py::blocked_fuzzy_join): prefix-16 blocking keys
+    the shuffle, levenshtein runs only inside blocks — the
+    record-linkage pattern that replaces the unshardable O(n²)
+    all-pairs edit-distance scan."""
+    supp = _t(spark, sf_dir, "supplier")
+    from dbeam_spark.operators.joins import blocked_fuzzy_join
+
+    return (
+        blocked_fuzzy_join(supp, "s_name", "s_suppkey", 16, 1)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "customer_quartiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile,
+           ROUND(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6)
+             AS cume
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking windows (ntile quartiles + cume_dist) over a
+    UNIQUE total order (ties broken by key) so bucket edges are
+    engine-exact. Scale note: a global ORDER BY window is a single
+    range-partitioned sort — fine for dimension-sized tables; for
+    fact-sized ranking switch to approx quantile cut points and a
+    broadcast bucketizer (percentile_prices shows the exact-quantile
+    building block)."""
+    cust = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")
