@@ -29,6 +29,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "text_tokens",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "interval_join_events",
+    "doc_chunks",
+    "events_retention",
 ]
 
 
