@@ -582,3 +582,70 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(
         multimodal.with_payload(docs), frame_bytes=256, every_k=4
     ).orderBy("doc_id", "frame_idx")
+
+
+_SURVIVOR_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+           MAX(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
+
+
+@register("dedup_survivorship", oracle=_SURVIVOR_ORACLE)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy on top of dedup clustering: within each
+    near-dup cluster keep the RICHEST copy (longest text, ties to the
+    lowest doc_id) — the policy layer every production dedup needs
+    after pair detection. Composes ngram pairs → connected components
+    → one row_number window per cluster; all shuffles are on doc_id /
+    cluster_id, cluster count ≪ doc count."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    clusters = dedup.connected_components(pairs)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "survivor_chars"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1514,3 +1514,59 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', MAX(o_orderdate),
+                            TIMESTAMP '2001-09-01') AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(o_totalprice) AS monetary_raw
+      FROM orders GROUP BY o_custkey)
+    SELECT c_custkey, recency_days, frequency,
+           ROUND(monetary_raw, 2) AS monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS BIGINT)
+             AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT)
+             AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_raw DESC, c_custkey) AS BIGINT)
+             AS m_score
+    FROM rfm
+    ORDER BY c_custkey
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores — the marketing-analytics staple). One aggregate
+    on custkey, then three global ntile windows over the |customers|-
+    sized result with key tie-breaks so quartile edges are
+    deterministic. Scale note: the windows sort customers, not orders;
+    for billions of customers swap ntile for approx-quantile cut
+    points broadcast back."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary_raw"),
+    )
+    wr = Window.orderBy("recency_days", "c_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
+    wm = Window.orderBy(F.col("monetary_raw").desc(), "c_custkey")
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary_raw", 2).alias("monetary"),
+        F.ntile(4).over(wr).cast("long").alias("r_score"),
+        F.ntile(4).over(wf).cast("long").alias("f_score"),
+        F.ntile(4).over(wm).cast("long").alias("m_score"),
+    ).orderBy("c_custkey")
