@@ -80,3 +80,52 @@ def read_partition_pruned(
     directories). Filters on partition columns turn into
     PartitionFilters in the scan — tests assert the pruned file count."""
     return spark.read.parquet(path)
+
+
+def _interleave_bits(a, b, bits: int = 16):
+    """Morton/Z-order key: interleave the low `bits` of two
+    non-negative int columns into one long, as a pure Catalyst
+    expression (shiftleft/or chain — stays in codegen)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(abit, 2 * i))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+        )
+    return z
+
+
+def materialize_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet sorted by the Z-order (Morton) interleaving of two
+    columns. A linear sort clusters ONE column's values per file —
+    filters on the other column hit every file. Z-ordering keeps BOTH
+    columns' per-file min/max ranges narrow, so parquet row-group
+    statistics prune scans on either (or both) predicates. The 100 TB
+    data-layout tool for two-dimensional access patterns (e.g.
+    date × customer); cost is one range-partitioned sort at write time.
+
+    Columns must be non-negative ints (rank/bucket-encode first
+    otherwise); `bits` bounds the per-column resolution.
+    """
+    from pyspark.sql import functions as F
+
+    z = _interleave_bits(F.col(col_a), F.col(col_b), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -90,3 +90,45 @@ def test_incremental_runs(spark, incr_db, tmp_path):
     # generated SQL is window-bounded on both ends
     q = (Path(r3["run_dir"]) / "_queries" / "query_0.sql").read_text()
     assert "C_ID > 999" in q and "C_ID <= 1099" in q
+
+
+def test_avro_load_round_trip(spark, incr_db, tmp_path):
+    """export COFFEES → load into a new table → identical contents."""
+    from dbeam_spark.jobs.avro_load_job import run_load
+    from dbeam_spark.jobs.jdbc_avro_job import run_export
+
+    out = tmp_path / "export"
+    run_export(spark, _opts(incr_db, out))
+
+    n = run_load(
+        spark, str(out), incr_db, "COFFEES_RESTORED", username="dbeam",
+        mode="overwrite",
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", incr_db)
+        .option("user", "dbeam")
+        .option("dbtable", "COFFEES_RESTORED")
+        .load()
+    )
+    assert n == back.count()
+    orig = (
+        spark.read.format("jdbc")
+        .option("url", incr_db)
+        .option("user", "dbeam")
+        .option("dbtable", "COFFEES")
+        .load()
+    )
+    got = {tuple(r) for r in back.select("C_ID", "NAME", "AMOUNT").collect()}
+    want = {tuple(r) for r in orig.select("C_ID", "NAME", "AMOUNT").collect()}
+    assert got == want
+
+
+def test_avro_load_refuses_incomplete(spark, tmp_path):
+    import pytest as _pytest
+
+    from dbeam_spark.jobs.avro_load_job import run_load
+
+    (tmp_path / "no_success").mkdir()
+    with _pytest.raises(ValueError, match="_SUCCESS"):
+        run_load(spark, str(tmp_path / "no_success"), "jdbc:derby:x", "T")

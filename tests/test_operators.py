@@ -437,3 +437,42 @@ def test_jsonl_source_quarantines_corrupt(spark, tmp_path):
 
     bad_lines = [r.value for r in spark.read.text(qdir).collect()]
     assert bad_lines == ["{broken json!!"]
+
+
+def test_zorder_narrows_both_columns(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbeam_spark.operators.bucketing import materialize_zordered
+
+    n = 1 << 14
+    grid = spark.range(n).selectExpr(
+        "CAST(id % 128 AS INT) AS x", "CAST(id DIV 128 AS INT) AS y"
+    )
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            t = pq.read_table(f)
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            out.append((max(xs) - min(xs), max(ys) - min(ys)))
+        return out
+
+    lin = str(tmp_path / "linear")
+    grid.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(lin)
+    zord = str(tmp_path / "zorder")
+    materialize_zordered(grid, zord, "x", "y", n_files=8, bits=7)
+
+    lin_spans = spans(lin)
+    z_spans = spans(zord)
+    # linear layout: x narrow but y spans ~full range in EVERY file —
+    # a y-filter can prune nothing
+    assert all(dy >= 120 for _, dy in lin_spans)
+    # z-order: y bounded in every file, x bounded in all but the
+    # boundary-straddling file(s) (range boundaries are sampled, not
+    # aligned to z-block edges) — filters on EITHER column now prune
+    assert all(dy <= 64 for _, dy in z_spans)
+    assert sum(1 for dx, _ in z_spans if dx <= 72) >= len(z_spans) - 2
+    # and it's still the same data
+    assert sum(1 for _ in pq.ParquetDataset(zord).read().column("x")) == n
