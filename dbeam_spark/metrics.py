@@ -60,5 +60,11 @@ class ExportMetrics:
         return out
 
     def save(self, output_dir: str) -> None:
+        # record the engine version alongside the metering gauges, the
+        # role DBeamVersion plays in the reference (JdbcAvroJob.java:
+        # configureVersion)
+        from dbeam_spark import __version__
+
+        out = {"engineVersion": __version__, **self.to_dict()}
         path = Path(output_dir) / "_METRICS.json"
-        path.write_text(json.dumps(self.to_dict(), indent=2) + "\n")
+        path.write_text(json.dumps(out, indent=2) + "\n")

@@ -122,3 +122,52 @@ def blocked_fuzzy_join(
         .filter(F.col("dist") <= max_dist)
         .drop("_blk")
     )
+
+
+def hot_key_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_threshold: float = 0.01,
+    salt_buckets: int = 8,
+    sample_fraction: float = 0.05,
+) -> DataFrame:
+    """Inner join with TARGETED skew mitigation: sample the big side,
+    identify keys holding more than `hot_threshold` of sampled rows,
+    and salt ONLY those — cold keys join plainly, hot keys scatter
+    across `salt_buckets` with the small side replicated just for them.
+
+    Uniform salting (salted_join) replicates the ENTIRE small side
+    ×buckets; at 100 TB that multiplies a broadcast that may already be
+    at its memory budget. Targeted salting pays replication only for
+    the handful of hot keys (collected from a bounded sample — driver
+    state is O(#hot keys), not O(keys)). Results are identical to a
+    plain inner join; only the partitioning of hot-key work changes.
+    """
+    hot_rows = (
+        big.sample(fraction=sample_fraction, seed=7)
+        .groupBy(on)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    total = hot_rows.agg(F.sum("_cnt").alias("_tot"))
+    hot_keys = [
+        r[0]
+        for r in hot_rows.join(F.broadcast(total))
+        .filter(F.col("_cnt") >= F.col("_tot") * hot_threshold)
+        .select(on)
+        .collect()
+    ]
+    if not hot_keys:
+        return big.join(small, on)
+
+    is_hot = F.col(on).isin(hot_keys)
+    cold = big.filter(~is_hot).join(small.filter(~is_hot), on)
+
+    hot_big = big.filter(is_hot).withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int")
+    )
+    hot_small = small.filter(is_hot).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    hot = hot_big.join(hot_small, [on, "_salt"]).drop("_salt")
+    return cold.unionByName(hot)

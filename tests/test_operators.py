@@ -476,3 +476,19 @@ def test_zorder_narrows_both_columns(spark, tmp_path):
     assert sum(1 for dx, _ in z_spans if dx <= 72) >= len(z_spans) - 2
     # and it's still the same data
     assert sum(1 for _ in pq.ParquetDataset(zord).read().column("x")) == n
+
+
+def test_hot_key_salted_join_equals_plain(spark):
+    from dbeam_spark.operators.joins import hot_key_salted_join
+
+    # key 0 is pathologically hot (90% of rows)
+    big = spark.range(0, 20000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 100 END AS k", "id AS payload"
+    )
+    small = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS attr")
+    plain = {(r.k, r.payload, r.attr) for r in big.join(small, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.attr)
+        for r in hot_key_salted_join(big, small, "k", 0.05, 4, 0.2).collect()
+    }
+    assert salted == plain and len(plain) == 20000
