@@ -1570,3 +1570,90 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("long").alias("f_score"),
         F.ntile(4).over(wm).cast("long").alias("m_score"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "daily_revenue_filled",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+             date_trunc('day', MAX(o_orderdate)) AS hi
+      FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(o_totalprice) AS rev, COUNT(*) AS n
+      FROM orders GROUP BY day)
+    SELECT s.day, ROUND(COALESCE(rev, 0), 2) AS revenue,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily USING (day)
+    ORDER BY s.day
+    """,
+)
+def daily_revenue_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue: a calendar spine generated from the
+    data's own min/max (sequence+explode — no driver loop), left-joined
+    onto the daily aggregate so silent zero-activity days appear as
+    explicit zeros — the shape every time-series report and forecast
+    needs. The spine is |days| rows (tiny at any fact scale) and
+    broadcast-joins onto the aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.round(F.coalesce(F.col("rev"), F.lit(0)), 2).alias("revenue"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "revenue_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY day)
+    SELECT day, rev,
+           ROUND(AVG(rev) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS ma7
+    FROM daily
+    ORDER BY day
+    """,
+)
+def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average over daily revenue (the
+    smoothing/trend primitive). Daily totals are rounded BEFORE the
+    window in both engines so the frame inputs are identical; the
+    window is a single ordered pass over |days| rows. At fact scale the
+    heavy lifting is the daily aggregate — the MA itself never sees raw
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "rev", F.round(F.avg("rev").over(w), 2).alias("ma7")
+    ).orderBy("day")
