@@ -1657,3 +1657,82 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "rev", F.round(F.avg("rev").over(w), 2).alias("ma7")
     ).orderBy("day")
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY yr)
+    SELECT yr, rev,
+           ROUND(rev - LAG(rev) OVER (ORDER BY yr), 2) AS delta,
+           ROUND((rev - LAG(rev) OVER (ORDER BY yr))
+                 / LAG(rev) OVER (ORDER BY yr), 4) AS growth
+    FROM yearly
+    ORDER BY yr
+    """,
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth (lag window over the yearly aggregate;
+    NULL for the first year). Totals are rounded before the lag so
+    deltas and ratios are computed from identical inputs in both
+    engines."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "yr",
+        "rev",
+        F.round(F.col("rev") - prev, 2).alias("delta"),
+        F.round((F.col("rev") - prev) / prev, 4).alias("growth"),
+    ).orderBy("yr")
+
+
+@register(
+    "customer_order_span",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice)
+                 / NULLIF(date_diff('day', MIN(o_orderdate),
+                                    MAX(o_orderdate)), 0), 4)
+             AS revenue_per_active_day
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime span report (first/last order, active window,
+    revenue intensity). Min/max/count are exact in any engine; the
+    intensity ratio divides a rounded sum by an integer day count
+    (NULL for single-day customers via NULLIF in both engines). One
+    shuffle on custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    span = F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).cast("long")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            span.alias("active_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum("o_totalprice")
+                / F.nullif(span, F.lit(0)),
+                4,
+            ).alias("revenue_per_active_day"),
+        )
+        .orderBy("c_custkey")
+    )
