@@ -129,3 +129,49 @@ def materialize_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> None:
+    """Apply an upsert batch to a hive-partitioned parquet layout —
+    the APPLY side of CDC (the incremental export job produces exactly
+    such delta batches).
+
+    Without a table format (Delta/Iceberg) the unit of atomic rewrite
+    is the PARTITION: only partitions present in the update batch are
+    read back, merged (existing rows lose to updates on `key_col`),
+    and rewritten via dynamic partition overwrite — untouched
+    partitions are never read or written. Keep partitions date-sized
+    so a typical CDC batch touches a handful.
+    """
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        from pyspark.sql import functions as F
+
+        touched = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        try:
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col(partition_col).isin(touched))
+                .select(*updates.columns)  # align column order
+            )
+        except Exception:
+            existing = None  # first batch: nothing to merge
+        if existing is not None:
+            keep = existing.join(
+                updates.select(key_col), key_col, "left_anti"
+            )
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -649,3 +649,64 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'c'
+                THEN 'train'
+                WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'e'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep
+    ORDER BY doc_id
+"""
+
+
+@register("dataset_split", oracle=_SPLIT_ORACLE)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (~75/12.5/12.5): every doc is
+    assigned by the md5 of its near-dup CLUSTER representative
+    (singletons represent themselves), so near-duplicates can never
+    straddle splits — the train/test-contamination guard a plain
+    per-doc random split silently violates. Deterministic (md5, no
+    RNG), reproducible across engines and re-runs; at 100 TB the only
+    additions over dedup_clusters are one left join and a map-only
+    CASE."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    clusters = dedup.connected_components(pairs)
+    rep = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
+    )
+    nib = F.substring(F.md5(F.col("rep_id").cast("string")), 1, 1)
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(nib < "c", "train")
+        .when(nib < "e", "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -492,3 +492,43 @@ def test_hot_key_salted_join_equals_plain(spark):
         for r in hot_key_salted_join(big, small, "k", 0.05, 4, 0.2).collect()
     }
     assert salted == plain and len(plain) == 20000
+
+
+def test_upsert_partitioned_merges_and_preserves(spark, tmp_path):
+    from dbeam_spark.operators.bucketing import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", "2024-01"), (2, "b", "2024-01"), (3, "c", "2024-02")],
+        ["id", "val", "month"],
+    )
+    upsert_partitioned(spark, path, base, "id", "month")
+
+    # update id=2, insert id=4 — both in 2024-01; 2024-02 untouched
+    batch = spark.createDataFrame(
+        [(2, "B2", "2024-01"), (4, "d", "2024-01")], ["id", "val", "month"]
+    )
+    upsert_partitioned(spark, path, batch, "id", "month")
+
+    got = {
+        (r.id, r.val, r.month) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a", "2024-01"),
+        (2, "B2", "2024-01"),
+        (4, "d", "2024-01"),
+        (3, "c", "2024-02"),
+    }
+
+
+def test_dataset_split_keeps_clusters_together(spark):
+    from dbeam_spark.queries.llm import dataset_split
+
+    out = dataset_split(spark, "/root/testdata/sf0.001").collect()
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r.rep_id, set()).add(r.split)
+    # every near-dup cluster (and singleton) lands in exactly one split
+    assert all(len(s) == 1 for s in by_rep.values())
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
