@@ -710,3 +710,44 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS norm_hash,
+           CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                AS BIGINT) AS norm_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse whitespace
+    runs, trim) — the first stage of every text pipeline and the
+    normalizer behind dedup_exact. Map-only regexp in codegen; the
+    gate compares a hash + length so the full text stays out of the
+    payload."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+@register("training_corpus")  # full-pipeline composition → rows-only gate
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raison d'être in one plan: normalize → exact dedup
+    → near-dup clustering → survivorship → leakage-safe split →
+    overlapping chunking (operators/pipeline.py). Rows-only gate (the
+    equivalent SQL would be the concatenation of five oracles); each
+    constituent stage is hash-verified by its own registry entry."""
+    from dbeam_spark.operators.pipeline import prepare_training_corpus
+
+    return prepare_training_corpus(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "chunk_idx"
+    )

@@ -1736,3 +1736,37 @@ def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "sql_adhoc_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_quantity > 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_adhoc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-supplied SQL TEXT against the engine (dbeam's --sqlFile
+    mode, reference args/QueryBuilder.java:create_from_query, aimed at
+    parquet instead of JDBC): tables registered as temp views, the
+    query string handed to spark.sql — Catalyst plans it identically
+    to the DataFrame API (same pushdown, same codegen), which is the
+    point: the SQL surface costs nothing."""
+    for t in ("lineitem",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_quantity > 25
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

@@ -532,3 +532,31 @@ def test_dataset_split_keeps_clusters_together(spark):
     assert all(len(s) == 1 for s in by_rep.values())
     splits = {r.split for r in out}
     assert splits == {"train", "val", "test"}
+
+
+def test_prepare_training_corpus_pipeline(spark):
+    from dbeam_spark.operators.pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, "THE  quick   brown fox jumps over the lazy dog " * 8),  # exact dup after norm
+            (3, "the quick brown fox jumps over the lazy cat " * 8),  # near-dup of 1
+            (4, "completely different text about spark engines " * 8),
+            (5, "another unrelated document with its own words " * 8),
+        ],
+        ["doc_id", "text"],
+    )
+    all_chunks = None
+    seen_docs = set()
+    for split in ("train", "val", "test"):
+        out = prepare_training_corpus(docs, 0.5, 100, 80, split).collect()
+        for r in out:
+            assert r.split == split and 0 < r.chunk_len <= 100
+            seen_docs.add(r.doc_id)
+        all_chunks = (all_chunks or 0) + len(out)
+    # doc 2 deduped (exact), doc 3 absorbed into doc 1's cluster
+    # (survivorship keeps one of the pair), so ≤ 3 docs survive
+    assert 2 not in seen_docs
+    assert not {1, 3} <= seen_docs
+    assert seen_docs <= {1, 3, 4, 5} and all_chunks > 0
