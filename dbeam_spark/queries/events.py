@@ -361,3 +361,41 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("day_k")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, ROUND(AVG(value), 4) AS mu,
+             ROUND(STDDEV_SAMP(value), 4) AS sigma
+      FROM events GROUP BY user_id)
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_anomalies
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.sigma > 0 AND ABS(e.value - s.mu) > 2 * s.sigma
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2σ anomaly counts (the monitoring/outlier shape:
+    per-entity baseline joined back onto the raw stream). Baselines
+    are rounded to 4dp in BOTH engines BEFORE the threshold compare,
+    so the cut uses identical inputs. Two passes over events, both
+    shuffled on user_id — AQE reuses the exchange; baseline table is
+    |users| rows, broadcast back."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy(F.col("user_id").alias("su")).agg(
+        F.round(F.avg("value"), 4).alias("mu"),
+        F.round(F.stddev_samp("value"), 4).alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.user_id == F.col("su"))
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .orderBy("user_id")
+    )

@@ -1770,3 +1770,42 @@ def sql_adhoc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "market_basket_types",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey)
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM ot a JOIN ot b
+      ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+    GROUP BY type_a, type_b
+    ORDER BY n_orders DESC, type_a, type_b
+    """,
+)
+def market_basket_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part-type pairs bought in the same
+    order (the association-mining primitive). The distinct
+    (order, type) projection caps the self-join at ≤K types per order
+    — pairs per order are K(K-1)/2 regardless of lineitem count, so
+    the join is bounded by basket width, not basket depth. Shuffles on
+    orderkey once; the pair aggregate is |types|² groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ot = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "type_a", "type_b")
+    )
