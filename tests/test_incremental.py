@@ -132,3 +132,31 @@ def test_avro_load_refuses_incomplete(spark, tmp_path):
     (tmp_path / "no_success").mkdir()
     with _pytest.raises(ValueError, match="_SUCCESS"):
         run_load(spark, str(tmp_path / "no_success"), "jdbc:derby:x", "T")
+
+
+def test_incremental_timestamp_watermark(spark, tmp_path):
+    """Timestamp watermark column (quoted-literal path, dbeam's own
+    partition-condition style) on a private Derby db."""
+    dbdir = tempfile.mkdtemp(prefix="derby_ts_") + "/db"
+    url = f"jdbc:derby:{dbdir};create=true"
+    _append_rows(spark, url, 0, 50, mode="overwrite")
+    derby = f"jdbc:derby:{dbdir}"
+
+    out = tmp_path / "ts_incr"
+    r1 = run_incremental(
+        spark, _opts(derby, out), "CREATED_AT", numeric_watermark=False
+    )
+    assert not r1["skipped"] and len(_rows_in(r1["run_dir"])) == 50
+
+    _append_rows(spark, derby, 50, 10)
+    r2 = run_incremental(
+        spark, _opts(derby, out), "CREATED_AT", numeric_watermark=False
+    )
+    assert not r2["skipped"] and r2["rows"] == 10
+    ids = sorted(r[0] for r in _rows_in(r2["run_dir"]))
+    assert ids == list(range(50, 60))
+
+    r3 = run_incremental(
+        spark, _opts(derby, out), "CREATED_AT", numeric_watermark=False
+    )
+    assert r3["skipped"]
