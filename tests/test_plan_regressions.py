@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: the scale posture of SURVEY §6 as
+assertions. If a future change silently turns a broadcast into a
+shuffle, pulls a Python UDF into a hot path, or loses a pushed filter,
+these fail before any benchmark does."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbeam_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    # every dim (region/nation/customer/supplier) ships as a broadcast;
+    # the only sort-merge/shuffled-hash allowed is the fact-fact join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_scan_prunes_and_pushes(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read the join keys it doesn't use
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_no_python_udf_in_relational_suite(spark):
+    # §2.B queries must stay entirely JVM-side (no Arrow/Python eval)
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q18_large_orders",
+        "rollup_sales",
+        "percentile_prices",
+        "rfm_segments",
+        "market_basket_types",
+    ):
+        plan = plan_of(spark, name)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_interval_join_avoids_nested_loop(spark):
+    plan = plan_of(spark, "interval_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_exact_single_exchange(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # scan → partial agg → ONE exchange → final agg (plus the sort's
+    # range exchange if present); never more than two
+    assert plan.count("Exchange") <= 2
+
+
+def test_knn_bruteforce_is_map_only_scoring(spark):
+    plan = plan_of(spark, "knn_bruteforce")
+    # the query set broadcasts; scoring must not shuffle the base table
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
