@@ -1809,3 +1809,82 @@ def market_basket_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "type_a", "type_b")
     )
+
+
+@register(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(GROUPING(n_name) * 2
+                + GROUPING(year(o_orderdate)) AS BIGINT) AS gid,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)), ())
+    ORDER BY gid, n_name NULLS FIRST, yr NULLS FIRST
+    """,
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (by-nation, by-year, grand total in ONE
+    pass) with an explicit grouping-flag id — composed as
+    GROUPING(a)*2+GROUPING(b) in both engines because native
+    grouping_id() bit orders differ. Complements rollup_sales /
+    cube_sales: sets are hand-picked, not hierarchical. One expand +
+    one aggregate, map-side partials intact."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate").cast("long").alias("yr")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", yr, "o_totalprice")
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["yr"], []], "n_name", "yr"
+        )
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("yr"))
+            .cast("long")
+            .alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+        .select("n_name", "yr", "gid", "rev")
+        .orderBy("gid", F.col("n_name").asc_nulls_first(), F.col("yr").asc_nulls_first())
+    )
+
+
+@register(
+    "nation_part_types",
+    oracle="""
+    SELECT n_name, list_sort(list(DISTINCT p_type)) AS types,
+           CAST(len(list(DISTINCT p_type)) AS BIGINT) AS n_types
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def nation_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the sorted distinct part types each supplier
+    nation ships (collect_set + sort_array so the array value is
+    deterministic — raw collect order is partitioning-dependent and
+    can never be hash-gated). The nested-list output also exercises
+    the gate's complex-type comparison path."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_set("p_type")).alias("types"))
+        .select(
+            "n_name", "types", F.size("types").cast("long").alias("n_types")
+        )
+        .orderBy("n_name")
+    )
