@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 
 _MAGIC = b"Obj\x01"
 _BLOCK_ROWS = 4096
+_NULL_MASK = "__dbeam_isnull__"
 
 
 # ---------------------------------------------------------------- encoding
@@ -99,22 +100,37 @@ def _make_cell_encoder(avro_type):
     raise ValueError(f"Unsupported Avro type: {avro_type!r} (logical={logical})")
 
 
-def _normalize_series(s, avro_type):
+def _normalize_series(s, avro_type, null_mask=None):
     """pandas Series → list of python scalars matching the Avro type
-    (timestamps → epoch millis, like dbeam's JdbcAvroRecord)."""
+    (timestamps → epoch millis, like dbeam's JdbcAvroRecord).
+
+    `null_mask` (bool series) marks SQL NULLs for float/double columns:
+    Arrow→pandas collapses NULL and NaN into NaN, but dbeam writes NULL
+    as Avro null and NaN as a real double (JdbcAvroRecord reads
+    getDouble + wasNull), so the writer carries the mask explicitly."""
     import pandas as pd
 
     t = avro_type
     if isinstance(t, dict) and "logicalType" in t:
         t = t["type"]
+    if null_mask is not None:
+        return [None if m else v for v, m in zip(s, null_mask)]
     if pd.api.types.is_datetime64_any_dtype(s.dtype):
         ms = s.astype("int64") // 1_000_000  # ns → ms
         return [None if pd.isna(v) else int(m) for v, m in zip(s, ms)]
     import datetime
 
+    # pandas uses NaN as the missing marker for non-float columns that
+    # came through Arrow; only there does NaN mean SQL NULL. For real
+    # double/float columns NaN is a legitimate value — dbeam writes it
+    # as an Avro double (JdbcAvroRecord reads getDouble + wasNull), so
+    # pass it through instead of nulling it.
+    nan_is_null = t not in ("double", "float")
     out = []
     for v in s:
-        if v is None or (isinstance(v, float) and v != v):
+        if v is None or (
+            nan_is_null and isinstance(v, float) and v != v
+        ):
             out.append(None)
         elif isinstance(v, datetime.datetime) and t == "long":
             out.append(int(v.timestamp() * 1000))
@@ -212,6 +228,29 @@ def write_avro(
     schema_json = json.dumps(avro_schema)
     field_names = [f["columnName"] for f in avro_schema["fields"]]
 
+    # Float/double columns need an explicit SQL-NULL mask: the Arrow →
+    # pandas hop inside mapInPandas turns both NULL and NaN into NaN,
+    # and the two must encode differently (null branch vs NaN double).
+    plain = [
+        f["type"][1] if isinstance(f["type"], list) else f["type"]
+        for f in avro_schema["fields"]
+    ]
+    plain = [t["type"] if isinstance(t, dict) else t for t in plain]
+    float_fields = frozenset(
+        n for n, t in zip(field_names, plain) if t in ("double", "float")
+    )
+    if float_fields:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            "*",
+            *[
+                F.isnull(n).alias(_NULL_MASK + n)
+                for n in field_names
+                if n in float_fields
+            ],
+        )
+
     def write_partition(batches: Iterator) -> Iterator:
         import pandas as pd
         from pyspark import TaskContext
@@ -226,7 +265,13 @@ def write_avro(
             fh.write(enc.header())
             for pdf in batches:
                 cols = [
-                    _normalize_series(pdf[name], t)
+                    _normalize_series(
+                        pdf[name],
+                        t,
+                        pdf[_NULL_MASK + name]
+                        if name in float_fields
+                        else None,
+                    )
                     for name, t in zip(field_names, enc._field_types)
                 ]
                 for block in enc.encode_rows(cols):

@@ -14,8 +14,12 @@ Correctness details that matter in production:
   with new_max read first via a 1-row MAX query) so rows inserted
   while the export runs are never half-captured — they wait for the
   next run.
+- Each run exports into a hidden `._run_NNNNN.inprogress` dir that is
+  atomically renamed to `run_NNNNN/` on success; a retry after a crash
+  first clears any leftovers, so readers never see a half-written or
+  mixed-attempt run directory.
 - The watermark file is written via tmp + os.replace (atomic on POSIX)
-  and only AFTER the run's _SUCCESS marker, so a crashed export re-runs
+  and only AFTER the run dir is published, so a crashed export re-runs
   the same window instead of silently skipping it.
 - Filters ride the generated SQL (dbeam's own string-built WHERE
   contract, `args/QueryBuilder.java:40-110`), so the database scans
@@ -30,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -67,7 +72,11 @@ def _save_state(root: Path, state: dict) -> None:
 
 
 def _literal(value, numeric: bool) -> str:
-    return str(value) if numeric else f"'{value}'"
+    if numeric:
+        return str(value)
+    # String watermarks can themselves contain quotes; escape them so
+    # the generated WHERE clause stays valid (and data can't inject SQL).
+    return "'" + str(value).replace("'", "''") + "'"
 
 
 def run_incremental(
@@ -126,6 +135,14 @@ def run_incremental(
     )
     run_id = len(state["runs"])
     run_dir = root / f"run_{run_id:05d}"
+    tmp_dir = root / f"._run_{run_id:05d}.inprogress"
+    # A crash between _SUCCESS and the watermark save re-runs this
+    # run_id; clear any leftovers from the earlier attempt so stale
+    # part files can't survive next to the retry's output, then
+    # publish atomically (write to tmp, rename into place).
+    for stale in (tmp_dir, run_dir):
+        if stale.exists():
+            shutil.rmtree(stale)
     with tempfile.NamedTemporaryFile(
         "w", suffix=".sql", delete=False
     ) as fh:
@@ -133,11 +150,12 @@ def run_incremental(
         sql_path = fh.name
     try:
         sub = replace(
-            opts, table=None, sqlFile=sql_path, output=str(run_dir)
+            opts, table=None, sqlFile=sql_path, output=str(tmp_dir)
         )
         metrics = run_export(spark, sub)
     finally:
         os.unlink(sql_path)
+    os.rename(tmp_dir, run_dir)
 
     state["column"] = watermark_column
     state["value"] = new_max

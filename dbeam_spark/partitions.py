@@ -30,8 +30,8 @@ def parse_instant(value: str) -> datetime:
     m = _INSTANT_RE.match(value.strip())
     if not m:
         raise ValueError(f"Cannot parse partition instant: {value!r}")
-    year, month, day, hour, minute, sec, _off = m.groups()
-    return datetime(
+    year, month, day, hour, minute, sec, off = m.groups()
+    dt = datetime(
         int(year),
         int(month or 1),
         int(day or 1),
@@ -40,6 +40,12 @@ def parse_instant(value: str) -> datetime:
         int(sec or 0),
         tzinfo=timezone.utc,
     )
+    if off and off != "Z":
+        # Apply the UTC offset like java.time would: the wall time is in
+        # the given zone, so subtract the offset to reach UTC.
+        sign = 1 if off[0] == "+" else -1
+        dt -= sign * timedelta(hours=int(off[1:3]), minutes=int(off[-2:]))
+    return dt
 
 
 def parse_period(value: str | None) -> str | timedelta:

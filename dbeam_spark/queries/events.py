@@ -64,7 +64,7 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
-           SUM(new_session) AS n_sessions,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM flagged
     GROUP BY user_id
@@ -97,7 +97,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_users",
     oracle="""
     SELECT user_id,
-           SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS total_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS total_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id

@@ -708,6 +708,11 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "approx_percentile(o_totalprice, array(0.5, 0.95), 1000)"
             ).alias("p50_p95")
         )
+        .select(
+            "o_orderpriority",
+            F.element_at("p50_p95", 1).alias("p50"),
+            F.element_at("p50_p95", 2).alias("p95"),
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -985,10 +990,10 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 0 THEN 'early'
                 WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'on_time'
                 ELSE 'late' END AS delay_bucket,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem
     JOIN orders ON o_orderkey = l_orderkey
     WHERE year(l_shipdate) = 1997
@@ -1858,7 +1863,8 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nation_part_types",
     oracle="""
-    SELECT n_name, list_sort(list(DISTINCT p_type)) AS types,
+    SELECT n_name,
+           array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types,
            CAST(len(list(DISTINCT p_type)) AS BIGINT) AS n_types
     FROM lineitem JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -1871,8 +1877,9 @@ def nation_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: the sorted distinct part types each supplier
     nation ships (collect_set + sort_array so the array value is
     deterministic — raw collect order is partitioning-dependent and
-    can never be hash-gated). The nested-list output also exercises
-    the gate's complex-type comparison path."""
+    can never be hash-gated). The sorted array is serialized to a
+    '|'-joined string in both engines: the gate canonicalizes results
+    via pandas sort_values, which cannot sort raw list cells."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
@@ -1882,9 +1889,11 @@ def nation_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_set("p_type")).alias("types"))
+        .agg(F.sort_array(F.collect_set("p_type")).alias("types_arr"))
         .select(
-            "n_name", "types", F.size("types").cast("long").alias("n_types")
+            "n_name",
+            F.array_join("types_arr", "|").alias("types"),
+            F.size("types_arr").cast("long").alias("n_types"),
         )
         .orderBy("n_name")
     )

@@ -22,7 +22,7 @@ args/JdbcExportArgs.java Spark-first:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -128,7 +128,21 @@ def read_jdbc(
         bounds = find_input_bounds(
             spark, opts, password, partitioned_qb.min_max_query(qargs.split_column)
         )
-        queries = qargs.build_queries(find_bounds=lambda _sql: bounds)
+        if qargs.limit is not None:
+            # dbeam bakes `LIMIT limit/k` into each range query (and so
+            # exports k*floor(limit/k) rows); Spark executes un-limited
+            # ranged reads plus ONE engine-side global limit. Record the
+            # plan we actually run so _queries/ describes the executed
+            # read, not dbeam's.
+            queries = replace(qargs, limit=None).build_queries(
+                find_bounds=lambda _sql: bounds
+            )
+            queries.append(
+                f"-- LIMIT {qargs.limit} applied engine-side to the "
+                "union of the range queries above"
+            )
+        else:
+            queries = qargs.build_queries(find_bounds=lambda _sql: bounds)
     else:
         queries = qargs.build_queries()
 

@@ -125,6 +125,31 @@ def test_distributed_write(spark, tmp_path):
     assert sorted(rows)[-1] == (9999, "9999", 4999.5)
 
 
+def test_nan_vs_null_doubles(spark, tmp_path):
+    """SQL NULL doubles export as Avro null; genuine NaN stays a NaN
+    double (dbeam's JdbcAvroRecord getDouble+wasNull convention) —
+    even though the Arrow→pandas hop inside the writer collapses both
+    into NaN."""
+    import math
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, CAST(1.5 AS DOUBLE)), "
+        "(2, CAST(NULL AS DOUBLE)), "
+        "(3, CAST('NaN' AS DOUBLE)) AS t(id, d)"
+    )
+    avro = spark_schema_to_avro(df.schema, "t")
+    out = str(tmp_path / "nan")
+    write_avro(df, out, avro)
+    rows = []
+    for f in sorted(glob.glob(out + "/part-*.avro")):
+        rows.extend(read_avro_file(f)[1])
+    by_id = {r[0]: r[1] for r in rows}
+    assert by_id[1] == 1.5
+    assert by_id[2] is None
+    assert isinstance(by_id[3], float) and math.isnan(by_id[3])
+
+
 def test_read_avro_roundtrip_source(spark, tmp_path):
     from dbeam_spark.sources.avro import read_avro
 

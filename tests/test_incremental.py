@@ -160,3 +160,45 @@ def test_incremental_timestamp_watermark(spark, tmp_path):
         spark, _opts(derby, out), "CREATED_AT", numeric_watermark=False
     )
     assert r3["skipped"]
+
+
+def test_literal_escapes_quotes():
+    from dbeam_spark.jobs.incremental_export import _literal
+
+    assert _literal(42, numeric=True) == "42"
+    assert _literal("2024-01-01", numeric=False) == "'2024-01-01'"
+    # embedded quotes must not break (or inject into) the generated SQL
+    assert _literal("O'Brien", numeric=False) == "'O''Brien'"
+
+
+def test_retry_clears_stale_run_dir(spark, tmp_path):
+    """A crash between _SUCCESS and the watermark save re-runs the same
+    run_id; leftovers from the failed attempt (e.g. part files from a
+    more-parallel first try) must not survive next to the retry's
+    output."""
+    dbdir = tempfile.mkdtemp(prefix="derby_retry_") + "/db"
+    url = f"jdbc:derby:{dbdir};create=true"
+    _append_rows(spark, url, 0, 20, mode="overwrite")
+    derby = f"jdbc:derby:{dbdir}"
+    out = tmp_path / "retry"
+
+    r1 = run_incremental(spark, _opts(derby, out), "C_ID")
+    assert not r1["skipped"]
+
+    # simulate the crashed attempt: next run_id's dir already exists
+    # with a stale part file and _SUCCESS (watermark was never saved)
+    stale = out / "run_00001"
+    stale.mkdir()
+    (stale / "part-99999.avro").write_bytes(b"stale")
+    (stale / "_SUCCESS").touch()
+    # plus an in-progress temp dir from yet another attempt
+    (out / "._run_00001.inprogress").mkdir()
+
+    _append_rows(spark, derby, 20, 5)
+    r2 = run_incremental(spark, _opts(derby, out), "C_ID")
+    assert not r2["skipped"] and r2["rows"] == 5
+    assert Path(r2["run_dir"]) == stale
+    assert not (stale / "part-99999.avro").exists()
+    assert not (out / "._run_00001.inprogress").exists()
+    ids = sorted(r[0] for r in _rows_in(stale))
+    assert ids == list(range(20, 25))

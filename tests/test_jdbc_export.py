@@ -84,6 +84,29 @@ def test_limit(spark, derby_db, tmp_path):
     assert len(read_all(out)) == 10
 
 
+def test_limit_with_parallelism_metadata(spark, derby_db, tmp_path):
+    """With --limit + --queryParallelism the _queries/ metadata must
+    describe the EXECUTED plan: un-limited range scans plus one global
+    engine-side limit (dbeam instead bakes LIMIT limit/k per range and
+    exports k*floor(limit/k) rows)."""
+    out = tmp_path / "limit_par"
+    metrics = run_export(
+        spark,
+        opts_for(
+            derby_db, out, limit=10, splitColumn="C_ID", queryParallelism=4
+        ),
+    )
+    assert metrics["recordCount"] == 10
+    assert len(read_all(out)) == 10
+    queries = [
+        Path(p).read_text().strip()
+        for p in sorted(glob.glob(str(out / "_queries" / "*.sql")))
+    ]
+    assert len(queries) == 5  # 4 ranges + the global-limit note
+    assert all("LIMIT" not in q for q in queries[:-1] if q.startswith("SELECT"))
+    assert queries[-1].startswith("-- LIMIT 10 applied engine-side")
+
+
 def test_min_rows_validation(spark, derby_db, tmp_path):
     with pytest.raises(FailedValidationError):
         run_export(spark, opts_for(derby_db, tmp_path / "mr", minRows=100_000))

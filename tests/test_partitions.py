@@ -26,6 +26,11 @@ def utc(*a):
         ("2027-05", utc(2027, 5, 1)),
         ("2027", utc(2027, 1, 1)),
         ("2027-05-02T23:00", utc(2027, 5, 2, 23, 0)),
+        # offsets apply like java Instant parsing: wall time is in the
+        # given zone, so +02:00 lands 2h earlier in UTC
+        ("2025-01-01T00:00+02:00", utc(2024, 12, 31, 22, 0)),
+        ("2025-01-01T00:00-05:30", utc(2025, 1, 1, 5, 30)),
+        ("2025-01-01T12:00+0000", utc(2025, 1, 1, 12, 0)),
     ],
 )
 def test_parse_instant(value, expected):

@@ -1,7 +1,15 @@
 """Local stand-in for the driver's correctness gate: run every
 `queries()` entry on Spark and its `oracle_sql()` on DuckDB over the
 same sf dir, compare row count, schema shape, and an order-insensitive
-value hash (columns sorted by name, values stringified).
+value hash.
+
+Mirrors the driver's pandas canonicalization path: Spark results via
+toPandas(), DuckDB via .df(), rows sorted with pandas sort_values and
+cells stringified WITH their pandas dtype repr. That dtype sensitivity
+is deliberate — e.g. an uncast DuckDB SUM(int) comes back HUGEINT →
+float64 ("123.0") while Spark gives int64 ("123"), and the driver
+flags exactly that, so we must too. Array-typed output columns make
+sort_values raise (unhashable list) just like the driver's _canon.
 
 Usage: python tools/check_correctness.py [sf_dir] [name ...]
 """
@@ -19,24 +27,32 @@ sys.path.insert(0, ".")
 
 def norm_cell(v) -> str:
     import datetime
-    import math
+
+    import pandas as pd
 
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — sort_values will have raised already
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
-    )
+def canon_hash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    lines = [
+        "\x1f".join(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
@@ -64,38 +80,51 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         el = time.time() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only rows={len(srows)} ({el:.1f}s)")
-            if len(srows) == 0:
+            # rows-only queries still go through the driver's pandas
+            # canonicalizer — make sure it doesn't choke (array cols).
+            try:
+                canon_hash(spdf)
+            except Exception as e:
+                print(f"FAIL {name}: rows-only canon error: {type(e).__name__}: {e}")
+                failures.append(name)
+                continue
+            print(f"ok   {name}: rows-only rows={len(spdf)} ({el:.1f}s)")
+            if len(spdf) == 0:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
-        elif value_hash(scols, srows) != value_hash(ocols, orows):
-            problems.append("value-hash mismatch")
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} vs {len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}"
+            )
+        else:
+            try:
+                sh, oh = canon_hash(spdf), canon_hash(opdf)
+            except Exception as e:
+                problems.append(f"canon error: {type(e).__name__}: {e}")
+            else:
+                if sh != oh:
+                    problems.append("value-hash mismatch")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({el:.1f}s)")
             failures.append(name)
         else:
-            print(f"ok   {name}: rows={len(srows)} hash match ({el:.1f}s)")
+            print(f"ok   {name}: rows={len(spdf)} hash match ({el:.1f}s)")
     print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passing")
     return 1 if failures else 0
 
