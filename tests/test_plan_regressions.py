@@ -61,6 +61,9 @@ def test_dedup_exact_single_exchange(spark):
 
 def test_knn_bruteforce_is_map_only_scoring(spark):
     plan = plan_of(spark, "knn_bruteforce")
-    # the query set broadcasts; scoring must not shuffle the base table
-    assert "BroadcastNestedLoopJoin" in plan
+    # query vectors ship in the task closure and scoring is numpy via
+    # mapInPandas: map-only over the base table — no join of any kind,
+    # no shuffle before the per-query top-k
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert "SortMergeJoin" not in plan
