@@ -40,9 +40,15 @@ _PERM_B = [_rng.randrange(0, _MERSENNE) for _ in range(_NUM_PERM)]
 
 
 def shingle_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) rows — one per DISTINCT n-word shingle per doc.
+    """(id, shingle) rows — one per n-word shingle per doc, DISTINCT
+    within the doc by default (set distinct=False to keep every
+    occurrence, e.g. for repetition scoring).
 
     Built from slice+arrays_zip+explode rather than a higher-order
     `transform` lambda: HOF lambdas are interpreted per element in
@@ -57,11 +63,10 @@ def shingle_table(
         *[F.slice("t", i + 1, cnt).alias(f"w{i}") for i in range(n)]
     )
     gram = F.concat_ws(" ", *[F.col(f"z.w{i}") for i in range(n)])
-    return (
-        base.select("sid", F.explode(zipped).alias("z"))
-        .select("sid", gram.alias("shingle"))
-        .distinct()
+    out = base.select("sid", F.explode(zipped).alias("z")).select(
+        "sid", gram.alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def exact_dedup_survivors(

@@ -243,6 +243,126 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_check",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    eval_ids AS (
+      SELECT doc_id FROM documents WHERE md5(text) LIKE '0%'
+    ),
+    eval_g AS (
+      SELECT DISTINCT shingle FROM sh
+      JOIN eval_ids USING (doc_id)
+    ),
+    train AS (
+      SELECT * FROM sh
+      WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN e.shingle IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN e.shingle IS NOT NULL
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS contamination
+    FROM train t LEFT JOIN eval_g e ON t.shingle = e.shingle
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the share of its
+    distinct word-3-grams that also occur in the held-out eval set
+    (docs sampled deterministically by md5-prefix, the engine-portable
+    sampling trick). The real-world op before any training run —
+    drop/flag docs whose n-gram overlap with a benchmark is high.
+
+    Scale shape: eval sets (benchmarks) are tiny next to the corpus,
+    so their distinct-gram set BROADCASTS and training shingles are
+    probed map-side — the only shuffle is the per-doc aggregate. At
+    100 TB the corpus-side shingling is the same explode the dedup
+    path already pays (share the shingle table when running both)."""
+    docs = _docs(spark, sf_dir)
+    is_eval = F.md5(F.col("text")).startswith("0")
+    eval_ids = docs.filter(is_eval).select(F.col("doc_id").alias("eid"))
+    sh = dedup.shingle_table(docs)
+    eval_grams = (
+        sh.join(
+            F.broadcast(eval_ids), sh.sid == F.col("eid"), "left_semi"
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.join(
+        F.broadcast(eval_ids), sh.sid == F.col("eid"), "left_anti"
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "shingle", "left")
+        .groupBy(F.col("sid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               AS grams
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+           ROUND(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+             AS repetition
+    FROM g ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (Gopher-style quality signal):
+    1 − distinct/total word-3-grams. Boilerplate and looping generator
+    output score high; clean prose scores near 0. Map-side explode +
+    one per-doc aggregate — no joins, linear in corpus size."""
+    docs = _docs(spark, sf_dir)
+    grams = dedup.shingle_table(docs, distinct=False)
+    return (
+        grams.groupBy(F.col("sid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("shingle").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique",
+            F.round(
+                1.0 - F.col("n_unique") / F.col("n_grams"), 4
+            ).alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_meta",
     oracle="""
     SELECT doc_id, 'text/plain' AS mime,
