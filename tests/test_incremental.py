@@ -202,3 +202,53 @@ def test_retry_clears_stale_run_dir(spark, tmp_path):
     assert not (out / "._run_00001.inprogress").exists()
     ids = sorted(r[0] for r in _rows_in(stale))
     assert ids == list(range(20, 25))
+
+
+def test_compact_runs_append_only(spark, incr_db, tmp_path):
+    from dbeam_spark.jobs.compact_runs import compact_runs
+
+    dbdir = tempfile.mkdtemp(prefix="derby_cmp_") + "/db"
+    url = f"jdbc:derby:{dbdir};create=true"
+    _append_rows(spark, url, 0, 300, mode="overwrite")
+    derby = f"jdbc:derby:{dbdir}"
+    out = tmp_path / "cmp"
+    run_incremental(spark, _opts(derby, out), "C_ID")
+    _append_rows(spark, derby, 300, 50)
+    run_incremental(spark, _opts(derby, out), "C_ID")
+
+    res = compact_runs(spark, str(out), target_files=2)
+    assert res["rows"] == 350 and res["input_runs"] == 2
+    snap = Path(res["snapshot_dir"])
+    assert (snap / "_SUCCESS").exists()
+    parts = sorted(glob.glob(str(snap / "part-*.avro")))
+    assert len(parts) == 2
+    ids = sorted(r[0] for r in _rows_in(snap))
+    assert ids == list(range(350))
+    # snapshot is derived: runs untouched, recompaction idempotent
+    assert len(list(out.glob("run_*"))) == 2
+    res2 = compact_runs(spark, str(out), target_files=2)
+    assert res2["rows"] == 350
+
+
+def test_compact_runs_last_write_wins(spark, tmp_path):
+    """CDC upsert: later runs replace earlier rows with the same key."""
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.jobs.compact_runs import compact_runs
+
+    root = tmp_path / "cdc"
+    frames = [
+        [(1, "a0"), (2, "b0"), (3, "c0")],
+        [(2, "b1"), (4, "d1")],
+        [(2, "b2"), (3, "c2")],
+    ]
+    for i, rows in enumerate(frames):
+        df = spark.createDataFrame(rows, "k long, v string")
+        run = root / f"run_{i:05d}"
+        write_avro(df, str(run), spark_schema_to_avro(df.schema, "t"))
+        (run / "_SUCCESS").write_text("")
+
+    res = compact_runs(spark, str(root), primary_key="k", target_files=1)
+    assert res["rows"] == 4
+    got = sorted(_rows_in(Path(res["snapshot_dir"])))
+    assert got == [(1, "a0"), (2, "b2"), (3, "c2"), (4, "d1")]
