@@ -400,3 +400,45 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_anomalies"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_rollup_reuse",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)
+             AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate reuse: the DAILY report is
+    computed FROM the HOURLY rollup (sum of counts, sum of sums), never
+    from raw events — the oracle aggregates raw events directly, so the
+    hash gate proves the two-level rollup is exactly the one-level
+    answer for these distributive aggregates.
+
+    Values are quantized to integer cents before summing (exact integer
+    math, order-independent) so re-aggregation is bit-stable across
+    engines and merge orders — the same property that makes the hourly
+    table safely mergeable into daily/weekly/monthly at 100 TB, where
+    serving reports from a 1/1000-size rollup is the difference between
+    a scan and an index lookup."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
