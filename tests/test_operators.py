@@ -232,6 +232,27 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_twophase_components_match_label_prop(spark):
+    """large-star/small-star must produce the identical cluster map on
+    chains (its worst-case motivation), stars, and random graphs."""
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        [(i, i + 1) for i in range(1, 30)],            # 29-hop chain
+        [(0, i) for i in range(1, 12)],                # star at 0
+        sorted({tuple(sorted(rng.sample(range(80), 2))) for _ in range(90)}),
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+    ]
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        a = {r.doc_id: r.cluster_id
+             for r in dedup.connected_components(pairs).collect()}
+        b = {r.doc_id: r.cluster_id
+             for r in dedup.connected_components_twophase(pairs).collect()}
+        assert a == b
+
+
 def test_sampling_deterministic(spark):
     from dbeam_spark.operators import sampling
 
