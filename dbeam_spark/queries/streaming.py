@@ -35,19 +35,50 @@ def _run_stream(stream_df, name: str, output_mode: str) -> None:
     q.awaitTermination()
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
+def _events_stream(
+    spark: SparkSession, sf_dir: str, flush_sentinel: bool = False
+):
     """File-source stream over events.parquet. The file stores
     TIMESTAMP(NANOS): stream it as long nanos and convert, like the
-    batch loader does."""
+    batch loader does.
+
+    `flush_sentinel=True` adds a second input file holding ONE far-
+    future marker row (user_id = -1) and caps the trigger at one file
+    per micro-batch. Append-mode stateful operators only emit results
+    the watermark has passed, and the watermark only advances between
+    batches — so a finite replay would otherwise end with every
+    still-open window stuck in the state store. The sentinel batch
+    pushes the watermark past all real data and the no-data batch
+    AvailableNow runs before terminating flushes the state. Callers
+    must filter `user_id >= 0`. (Production streams don't need this;
+    it is the finite-replay analogue of the stream staying live.)"""
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     # The file source wants a directory; expose the single parquet
     # file through a temp dir symlink.
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "a_events.parquet"))
     schema = spark.read.parquet(src).schema
-    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    reader = spark.readStream.schema(schema)
+    if flush_sentinel:
+        import glob
+        import shutil
+
+        max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+        sentinel_ts = int(max_ts) + 30 * 86_400 * 10**9  # +30 days, nanos
+        sent = spark.createDataFrame(
+            [(-1, -1, "sentinel", 0.0, "{}", sentinel_ts)],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string, ts long",
+        ).select(*[f.name for f in schema.fields])
+        tmp = os.path.join(stream_dir, "_sentinel_build")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stream_dir, "z_sentinel.parquet"))
+        shutil.rmtree(tmp)
+        reader = reader.option("maxFilesPerTrigger", "1")
+    raw = reader.parquet(stream_dir)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
     )
@@ -291,4 +322,55 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '15 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows in APPEND mode: sessions are emitted
+    once, when the watermark passes their close — the production shape
+    for downstream sinks that can't handle updates. The finite replay
+    needs the sentinel flush (see _events_stream): append mode only
+    releases sessions the watermark has sealed, so a far-future marker
+    row advances it past all real data before the stream terminates.
+    The hash gate proves the emitted sessions equal the batch
+    lag/cumsum sessionization exactly."""
+    name = f"ssn_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir, flush_sentinel=True)
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_stream(agg, name, "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+        .orderBy("user_id", "session_start")
     )
