@@ -103,6 +103,16 @@ def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
         data = buf.read(size)
         if codec == "deflate":
             data = zlib.decompress(data, -15)
+        elif codec == "bzip2":
+            import bz2
+
+            data = bz2.decompress(data)
+        elif codec == "xz":
+            import lzma
+
+            data = lzma.decompress(data)
+        elif codec != "null":
+            raise ValueError(f"Unsupported avro codec: {codec}")
         assert buf.read(16) == sync, "sync marker mismatch"
         block = io.BytesIO(data)
         for _ in range(count):

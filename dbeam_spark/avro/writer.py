@@ -9,9 +9,10 @@ here EVERY partition of the DataFrame encodes and writes its own
 write is map-only, so at 100 TB it scales with the number of
 partitions exactly like Spark's built-in file sinks.
 
-Codecs: null and deflate1-9 (stdlib zlib), matching dbeam's default
-deflate6 (ref args/JdbcAvroArgs.java). snappy needs python-snappy,
-absent here → clear error.
+Codecs: null, deflate1-9 (stdlib zlib — dbeam's default deflate6, ref
+args/JdbcAvroArgs.java), plus the spec's bzip2 and xz (stdlib bz2 /
+lzma). snappy and zstandard need native libs, absent here → clear
+error.
 """
 
 from __future__ import annotations
@@ -154,9 +155,19 @@ def _codec_compress(codec: str):
             return c.compress(b) + c.flush()
 
         return "deflate", compress
-    if codec == "snappy":
+    if codec == "bzip2":
+        import bz2
+
+        return "bzip2", bz2.compress
+    if codec == "xz":
+        import lzma
+
+        # Avro xz codec = raw .xz container (spec 1.11)
+        return "xz", lzma.compress
+    if codec in ("snappy", "zstandard"):
         raise ValueError(
-            "snappy codec requires python-snappy (unavailable); use deflateN"
+            f"{codec} codec requires a native library (unavailable); "
+            "use deflateN, bzip2, or xz"
         )
     raise ValueError(f"Unsupported avro codec: {codec}")
 

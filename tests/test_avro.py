@@ -81,7 +81,7 @@ def test_merge_input_schema_propagates_docs():
     assert "sparkType" in next(f for f in merged["fields"] if f["name"] == "name")["doc"]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate1", "deflate9"])
+@pytest.mark.parametrize("codec", ["null", "deflate1", "deflate9", "bzip2", "xz"])
 def test_ocf_roundtrip_codecs(codec, tmp_path):
     schema = spark_schema_to_avro(
         T.StructType(
