@@ -442,3 +442,38 @@ def events_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's native VARIANT type:
+    parse_json once into the binary-encoded variant, then typed
+    variant_get extraction — the lakehouse path for schemaless columns
+    (shredded access, no per-query regexp or string re-parsing; the
+    regexp formulation of the same extraction is events_top_users).
+    AVG over integers stays exact below 2^53, so the 4-dp round is
+    engine-stable."""
+    ev = _events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("total_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
