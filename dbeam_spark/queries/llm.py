@@ -871,3 +871,114 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_training_corpus(_docs(spark, sf_dir)).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    firsts AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS novelty
+    FROM sh s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: per doc, the share of its distinct
+    3-grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    the dataset-curation signal for boilerplate-heavy vs contributing
+    documents (near-zero novelty ⇒ the doc adds nothing the corpus
+    lacks). One shuffle on shingle for the first-occurrence map, one
+    on doc for the rollup; both partial-agg friendly at 100 TB."""
+    sh = dedup.shingle_table(_docs(spark, sf_dir))
+    firsts = sh.groupBy("shingle").agg(F.min("sid").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy(F.col("sid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("sid"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 100
+      )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           ROUND(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS coverage
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-100 corpus vocab
+    (count desc, token asc — fully deterministic ranking), then score
+    every doc's in-vocab token fraction. The pre-training check that a
+    tokenizer's vocab won't shred the corpus into OOV fragments.
+
+    Scale shape: the vocab is tiny by construction → broadcast; docs
+    are scored map-side and the only shuffles are the two aggregates
+    (corpus counts, per-doc rollup)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(100)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(F.sum("in_vocab"), F.lit(0)).alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            F.round(F.col("n_in_vocab") / F.col("n_tokens"), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("doc_id")
+    )
