@@ -355,3 +355,122 @@ def rh_lsh_embedding_pairs(
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 10,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], int]:
+    """Distributed Lloyd's k-means over an embedding column; returns
+    (centroids, iterations_run).
+
+    Spark-first shape: per round, centroids (k×dim — tiny) ship to the
+    tasks in the closure; assignment + per-cluster partial sums happen
+    in ONE Arrow-batched numpy pass per partition (no per-row UDF, no
+    shuffle of the vectors); only the k partial (sum, count) rows per
+    partition shuffle to the driver for the update step. At 100 TB
+    each round is a map over the vectors plus a k-row reduce — the
+    textbook scalable k-means loop (seeding via deterministic id
+    stride; k-means|| would slot in here for better seeds).
+    """
+    import numpy as np
+
+    based = _as_double(df, vec_col)
+    seeds = (
+        based.withColumn("cell", F.pmod(F.col(id_col), F.lit(k)).cast("int"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .orderBy("cell")
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in seeds], dtype=np.float64)
+    vecs = based.select(F.col(vec_col).alias("v"))
+    it = 0
+    for it in range(1, max_iter + 1):
+        c_list = centroids.tolist()
+
+        def partial(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(c_list, dtype=np.float64)  # (k × dim)
+            sums = np.zeros_like(C)
+            counts = np.zeros(C.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf["v"]), dtype=np.float64)
+                # nearest centroid by euclidean distance
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1)
+            yield pd.DataFrame(
+                {
+                    "cluster": range(len(counts)),
+                    "count": counts,
+                    "sum": [s.tolist() for s in sums],
+                }
+            )
+
+        parts = vecs.mapInPandas(
+            partial, "cluster int, count long, sum array<double>"
+        ).collect()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.array(r["sum"])
+            counts[r["cluster"]] += r["count"]
+        new = centroids.copy()
+        nonzero = counts > 0
+        new[nonzero] = sums[nonzero] / counts[nonzero, None]
+        shift = float(np.max(np.abs(new - centroids)))
+        centroids = new
+        if shift < tol:
+            break
+    return centroids.tolist(), it
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only cluster assignment: (id, cluster, dist) per row, with
+    the centroid matrix shipped in the task closure."""
+    based = _as_double(df, vec_col)
+    vecs = based.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(centroids, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["v"]), dtype=np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(),
+                    "cluster": a.astype("int32"),
+                    "dist": np.sqrt(d2[np.arange(len(a)), a]),
+                }
+            )
+
+    import pandas as pd  # noqa: F401
+
+    return vecs.mapInPandas(assign, "vid long, cluster int, dist double")

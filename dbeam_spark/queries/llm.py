@@ -982,3 +982,25 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("embedding_kmeans")  # FP mean is order-sensitive → rows-only gate
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table: per
+    round, the k×dim centroid matrix ships in the task closure and
+    assignment + per-cluster partial sums run as one Arrow-batched
+    numpy pass per partition; only k partial rows per partition reach
+    the driver. Returns the per-cluster profile (size, mean distance)
+    of the converged model — the coarse quantizer behind the IVF
+    index, as a first-class iterative-algorithm surface."""
+    emb = _emb(spark, sf_dir)
+    centroids, _ = similarity.kmeans_fit(emb, k=8, max_iter=15)
+    assigned = similarity.kmeans_assign(emb, centroids)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -589,3 +589,26 @@ def test_prepare_training_corpus_pipeline(spark):
     assert 2 not in seen_docs
     assert not {1, 3} <= seen_docs
     assert seen_docs <= {1, 3, 4, 5} and all_chunks > 0
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: Lloyd's must assign each blob to one
+    cluster (purity 1) and converge before the iteration cap."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for cid, center in enumerate([0.0, 10.0, -10.0]):
+        for i in range(30):
+            vec = [center + rng.uniform(-0.5, 0.5) for _ in range(8)]
+            rows.append((cid * 100 + i, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids, iters = similarity.kmeans_fit(df, k=3, max_iter=20)
+    assert iters < 20  # converged by tolerance, not the cap
+    got = similarity.kmeans_assign(df, centroids).collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r.vid // 100, set()).add(r.cluster)
+    # each blob maps to exactly one cluster, and clusters don't merge
+    assert all(len(v) == 1 for v in by_blob.values())
+    assert len({next(iter(v)) for v in by_blob.values()}) == 3
