@@ -612,3 +612,34 @@ def test_kmeans_recovers_separated_clusters(spark):
     # each blob maps to exactly one cluster, and clusters don't merge
     assert all(len(v) == 1 for v in by_blob.values())
     assert len({next(iter(v)) for v in by_blob.values()}) == 3
+
+
+def test_csv_source_quarantines_corrupt(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from dbeam_spark.sources.csv import read_csv
+
+    src = tmp_path / "rows.csv"
+    src.write_text(
+        "id,name,score\n"
+        "1,alpha,0.5\n"
+        "2,beta,not_a_number\n"
+        "3,gamma,0.9\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    qdir = str(tmp_path / "quarantine")
+    good = read_csv(spark, str(src), schema, quarantine_path=qdir)
+    rows = sorted(tuple(r) for r in good.collect())
+    assert rows == [(1, "alpha", 0.5), (3, "gamma", 0.9)]
+    import glob as _glob
+
+    quarantined = []
+    for p in _glob.glob(qdir + "/part-*"):
+        quarantined.extend(open(p).read().splitlines())
+    assert quarantined == ["2,beta,not_a_number"]
