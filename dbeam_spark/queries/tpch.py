@@ -1903,3 +1903,125 @@ def nation_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "stats_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) + 0.0 AS corr_disc_qty
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of discount vs quantity per return flag —
+    the statistical-aggregate surface, made engine-exact: both engines
+    aggregate EXACT integers (discount quantized to 2-dp ticks, the
+    scale cancels in r) and evaluate the identical closed-form double
+    expression once per group, so the 6-dp result is bit-stable where
+    built-in corr() (order-dependent running sums) is not. Map-side
+    partials, one shuffle, 3 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    corr = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            (F.round(corr, 6) + 0.0).alias("corr_disc_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "revenue_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT yr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM monthly GROUP BY yr
+    )
+    SELECT yr, n AS n_months,
+           ROUND(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) / 100.0,
+                 2) + 0.0 AS slope_per_month
+    FROM s WHERE n > 1 ORDER BY yr
+    """,
+)
+def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year revenue trend: ordinary-least-squares slope of monthly
+    revenue over the month index, from exact integer sums (revenue in
+    cents) with one identical closed-form evaluation per year — the
+    regr_slope surface without its order-dependent float accumulation.
+    Two tiny aggregates; everything partial-agg friendly."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("x"),
+        )
+        .agg(F.sum(cents).alias("y"))
+    )
+    s = monthly.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * 1.0
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    ) / 100.0
+    return (
+        s.filter(F.col("n") > 1)
+        .select(
+            "yr",
+            F.col("n").alias("n_months"),
+            (F.round(slope, 2) + 0.0).alias("slope_per_month"),
+        )
+        .orderBy("yr")
+    )
