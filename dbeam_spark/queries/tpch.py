@@ -2025,3 +2025,78 @@ def revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "integrity_audit",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS constraint_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier.nationkey->nation',
+           CAST(COUNT(*) AS BIGINT)
+    FROM supplier s WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    UNION ALL
+    SELECT 'nation.regionkey->region',
+           CAST(COUNT(*) AS BIGINT)
+    FROM nation n WHERE NOT EXISTS
+      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    ORDER BY constraint_name
+    """,
+)
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: one
+    orphan count per foreign-key constraint — the data-quality gate a
+    pipeline runs after ingest/export and before training. Every check
+    is a left_anti join on key-only projections; true-dimension parents
+    (nation/region/supplier/part at dbeam scale) broadcast so those
+    checks are map-only, while fact-sized parents (orders, customer)
+    anti-join with a key shuffle — broadcastable here, but a 100 TB
+    orders key set is not, so the plan must not assume it. Each count
+    is a 1-row aggregate."""
+    checks = [
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+        ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey", False),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+        ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+        ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+    ]
+    out = None
+    for name, child, ck, parent, pk, small_parent in checks:
+        parent_keys = _t(spark, sf_dir, parent).select(F.col(pk))
+        if small_parent:
+            parent_keys = F.broadcast(parent_keys)
+        orphans = (
+            _t(spark, sf_dir, child)
+            .select(F.col(ck))
+            .join(parent_keys, F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("constraint_name"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out.orderBy("constraint_name")
