@@ -111,6 +111,33 @@ def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
             import lzma
 
             data = lzma.decompress(data)
+        elif codec == "snappy":
+            import pyarrow as pa
+
+            # block = raw snappy + 4-byte BE CRC32 of the uncompressed
+            # data; raw snappy leads with the uncompressed size varint.
+            body, crc = data[:-4], data[-4:]
+            usize, shift, pos = 0, 0, 0
+            while True:
+                b = body[pos]
+                usize |= (b & 0x7F) << shift
+                pos += 1
+                if not b & 0x80:
+                    break
+                shift += 7
+            data = pa.Codec("snappy").decompress(
+                body, decompressed_size=usize, asbytes=True
+            )
+            if struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF) != crc:
+                raise ValueError("snappy block CRC mismatch")
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            # Frame content size may be absent from the header, so use
+            # pyarrow's streaming decompressor instead of Codec.
+            data = pa.input_stream(
+                pa.BufferReader(data), compression="zstd"
+            ).read()
         elif codec != "null":
             raise ValueError(f"Unsupported avro codec: {codec}")
         assert buf.read(16) == sync, "sync marker mismatch"

@@ -11,7 +11,8 @@ partitions exactly like Spark's built-in file sinks.
 
 Codecs: null, deflate1-9 (stdlib zlib — dbeam's default deflate6, ref
 args/JdbcAvroArgs.java), plus the spec's bzip2 and xz (stdlib bz2 /
-lzma). snappy and zstandard need native libs, absent here → clear
+lzma), and snappy / zstandardN via pyarrow's bundled codecs (no
+native pip packages needed). Unknown codec names raise a clear
 error.
 """
 
@@ -164,11 +165,26 @@ def _codec_compress(codec: str):
 
         # Avro xz codec = raw .xz container (spec 1.11)
         return "xz", lzma.compress
-    if codec in ("snappy", "zstandard"):
-        raise ValueError(
-            f"{codec} codec requires a native library (unavailable); "
-            "use deflateN, bzip2, or xz"
-        )
+    if codec == "snappy":
+        # Spec: raw-snappy block + 4-byte big-endian CRC32 of the
+        # UNCOMPRESSED data. pyarrow bundles snappy (no pip needed).
+        import pyarrow as pa
+
+        c = pa.Codec("snappy")
+
+        def compress(b: bytes) -> bytes:
+            return c.compress(b, asbytes=True) + struct.pack(
+                ">I", zlib.crc32(b) & 0xFFFFFFFF
+            )
+
+        return "snappy", compress
+    if codec.startswith("zstandard"):
+        # zstandardN like deflateN; Avro/zstd default level is 3.
+        import pyarrow as pa
+
+        level = int(codec[len("zstandard"):] or 3)
+        c = pa.Codec("zstd", compression_level=level)
+        return "zstandard", lambda b: c.compress(b, asbytes=True)
     raise ValueError(f"Unsupported avro codec: {codec}")
 
 

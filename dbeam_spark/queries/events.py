@@ -477,3 +477,136 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (sequence-mining primitive; e.g. the input to a
+    clickstream transition matrix). One shuffle on user_id for the
+    LEAD window, then a partial-agg-friendly count on the (from, to)
+    pair — exact integer math, engine-portable."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(quantile_cont(gap_us, 0.5) * 2 AS BIGINT)
+             AS median_x2_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (the measurement behind
+    choosing a sessionization gap): LAG deltas in exact integer
+    MICROseconds (whole-second truncation differs between engines for
+    sub-second timestamps), then min/max/median. The median is
+    reported doubled (×2) so the half-way interpolation of two
+    integers stays integral — every statistic is exact integer math in
+    both engines. One shuffle on user_id reused by the window and the
+    aggregation."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).alias("gap_us")
+    return (
+        ev.select("user_id", gap)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.expr("CAST(percentile(gap_us, 0.5) * 2 AS LONG)").alias(
+                "median_x2_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "user_mode_event",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type
+             ) AS rk
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS n_events
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def user_mode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type with a deterministic tie-break
+    (highest count, then lexicographic). The grouped count shrinks the
+    data BEFORE the ranking window, so the shuffle that ranks sees
+    |users|×|types| rows, not |events| — the right shape at 100 TB."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

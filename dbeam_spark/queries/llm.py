@@ -1004,3 +1004,89 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "corpus_composition",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           FLOOR(COUNT(*) * 10000 / (SELECT COUNT(*) FROM documents))
+             / 10000.0 + 0.0 AS doc_share
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition report: docs/chars per (source, lang)
+    cell plus each cell's share of the corpus. The share is computed
+    with integer math (count*10000 / total, then one division) so both
+    engines land on identical 4-dp values regardless of float
+    summation order. The corpus total is a 1-row scalar broadcast —
+    map-only second pass, one shuffle total."""
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "doc_share",
+            (F.floor(F.col("n_docs") * 10000 / F.lit(total)) / 10000.0)
+            + 0.0,
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "token_percentiles",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(quantile_cont(n_tokens, 0.5) * 100) AS BIGINT) AS p50_x100,
+           CAST(ROUND(quantile_cont(n_tokens, 0.9) * 100) AS BIGINT) AS p90_x100,
+           CAST(ROUND(quantile_cont(n_tokens, 0.99) * 100) AS BIGINT) AS p99_x100,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution (the sizing input for
+    context-window and chunking decisions). Interpolated percentiles
+    over integer token counts are exact in both engines (Spark
+    `percentile` == DuckDB `quantile_cont`); ×100 scaling keeps the
+    half-way interpolation values integral, so no float rounding at
+    all. Single shuffle on lang (tiny key space → AQE coalesces)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", text.n_ws_tokens(F.col("text")).alias("n_tokens")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(ROUND(percentile(n_tokens, 0.5) * 100) AS LONG)"
+            ).alias("p50_x100"),
+            F.expr(
+                "CAST(ROUND(percentile(n_tokens, 0.9) * 100) AS LONG)"
+            ).alias("p90_x100"),
+            F.expr(
+                "CAST(ROUND(percentile(n_tokens, 0.99) * 100) AS LONG)"
+            ).alias("p99_x100"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +53,8 @@ def _events_stream(
     AvailableNow runs before terminating flushes the state. Callers
     must filter `user_id >= 0`. (Production streams don't need this;
     it is the finite-replay analogue of the stream staying live.)"""
+    from pyspark.sql import types as T
+
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
@@ -60,17 +63,27 @@ def _events_stream(
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(stream_dir, "a_events.parquet"))
     schema = spark.read.parquet(src).schema
+    ts_type = schema["ts"].dataType
     reader = spark.readStream.schema(schema)
     if flush_sentinel:
         import glob
         import shutil
 
         max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-        sentinel_ts = int(max_ts) + 30 * 86_400 * 10**9  # +30 days, nanos
+        if isinstance(ts_type, T.LongType):  # nanos-as-long file
+            sentinel_ts = int(max_ts) + 30 * 86_400 * 10**9
+            sent_ts_sql = "ts long"
+        else:  # timestamp / timestamp_ntz file
+            sentinel_ts = max_ts + timedelta(days=30)
+            sent_ts_sql = (
+                "ts timestamp_ntz"
+                if isinstance(ts_type, T.TimestampNTZType)
+                else "ts timestamp"
+            )
         sent = spark.createDataFrame(
             [(-1, -1, "sentinel", 0.0, "{}", sentinel_ts)],
             "event_id long, user_id long, event_type string, "
-            "value double, props string, ts long",
+            f"value double, props string, {sent_ts_sql}",
         ).select(*[f.name for f in schema.fields])
         tmp = os.path.join(stream_dir, "_sentinel_build")
         sent.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -79,9 +92,14 @@ def _events_stream(
         shutil.rmtree(tmp)
         reader = reader.option("maxFilesPerTrigger", "1")
     raw = reader.parquet(stream_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-    )
+    # Normalize ts to a session-UTC TimestampType like the batch loader.
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 @register(

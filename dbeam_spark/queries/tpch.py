@@ -2100,3 +2100,100 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = orphans if out is None else out.unionByName(orphans)
     return out.orderBy("constraint_name")
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows_per_key,
+           CAST(ROUND(quantile_cont(n, 0.5) * 100) AS BIGINT) AS p50_x100,
+           CAST(ROUND(quantile_cont(n, 0.99) * 100) AS BIGINT) AS p99_x100,
+           FLOOR(MAX(n) * 10000 / SUM(n)) / 10000.0 + 0.0
+             AS max_key_share
+    FROM per_key
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that decides
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (operators/joins.py): per-key row counts reduced to
+    cardinality, max, p50/p99, and the hottest key's share of all
+    rows. Two partial-agg-friendly passes (groupBy key, then one
+    global row); at 100 TB the first agg is the only real shuffle and
+    map-side combine collapses it. Integer×100 percentiles and
+    integer-math share keep every statistic bit-identical across
+    engines."""
+    orders = _t(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows_per_key"),
+        F.expr("CAST(ROUND(percentile(n, 0.5) * 100) AS LONG)").alias(
+            "p50_x100"
+        ),
+        F.expr("CAST(ROUND(percentile(n, 0.99) * 100) AS LONG)").alias(
+            "p99_x100"
+        ),
+        (
+            F.floor(F.max("n") * 10000 / F.sum("n")) / 10000.0 + 0.0
+        ).alias("max_key_share"),
+    )
+
+
+@register(
+    "trimmed_mean_prices",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_kept,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 / 100.0 / COUNT(*), 2) + 0.0 AS trimmed_mean
+    FROM orders, bounds
+    WHERE o_totalprice >= lo AND o_totalprice <= hi
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean order value per priority (robust-statistics
+    shape: drop the tails, average the core). The global 5th/95th
+    percentile pair is a 1-row scalar cross-joined back (broadcast
+    nested loop on one row — map-only), so the fact table is scanned
+    once more with a pushed-down range filter. Cent-quantized SUM
+    makes the mean summation-order exact before the single division."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    kept = orders.join(F.broadcast(bounds)).where(
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") <= F.col("hi"))
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (
+                F.round(
+                    F.sum(cents) / 100.0 / F.count(F.lit(1)), 2
+                )
+                + 0.0
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

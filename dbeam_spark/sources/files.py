@@ -38,16 +38,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-    rejects; read nanos as long and convert to a microsecond timestamp
-    (matching DuckDB's nanosecond→datetime truncation)."""
+    """events.parquet's `ts` physical type varies by generator version:
+    TIMESTAMP(NANOS) (rejected by Spark unless read nanos-as-long),
+    TIMESTAMP_NTZ (micros, no zone), or a plain UTC timestamp.
+    Normalize all three to a session-UTC TimestampType so every
+    downstream query sees one contract (micros, UTC — matching DuckDB's
+    reading of the same file)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Wall time with no zone: the oracle (DuckDB) reads it naive;
+        # session is pinned UTC, so a plain cast is the identity map.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(

@@ -81,7 +81,10 @@ def test_merge_input_schema_propagates_docs():
     assert "sparkType" in next(f for f in merged["fields"] if f["name"] == "name")["doc"]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate1", "deflate9", "bzip2", "xz"])
+@pytest.mark.parametrize(
+    "codec",
+    ["null", "deflate1", "deflate9", "bzip2", "xz", "snappy", "zstandard"],
+)
 def test_ocf_roundtrip_codecs(codec, tmp_path):
     schema = spark_schema_to_avro(
         T.StructType(
@@ -101,9 +104,9 @@ def test_ocf_roundtrip_codecs(codec, tmp_path):
     assert rows == [(1, "x", [1, 2]), (None, "y", []), (3, None, None)]
 
 
-def test_snappy_unavailable():
-    with pytest.raises(ValueError, match="snappy"):
-        OcfEncoder(spark_schema_to_avro(T.StructType([]), "t"), "snappy")
+def test_unknown_codec_rejected():
+    with pytest.raises(ValueError, match="lz77"):
+        OcfEncoder(spark_schema_to_avro(T.StructType([]), "t"), "lz77")
 
 
 def test_distributed_write(spark, tmp_path):
