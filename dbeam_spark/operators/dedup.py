@@ -205,6 +205,69 @@ def minhash_signatures(
     return withx.mapInPandas(part, schema)
 
 
+def minhash_signatures_maponly(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = _NUM_PERM,
+) -> DataFrame:
+    """Per-doc MinHash with ZERO shuffles: tokenize → shingle → hash →
+    128 permuted mins, all inside one Arrow-batched pass over the
+    documents themselves.
+
+    `minhash_signatures` aggregates an exploded shingle stream, which
+    costs a shuffle of O(docs × shingles) rows before the mins can be
+    taken. But a MinHash signature only depends on its OWN doc's
+    shingles — computing it where the doc row already lives turns the
+    signature stage into a map-only scan (the optimal shape at 100 TB:
+    no exchange, no explode, signature volume = doc count). Shingles
+    hash via crc32 (any fixed 31-bit hash works — candidates are
+    exact-verified downstream, and the planted-duplicate recall of the
+    32×4 banding is hash-independent)."""
+    a_list, b_list = _PERM_A[:num_perm], _PERM_B[:num_perm]
+    cols = [f"mh{i}" for i in range(num_perm)]
+    schema = "sid long, " + ", ".join(f"{c} long" for c in cols)
+
+    def part(batches):
+        import re
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a_list, dtype=np.int64)[None, :]
+        B = np.array(b_list, dtype=np.int64)[None, :]
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            sids, mins = [], []
+            for sid, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(txt.lower())
+                if len(toks) < n:
+                    continue
+                grams = {
+                    " ".join(toks[i: i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                x = np.fromiter(
+                    (zlib.crc32(g.encode()) & 0x7FFFFFFF for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                mins.append(((x[:, None] * A + B) % _MERSENNE).min(axis=0))
+                sids.append(sid)
+            if sids:
+                out = pd.DataFrame(
+                    np.vstack(mins), columns=cols
+                )
+                out.insert(0, "sid", np.array(sids, dtype=np.int64))
+                yield out
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col)
+    ).mapInPandas(part, schema)
+
+
 def minhash_signatures_expr(
     sh: DataFrame, num_perm: int = _NUM_PERM
 ) -> DataFrame:
@@ -290,9 +353,10 @@ def minhash_lsh_pairs(
     exhaustive `ngram_jaccard_pairs` result.
 
     Pipeline shape (each step's cost scales with what it must touch):
-    1. Signatures read the NON-distinct shingle stream — MinHash of a
-       multiset equals MinHash of its set, so the corpus-wide
-       distinct shuffle (and its cache) is skipped entirely.
+    1. Signatures are computed MAP-ONLY per doc
+       (minhash_signatures_maponly): no shingle explode, no shuffle —
+       the only exchange before candidates is the (band, sig) groupBy
+       over |docs|×32 rows.
     2. The candidate pair set is tiny; it is cached and materialized
        once so the broadcasts below don't re-run the signature
        pipeline per use (a broadcast of a derived frame re-executes
@@ -303,7 +367,7 @@ def minhash_lsh_pairs(
        volume, not corpus size.
     """
     cand = lsh_candidates(
-        minhash_signatures(shingle_table(docs, id_col, text_col, n, distinct=False))
+        minhash_signatures_maponly(docs, id_col, text_col, n)
     ).cache()
     cand.count()
     ids = (
