@@ -1090,3 +1090,105 @@ def token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+             ) - n_tokens) // 2048 AS BIGINT) AS bin_id
+      FROM sized
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: assign docs to 2048-token
+    training bins by cumulative offset within each source stream (a
+    doc belongs to the bin its first token lands in — deterministic,
+    order-stable, no sequential state). Packing is per-source so the
+    ordering window partitions by source rather than forcing a global
+    single-partition sort — the distributed shape at 100 TB; exact
+    integer token counts make the bin boundaries engine-portable."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    sized = docs.select(
+        "doc_id",
+        "source",
+        text.n_ws_tokens(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@register(
+    "shard_assignment",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT % 16 AS shard
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash shard routing for distributed writes: shard =
+    md5(text) prefix mod 16, so identical content always lands in the
+    same shard regardless of row order, partitioning, or engine (the
+    write-side twin of sample_hash). Map-only + one tiny groupBy to
+    report shard balance — the skew check you run before fanning a
+    100 TB write across object-store prefixes."""
+    docs = _docs(spark, sf_dir)
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+        % 16
+    ).alias("shard")
+    return (
+        docs.select("doc_id", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
