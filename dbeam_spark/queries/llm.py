@@ -1192,3 +1192,141 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "quality_filter_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) >= 100 AS pass_len,
+             len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) * 1.0
+               / length(text) <= 0.1 AS pass_sym,
+             len(string_split_regex(lower(text), '\\s+')) >= 20 AS pass_words
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS after_length,
+           CAST(SUM(CASE WHEN pass_len AND pass_sym THEN 1 ELSE 0 END)
+                AS BIGINT) AS after_symbols,
+           CAST(SUM(CASE WHEN pass_len AND pass_sym AND pass_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS after_words
+    FROM m
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-observability funnel: how many docs survive each
+    successive quality gate (min length → symbol-ratio cap → min word
+    count). ONE scan with cumulative conditional counts — the shape
+    that replaces N separate filter-count jobs at 100 TB; exact
+    integer math, no float thresholds crossing engines (the symbol
+    ratio compares exact rationals: count*1.0/len ≤ 0.1 is computed
+    identically from the same integers)."""
+    docs = _docs(spark, sf_dir)
+    n_sym = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[^a-z0-9 ]"), F.lit(0))
+    )
+    pass_len = F.length("text") >= 100
+    pass_sym = n_sym * 1.0 / F.length("text") <= 0.1
+    pass_words = text.n_ws_tokens(F.col("text")) >= 20
+    one = F.lit(1)
+    return docs.agg(
+        F.count(one).alias("n_input"),
+        F.sum(F.when(pass_len, one).otherwise(0))
+        .cast("long")
+        .alias("after_length"),
+        F.sum(F.when(pass_len & pass_sym, one).otherwise(0))
+        .cast("long")
+        .alias("after_symbols"),
+        F.sum(F.when(pass_len & pass_sym & pass_words, one).otherwise(0))
+        .cast("long")
+        .alias("after_words"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH fps AS (
+      SELECT source, md5(text) AS fp, COUNT(*) AS n
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_copies,
+           FLOOR((SUM(n) - COUNT(*)) * 10000 / SUM(n)) / 10000.0 + 0.0
+             AS dup_rate
+    FROM fps
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication health per source feed (which crawls/feeds are
+    redundant): exact-dup copies and rate from the content-hash
+    rollup. Two-level aggregation — (source, fp) partials then
+    per-source — both map-side combinable; integer-math rate."""
+    docs = _docs(spark, sf_dir)
+    fps = docs.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        fps.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_dup_copies"),
+            (
+                F.floor(
+                    (F.sum("n") - F.count(F.lit(1)))
+                    * 10000
+                    / F.sum("n")
+                )
+                / 10000.0
+                + 0.0
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lang_confusion",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+        len(regexp_extract_all(lower(text), '\\b(the|of|and|is)\\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\\b(el|la|los|es)\\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\\b(le|les|est|une)\\b')) AS s_fr
+      FROM documents
+    )
+    SELECT lang AS true_lang,
+           CASE WHEN s_en + s_es + s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang × heuristic
+    prediction with doc counts — the evaluation view of text_langid
+    (precision/recall per language read straight off the cells).
+    Map-only classify + one tiny groupBy."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            text.predicted_lang(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
