@@ -859,13 +859,90 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("training_corpus")  # full-pipeline composition → rows-only gate
+_CORPUS_ORACLE = f"""
+    WITH RECURSIVE normd AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+      FROM documents
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM normd GROUP BY text
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM keep
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    rep AS (
+      SELECT k.doc_id, k.text, COALESCE(c.cluster_id, k.doc_id) AS rep_id
+      FROM keep k LEFT JOIN clusters c USING (doc_id)
+    ),
+    surv AS (
+      SELECT doc_id, text, rep_id FROM (
+        SELECT doc_id, text, rep_id,
+               row_number() OVER (
+                 PARTITION BY rep_id
+                 ORDER BY length(text) DESC, doc_id) AS rn
+        FROM rep) WHERE rn = 1
+    ),
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM surv
+    )
+    SELECT doc_id, split,
+           CAST((i - 1) // 150 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(i AS BIGINT), 200)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(i AS BIGINT), 200)) AS chunk_hash
+    FROM assigned, unnest(generate_series(1, length(text), 150)) AS t(i)
+    WHERE split = 'train'
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("training_corpus", oracle=_CORPUS_ORACLE)
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's raison d'être in one plan: normalize → exact dedup
     → near-dup clustering → survivorship → leakage-safe split →
-    overlapping chunking (operators/pipeline.py). Rows-only gate (the
-    equivalent SQL would be the concatenation of five oracles); each
-    constituent stage is hash-verified by its own registry entry."""
+    overlapping chunking (operators/pipeline.py). The oracle IS the
+    concatenation of the five stage oracles — the full composition is
+    hash-gated end-to-end, not just per stage."""
     from dbeam_spark.operators.pipeline import prepare_training_corpus
 
     return prepare_training_corpus(_docs(spark, sf_dir)).orderBy(
