@@ -1407,3 +1407,57 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, x,
+             MAX(abs(x)) OVER (PARTITION BY vec_id) AS scale
+      FROM ex
+    )
+    SELECT vec_id,
+           ROUND(MAX(scale), 6) + 0.0 AS scale,
+           CAST(SUM(abs(ROUND(x * 127 / NULLIF(scale, 0)))) AS BIGINT)
+             AS l1_q,
+           CAST(SUM(CASE WHEN ROUND(x * 127 / NULLIF(scale, 0)) <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+    FROM scaled
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit per vector (the 4×
+    memory reduction step before ANN serving): per-vector max-abs
+    scale, L1 mass of the quantized codes, and nonzero count. The
+    quantized code sums are exact integer math, so the audit is
+    engine-portable; the plan is explode → one window/agg pair on the
+    SAME vec_id partitioning (single shuffle). At 100 TB the window
+    and aggregate pipeline into one exchange — no second pass to
+    compute scales."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", F.explode("embedding").alias("xf")
+    ).select("vec_id", F.col("xf").cast("double").alias("x"))
+    w = Window.partitionBy("vec_id")
+    q = F.round(F.col("x") * 127 / F.nullif(F.col("scale"), F.lit(0)))
+    return (
+        ex.withColumn("scale", F.max(F.abs("x")).over(w))
+        .groupBy("vec_id")
+        .agg(
+            (F.round(F.max("scale"), 6) + 0.0).alias("scale"),
+            F.sum(F.abs(q)).cast("long").alias("l1_q"),
+            F.sum(F.when(q != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nonzero"),
+        )
+        .orderBy("vec_id")
+    )
