@@ -392,3 +392,49 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+def stream_upsert_sink(
+    stream_df,
+    table_path: str,
+    key_col: str,
+    partition_col: str,
+) -> None:
+    """Streaming CDC apply: every micro-batch merges into a
+    hive-partitioned parquet table via partition-level upsert
+    (operators/bucketing.py::upsert_partitioned) — the streaming twin
+    of the incremental-export → compact/apply pipeline. Last write
+    wins per key WITHIN and across batches: the batch is first
+    deduplicated to its latest row per key (no table format needed,
+    the atomic rewrite unit is the partition). Runs availableNow here
+    (finite replay); remove the trigger for a continuous pipeline."""
+    from pyspark.sql import Window
+
+    from dbeam_spark.operators.bucketing import upsert_partitioned
+
+    def sink(batch_df, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        # last-write-wins inside the batch: keep one row per key
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            if "ts" in batch_df.columns and "event_id" in batch_df.columns
+            else Window.partitionBy(key_col).orderBy(F.lit(1))
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upsert_partitioned(spark, table_path, latest, key_col, partition_col)
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_upsert_sink_")
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
