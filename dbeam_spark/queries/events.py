@@ -610,3 +610,33 @@ def user_mode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register("hll_rolling_users")  # sketch estimates → rows-only gate
+def hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGED daily HLL sketches —
+    the continuous-aggregate pattern for COUNT DISTINCT at 100 TB:
+    raw events reduce once to one ~KB sketch per day (map-side
+    partial, Datasketches HLL), and ANY window's distinct count is a
+    sketch union over the stored dailies, never a rescan of raw data.
+    The window union runs over |days| rows regardless of event volume.
+    Rows-only gate: estimates depend on the HLL implementation, so
+    DuckDB's approx sketch would not match bit-for-bit; the exact
+    twin of the final column is events_retention-style COUNT(DISTINCT
+    ...) and the estimate error is bounded (<2% at lgk=12)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            F.col("n_events"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+            .cast("long")
+            .alias("rolling_7d_users"),
+        )
+        .orderBy("day")
+    )
