@@ -640,3 +640,55 @@ def hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+             e.user_id, f.first_day
+      FROM events e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users (growth-accounting view).
+    Spark-first: the per-user first day is a window MIN over the SAME
+    user_id shuffle the daily-dedup aggregate needs — one exchange
+    total, no self-join back to the fact table (the oracle's join
+    formulation is the spec, not the plan)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    daily = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .withColumn("first_day", F.min("day").over(w))
+        .groupBy("day", "user_id", "first_day")
+        .agg(F.lit(1))
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )

@@ -2200,3 +2200,59 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "monthly_seasonality",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cents) AS all_cents, COUNT(*) AS n_months
+            FROM monthly)
+    SELECT month, n_orders,
+           ROUND(cents / 100.0, 2) AS revenue,
+           FLOOR(cents * n_months * 10000 / all_cents) / 10000.0 + 0.0
+             AS seasonality_index
+    FROM monthly, tot
+    ORDER BY month
+    """,
+)
+def monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index (month's revenue ÷ the equal-share
+    baseline): the demand-planning view of the order stream. Exact
+    cent-quantized sums, the corpus total is a 1-row broadcast, and
+    the index is integer math before one final division — engine-
+    stable at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = orders.groupBy(
+        F.month("o_orderdate").cast("long").alias("month")
+    ).agg(
+        F.sum(cents).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tot = monthly.agg(
+        F.sum("cents").alias("all_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        monthly.join(F.broadcast(tot))
+        .select(
+            "month",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            (
+                F.floor(
+                    F.col("cents") * F.col("n_months") * 10000 / F.col("all_cents")
+                )
+                / 10000.0
+                + 0.0
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )
