@@ -171,3 +171,105 @@ def hot_key_salted_join(
     )
     hot = hot_big.join(hot_small, [on, "_salt"]).drop("_salt")
     return cold.unionByName(hot)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Generic as-of join (pandas.merge_asof / kdb aj semantics,
+    distributed): for every left row, attach the single right row with
+    the latest right_ts <= left_ts (backward) or earliest right_ts >=
+    left_ts (forward) per `on` key, optionally within
+    `tolerance_seconds`.
+
+    Spark-first plan — NOT the O(n·m) inequality join: both sides
+    union into one per-key ordered stream (right rows tagged), and a
+    running max/min window carries the most recent right row onto each
+    left row. One shuffle on the key, linear work per partition; at
+    100 TB this is the only formulation that survives (the naive
+    range-join explodes quadratically in events per key).
+
+    `payload` lists right-side columns to attach (default: right_ts
+    only, as `matched_ts`).
+    """
+    from pyspark.sql import Window
+
+    payload = payload or []
+    backward = direction == "backward"
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_ord", F.unix_micros(F.col(left_ts)) * (1 if backward else -1)
+    )
+    r_tagged = right.withColumn("_is_left", F.lit(0)).withColumn(
+        "_ord", F.unix_micros(F.col(right_ts)) * (1 if backward else -1)
+    )
+    r_cols = [F.col(right_ts).alias("_r_ts")] + [
+        F.col(c).alias(f"_r_{c}") for c in payload
+    ]
+    l_side = l_tagged.select(
+        on, "_is_left", "_ord",
+        *[c for c in left.columns if c != on],
+        *[F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts")],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in payload
+        ],
+    )
+    r_side = r_tagged.select(
+        on, "_is_left", "_ord",
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on
+        ],
+        *r_cols,
+    )
+    unioned = l_side.unionByName(r_side)
+    # right rows sort before left rows at equal ts so an exact-tie
+    # right row is visible to the left row (merge_asof's inclusive
+    # boundary in both directions)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ord", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = F.max(
+        F.when(
+            F.col("_is_left") == 0,
+            F.struct("_ord", "_r_ts", *[f"_r_{c}" for c in payload]),
+        )
+    ).over(w)
+    out = (
+        unioned.withColumn("_carry", carry)
+        .filter(F.col("_is_left") == 1)
+        .select(
+            on,
+            *[c for c in left.columns if c != on],
+            F.col("_carry._r_ts").alias("matched_ts"),
+            *[
+                F.col(f"_carry._r_{c}").alias(c)
+                for c in payload
+            ],
+        )
+    )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("matched_ts"))
+        )
+        within = gap <= tolerance_seconds * 1_000_000
+        out = out.select(
+            on,
+            *[c for c in left.columns if c != on],
+            F.when(within, F.col("matched_ts")).alias("matched_ts"),
+            *[F.when(within, F.col(c)).alias(c) for c in payload],
+        )
+    return out

@@ -643,3 +643,48 @@ def test_csv_source_quarantines_corrupt(spark, tmp_path):
     for p in _glob.glob(qdir + "/part-*"):
         quarantined.extend(open(p).read().splitlines())
     assert quarantined == ["2,beta,not_a_number"]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Backward/forward/tolerance semantics vs pandas.merge_asof on
+    random per-key event streams."""
+    import numpy as np
+    import pandas as pd
+
+    from dbeam_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 200
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 5, n_l),
+        "lts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+        "lval": np.arange(n_l),
+    }).sort_values("lts").reset_index(drop=True)
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 5, n_r),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "rval": np.arange(n_r) * 10,
+    }).sort_values("rts").reset_index(drop=True)
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("backward", 5000)]:
+        got = (
+            asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                      direction=direction, tolerance_seconds=tol,
+                      payload=["rval"])
+            .orderBy("lval")
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            lpdf.sort_values("lts"), rpdf.sort_values("rts"),
+            left_on="lts", right_on="rts", by="k",
+            direction=direction,
+            **({"tolerance": pd.Timedelta(seconds=tol)} if tol else {}),
+        ).sort_values("lval").reset_index(drop=True)
+        g = got[["lval", "rval"]].reset_index(drop=True)
+        e = exp[["lval", "rval"]]
+        pd.testing.assert_frame_equal(
+            g.astype("float64"), e.astype("float64"), check_like=True
+        ), (direction, tol)
