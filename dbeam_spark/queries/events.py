@@ -692,3 +692,43 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "latest_snapshot",
+    oracle="""
+    SELECT user_id,
+           max_by(event_id,
+                  printf('%020d-%020d', epoch_us(ts), event_id))
+             AS last_event_id,
+           MAX(ts) AS last_ts,
+           max_by(event_type,
+                  printf('%020d-%020d', epoch_us(ts), event_id))
+             AS last_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state materialization (SCD type-1): each key's latest
+    row from the append-only event log — the batch twin of
+    stream_upsert_sink's CDC apply. One max_by aggregation (map-side
+    combinable: partials keep only their max) — no ranking window, no
+    sort, the cheapest keep-latest formulation at 100 TB. Tie-broken
+    on (ts, event_id) so replays are deterministic."""
+    ev = _events(spark, sf_dir)
+    key = F.format_string(
+        "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
