@@ -2256,3 +2256,107 @@ def monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "priority_drift",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(MIN(o_orderdate) AS TIMESTAMP)
+             + (CAST(MAX(o_orderdate) AS TIMESTAMP)
+                - CAST(MIN(o_orderdate) AS TIMESTAMP)) / 2 AS m
+      FROM orders
+    ),
+    cells AS (
+      SELECT o_orderpriority AS priority,
+             CASE WHEN CAST(o_orderdate AS TIMESTAMP) < m
+                  THEN 'first' ELSE 'second' END AS half,
+             COUNT(*) AS o
+      FROM orders, mid
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c.priority, c.half, c.o,
+             SUM(c.o) OVER (PARTITION BY c.priority) AS row_t,
+             SUM(c.o) OVER (PARTITION BY c.half) AS col_t,
+             SUM(c.o) OVER () AS grand
+      FROM cells c
+    )
+    SELECT priority,
+           CAST(SUM(CASE WHEN half = 'first' THEN o END) AS BIGINT)
+             AS n_first,
+           CAST(SUM(CASE WHEN half = 'second' THEN o END) AS BIGINT)
+             AS n_second,
+           CAST(SUM(CAST(FLOOR(
+             (o - row_t * col_t * 1.0 / grand)
+             * (o - row_t * col_t * 1.0 / grand)
+             / (row_t * col_t * 1.0 / grand) * 1000000) AS BIGINT))
+             AS BIGINT) AS chi2_x1e6
+    FROM tot
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square contribution of each
+    order priority between the first and second half of the date
+    range (the pipeline-health check that catches a feed silently
+    changing mix). Each cell's (observed − expected)²/expected term is
+    a deterministic IEEE computation from exact integer counts,
+    floor-quantized to ×1e6 BEFORE summing — so the statistic is
+    bit-identical across engines (a raw float SUM would be
+    summation-order dependent). Two shuffles: the cell counts, then
+    the marginal windows over ≤|priorities × 2| rows."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    mid = orders.agg(
+        (
+            F.min("o_orderdate").cast("timestamp").cast("long")
+            + (
+                F.max("o_orderdate").cast("timestamp").cast("long")
+                - F.min("o_orderdate").cast("timestamp").cast("long")
+            )
+            / 2
+        ).alias("m_epoch")
+    )
+    cells = (
+        orders.join(F.broadcast(mid))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.when(
+                F.col("o_orderdate").cast("timestamp").cast("long")
+                < F.col("m_epoch"),
+                "first",
+            )
+            .otherwise("second")
+            .alias("half"),
+        )
+        .groupBy("priority", "half")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wp = Window.partitionBy("priority")
+    wh = Window.partitionBy("half")
+    wg = Window.partitionBy()
+    t = (
+        cells.withColumn("row_t", F.sum("o").over(wp))
+        .withColumn("col_t", F.sum("o").over(wh))
+        .withColumn("grand", F.sum("o").over(wg))
+    )
+    e = F.col("row_t") * F.col("col_t") * 1.0 / F.col("grand")
+    term = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast(
+        "long"
+    )
+    return (
+        t.groupBy("priority")
+        .agg(
+            F.sum(F.when(F.col("half") == "first", F.col("o")))
+            .cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("half") == "second", F.col("o")))
+            .cast("long")
+            .alias("n_second"),
+            F.sum(term).cast("long").alias("chi2_x1e6"),
+        )
+        .orderBy("priority")
+    )
