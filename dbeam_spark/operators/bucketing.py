@@ -175,3 +175,61 @@ def upsert_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def file_pruning_stats(
+    path: str, predicates: dict[str, tuple]
+) -> dict:
+    """Measure how well a parquet layout prunes for range predicates,
+    from footer metadata alone (no data read — the same min/max
+    statistics Spark's scan uses for row-group skipping).
+
+    `predicates` maps column → (lo, hi) inclusive ranges; a row group
+    survives only if EVERY predicate's range overlaps the group's
+    [min, max]. Returns totals and the prunable fraction — run it
+    after `materialize_zordered` (or any sort/partition layout) to
+    verify the layout actually earns its write cost before shipping
+    it at 100 TB.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    total_rg = kept_rg = 0
+    total_rows = kept_rows = 0
+    kept_files = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        file_kept = False
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            total_rg += 1
+            total_rows += rg.num_rows
+            survive = True
+            for col, (lo, hi) in predicates.items():
+                st = rg.column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats → cannot prune this group
+                if st.max < lo or st.min > hi:
+                    survive = False
+                    break
+            if survive:
+                kept_rg += 1
+                kept_rows += rg.num_rows
+                file_kept = True
+        if file_kept:
+            kept_files += 1
+    return {
+        "files": len(files),
+        "files_kept": kept_files,
+        "row_groups": total_rg,
+        "row_groups_kept": kept_rg,
+        "rows_total": total_rows,
+        "rows_scanned_upper_bound": kept_rows,
+        "pruned_fraction": round(1 - kept_rg / total_rg, 4) if total_rg else 0.0,
+    }

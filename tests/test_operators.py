@@ -688,3 +688,36 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         pd.testing.assert_frame_equal(
             g.astype("float64"), e.astype("float64"), check_like=True
         ), (direction, tol)
+
+
+def test_file_pruning_stats_zorder_beats_linear(spark, tmp_path):
+    """Z-order keeps BOTH columns prunable; a linear sort only one —
+    footer stats must show it."""
+    from dbeam_spark.operators.bucketing import (
+        file_pruning_stats,
+        materialize_zordered,
+    )
+
+    df = spark.range(0, 40_000).selectExpr(
+        "CAST(id % 200 AS LONG) AS a", "CAST(id DIV 200 AS LONG) AS b"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    materialize_zordered(df, zpath, "a", "b", n_files=8)
+    (
+        df.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    # predicate on the SECONDARY column: linear layout can't prune it
+    pred = {"b": (0, 24)}
+    z = file_pruning_stats(zpath, pred)
+    lin = file_pruning_stats(lpath, pred)
+    assert z["pruned_fraction"] > lin["pruned_fraction"]
+    assert z["pruned_fraction"] >= 0.5
+    # predicate on both dims prunes hardest under z-order
+    both = file_pruning_stats(zpath, {"a": (0, 49), "b": (0, 24)})
+    assert both["pruned_fraction"] >= z["pruned_fraction"]
+    # correctness: surviving rows must cover every matching row
+    matching = df.filter("b BETWEEN 0 AND 24").count()
+    assert z["rows_scanned_upper_bound"] >= matching
