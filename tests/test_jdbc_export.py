@@ -285,3 +285,53 @@ def test_run_with_timeout_passthrough(spark):
     from dbeam_spark.jobs.jdbc_avro_job import run_with_timeout
 
     assert run_with_timeout(spark, 60.0, lambda: spark.range(10).count()) == 10
+
+
+def test_complex_types_export(spark, tmp_path):
+    """Reference-e2e-shaped round trip (e2e/ddl.sql: bool, hex ids,
+    nullable numeric, bytes, const char flags) within Derby's type
+    system: JDBC write → export → Avro read-back preserves values,
+    NULLs, and binary payloads."""
+    import tempfile as _tf
+
+    dbdir = _tf.mkdtemp(prefix="derby_cx_") + "/db"
+    url = f"jdbc:derby:{dbdir};create=true"
+    df = spark.range(0, 500).selectExpr(
+        "id AS ROW_NUMBER",
+        "id % 3 > 0 AS BOOL_FIELD",
+        "md5(CAST(id AS STRING)) AS HEXID1",
+        "timestamp_millis(1262304000000 + id * 86400000) AS TIMESTAMP1",
+        "CASE WHEN id % 5 = 0 THEN NULL "
+        "ELSE CAST(id AS DECIMAL(10,2)) * 1.99 END AS NUMERIC_FIELD",
+        "'const' AS FLAG1",
+        "CAST(CONCAT('bin_', id) AS BINARY) AS BYTES_FIELD",
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("user", "dbeam")
+        .option("dbtable", "DEMO_TABLE")
+        .mode("overwrite")
+        .save()
+    )
+    out = tmp_path / "complex"
+    metrics = run_export(
+        spark,
+        JdbcExportOptions(
+            connectionUrl=f"jdbc:derby:{dbdir}",
+            table="DEMO_TABLE",
+            output=str(out),
+            username="dbeam",
+            skipPartitionCheck=True,
+        ),
+    )
+    assert metrics["recordCount"] == 500
+    rows = sorted(read_all(out))
+    assert len(rows) == 500
+    r0, r6 = rows[0], rows[6]
+    assert r0[0] == 0 and r0[1] is False
+    assert len(r0[2]) == 32  # md5 hex id
+    assert r0[4] is None  # id=0: NULL numeric
+    assert r6[4] is not None and "11.94" in str(r6[4])
+    assert r0[5] == "const"
+    assert bytes(r0[6]) == b"bin_0"
