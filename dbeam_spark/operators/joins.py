@@ -63,19 +63,22 @@ def interval_join(
     too small multiplies the interval side, too large widens the
     candidate set the residual filter must discard.
 
-    Bucket ids come from epoch seconds (timezone-independent).
+    Bucket ids come from epoch MICROseconds (timezone-independent;
+    whole-second truncation would drop the final bucket of an
+    interval whose sub-second end crosses a bucket boundary).
     """
-    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
-    i_lo = F.unix_timestamp(F.col(lo))
-    i_hi = F.unix_timestamp(F.col(hi))
+    us = bucket_seconds * 1_000_000
+    p_bucket = F.floor(F.unix_micros(F.col(point_ts)) / us)
+    i_lo = F.unix_micros(F.col(lo))
+    i_hi = F.unix_micros(F.col(hi))
     exploded = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(i_lo / bucket_seconds),
+                F.floor(i_lo / us),
                 # hi is exclusive: an interval ending exactly on a
                 # bucket boundary does not cover that bucket
-                F.floor((i_hi - 1) / bucket_seconds),
+                F.floor((i_hi - 1) / us),
             )
         ),
     )

@@ -900,7 +900,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
     )
     SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
-           ROUND(cost, 4) AS unit_cost
+           CAST(ROUND(cost * 10000) AS BIGINT) AS unit_cost_x10k
     FROM costs WHERE cost = min_cost
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     """,
@@ -914,7 +914,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated MIN subquery of textbook Q2 becomes one window MIN
     over p_partkey — at 100 TB that is a single shuffle on partkey
-    instead of a per-row subquery; all four dims broadcast."""
+    instead of a per-row subquery; all four dims broadcast.
+
+    unit_cost is reported ×10⁴ as an integer: ROUND(x, 4) on a
+    division result can land on decimal ties that the two engines'
+    rounding sees on opposite sides (shortest-repr HALF_UP vs float
+    multiply-round); ROUND to an integer only ties on exactly-
+    representable .5 doubles, which both engines round identically."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     supp = _t(spark, sf_dir, "supplier")
@@ -937,7 +943,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("cost", 4).alias("unit_cost"),
+            F.round(F.col("cost") * 10000)
+            .cast("long")
+            .alias("unit_cost_x10k"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
     )
