@@ -233,3 +233,112 @@ def file_pruning_stats(
         "rows_scanned_upper_bound": kept_rows,
         "pruned_fraction": round(1 - kept_rg / total_rg, 4) if total_rg else 0.0,
     }
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_col: str,
+    partition_col: str,
+    when_matched: str = "update",
+    delete_col: str | None = None,
+) -> dict:
+    """SQL MERGE semantics onto a hive-partitioned parquet table
+    (Delta/Iceberg's MERGE INTO without the table format):
+
+    - not matched            → insert the source row
+    - matched                → `when_matched`: "update" (source wins)
+                               or "ignore" (target wins)
+    - matched & delete flag  → delete the target row (CDC tombstones:
+                               `delete_col` names a boolean source
+                               column; those rows are never inserted)
+
+    The atomic rewrite unit is the PARTITION (dynamic overwrite):
+    only partitions named by the source batch are read, merged, and
+    rewritten — at 100 TB a date-partitioned table merges a daily CDC
+    batch touching a handful of partitions, never the full table.
+    A source key may move partitions (e.g. a corrected event date):
+    both the old and new partition are rewritten because the anti-join
+    removes the key wherever it lived among touched partitions — keys
+    moving from an UNtouched partition require including that
+    partition's value in the batch (standard CDC contract).
+
+    Returns {inserted, updated_or_kept, deleted} row counts.
+    """
+    from pyspark.sql import functions as F
+
+    tombstones = None
+    if delete_col is not None:
+        tombstones = source.filter(F.col(delete_col)).select(key_col)
+        source = source.filter(~F.col(delete_col)).drop(delete_col)
+
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        touched = [
+            r[0] for r in source.select(partition_col).distinct().collect()
+        ]
+        if tombstones is not None:
+            # a tombstone's partition must also be rewritten
+            tomb_parts = (
+                spark.read.parquet(path)
+                .join(F.broadcast(tombstones), key_col, "left_semi")
+                .select(partition_col)
+                .distinct()
+            )
+            touched = list(
+                {*touched, *[r[0] for r in tomb_parts.collect()]}
+            )
+        try:
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col(partition_col).isin(touched))
+                .select(*source.columns)
+            )
+        except Exception:
+            existing = None
+
+        stats = {"inserted": 0, "updated_or_kept": 0, "deleted": 0}
+        if existing is None:
+            merged = source
+            stats["inserted"] = source.count()
+        else:
+            if tombstones is not None:
+                n0 = existing.count()
+                existing = existing.join(
+                    F.broadcast(tombstones), key_col, "left_anti"
+                )
+                stats["deleted"] = n0 - existing.count()
+            matched_keys = existing.join(
+                source.select(key_col), key_col, "left_semi"
+            )
+            n_matched = matched_keys.count()
+            if when_matched == "update":
+                keep = existing.join(
+                    source.select(key_col), key_col, "left_anti"
+                )
+                merged = keep.unionByName(source)
+                stats["updated_or_kept"] = n_matched
+                stats["inserted"] = source.count() - n_matched
+            elif when_matched == "ignore":
+                new_rows = source.join(
+                    existing.select(key_col), key_col, "left_anti"
+                )
+                merged = existing.unionByName(new_rows)
+                stats["inserted"] = new_rows.count()
+                stats["updated_or_kept"] = n_matched
+            else:
+                raise ValueError(
+                    f"when_matched must be update|ignore: {when_matched}"
+                )
+        merged.write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+        return stats
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )

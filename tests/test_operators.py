@@ -721,3 +721,50 @@ def test_file_pruning_stats_zorder_beats_linear(spark, tmp_path):
     # correctness: surviving rows must cover every matching row
     matching = df.filter("b BETWEEN 0 AND 24").count()
     assert z["rows_scanned_upper_bound"] >= matching
+
+
+def test_merge_into_semantics(spark, tmp_path):
+    """MERGE INTO on partitioned parquet: insert / update / ignore /
+    tombstone-delete clauses, partition-scoped rewrites."""
+    from dbeam_spark.operators.bucketing import merge_into
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "k long, v string, part string",
+    )
+    base.write.partitionBy("part").parquet(path)
+
+    # update k=2, insert k=4, delete k=3
+    src = spark.createDataFrame(
+        [(2, "B", "p1", False), (4, "d", "p2", False), (3, "", "p2", True)],
+        "k long, v string, part string, is_deleted boolean",
+    )
+    stats = merge_into(
+        spark, path, src, key_col="k", partition_col="part",
+        delete_col="is_deleted",
+    )
+    got = {
+        (r.k, r.v, r.part)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", "p1"), (2, "B", "p1"), (4, "d", "p2")}
+    assert stats == {"inserted": 1, "updated_or_kept": 1, "deleted": 1}
+
+    # when_matched=ignore: existing row wins, new key still inserts
+    src2 = spark.createDataFrame(
+        [(2, "zzz", "p1"), (5, "e", "p1")], "k long, v string, part string"
+    )
+    stats2 = merge_into(
+        spark, path, src2, key_col="k", partition_col="part",
+        when_matched="ignore",
+    )
+    got2 = {
+        (r.k, r.v) for r in spark.read.parquet(path).filter("part='p1'").collect()
+    }
+    assert got2 == {(1, "a"), (2, "B"), (5, "e")}
+    assert stats2["inserted"] == 1 and stats2["updated_or_kept"] == 1
+
+    # untouched partition p2 files were not rewritten by the p1-only merge
+    import glob as _g
+    assert len(_g.glob(path + "/part=p2/*.parquet")) >= 1
