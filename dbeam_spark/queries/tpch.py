@@ -2368,3 +2368,80 @@ def priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(
+               l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (
+               ORDER BY cents DESC, l_partkey
+             ) AS cum_cents,
+             SUM(cents) OVER () AS total_cents
+      FROM pr
+    )
+    SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           FLOOR(SUM(cents) * 10000 / MAX(total_cents)) / 10000.0 + 0.0
+             AS revenue_share
+    FROM ranked
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification of parts (A = first 80% of
+    cumulative revenue, B = to 95%, C = tail): the inventory-
+    stratification shape. The expensive step is the per-part cent-
+    exact aggregate (shuffles once on partkey, map-side combinable);
+    the running-share window then ranks |parts| rows — the already-
+    reduced dimension cardinality, NOT the fact table, so the global
+    ordering is acceptable even at 100 TB (and integer-math class
+    boundaries keep every engine on the same side of each cut)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    w_cum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = pr.withColumn("cum_cents", F.sum("cents").over(w_cum)).withColumn(
+        "total_cents", F.sum("cents").over(w_all)
+    )
+    cls = (
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+        )
+        .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            (
+                F.floor(
+                    F.sum("cents") * 10000 / F.max("total_cents")
+                )
+                / 10000.0
+                + 0.0
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
