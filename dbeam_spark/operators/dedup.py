@@ -370,16 +370,29 @@ def minhash_lsh_pairs(
         minhash_signatures_maponly(docs, id_col, text_col, n)
     ).cache()
     cand.count()
-    ids = (
+    id_rows = (
         cand.select(F.col("id_a").alias("cid"))
         .unionByName(cand.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    sh_c = (
-        shingle_table(docs, id_col, text_col, n)
-        .join(F.broadcast(ids), F.col("sid") == F.col("cid"), "left_semi")
-        .cache()
-    )
+    # Small candidate sets (the near-dup regime) collect to an IN
+    # filter that rides the parquet scan (PushedFilters) — the verify
+    # pass then READS only candidate docs. Degenerate corpora with
+    # huge candidate sets fall back to a broadcast semi-join.
+    id_list = [r[0] for r in id_rows.limit(100_001).collect()]
+    if len(id_list) <= 100_000:
+        cand_docs = docs.filter(F.col(id_col).isin(id_list))
+        sh_c = shingle_table(cand_docs, id_col, text_col, n).cache()
+    else:
+        sh_c = (
+            shingle_table(docs, id_col, text_col, n)
+            .join(
+                F.broadcast(id_rows),
+                F.col("sid") == F.col("cid"),
+                "left_semi",
+            )
+            .cache()
+        )
     sizes = sh_c.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
     return _verified_jaccard(cand, sh_c, sizes, threshold)
 
