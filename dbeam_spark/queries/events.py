@@ -383,15 +383,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity baseline joined back onto the raw stream). Baselines
     are rounded to 4dp in BOTH engines BEFORE the threshold compare,
     so the cut uses identical inputs. Two passes over events, both
-    shuffled on user_id — AQE reuses the exchange; baseline table is
-    |users| rows, broadcast back."""
+    shuffled on user_id — AQE reuses the exchange. The baseline table
+    is |users| rows, which SCALES with the data, so it is not
+    force-broadcast: AQE promotes it from runtime size when small."""
     ev = _events(spark, sf_dir)
     stats = ev.groupBy(F.col("user_id").alias("su")).agg(
         F.round(F.avg("value"), 4).alias("mu"),
         F.round(F.stddev_samp("value"), 4).alias("sigma"),
     )
     return (
-        ev.join(F.broadcast(stats), ev.user_id == F.col("su"))
+        ev.join(stats, ev.user_id == F.col("su"))
         .filter(
             (F.col("sigma") > 0)
             & (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))

@@ -391,9 +391,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        orders.join(
-            F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
-        )
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
