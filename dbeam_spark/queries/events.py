@@ -733,3 +733,58 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_value_slo",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(quantile_cont(cents, 0.5)) AS BIGINT) AS p50_x100,
+           CAST(ROUND(quantile_cont(cents, 0.95)) AS BIGINT) AS p95_x100,
+           CAST(ROUND(quantile_cont(cents, 0.99)) AS BIGINT) AS p99_x100,
+           CAST(SUM(CASE WHEN cents > 9000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_breaching,
+           FLOOR(SUM(CASE WHEN cents > 9000 THEN 1 ELSE 0 END)
+                 * 10000 / COUNT(*)) / 10000.0 + 0.0 AS breach_rate
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO percentile-band monitor per event type (the latency-SLI
+    shape: p50/p95/p99 plus the share of events breaching a fixed
+    threshold). Values quantize to integer hundredths BEFORE the
+    percentile, so interpolation runs on exact integers in both
+    engines; the breach rate is integer math. One shuffle on the tiny
+    event_type key; map-side partials carry the counts."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    breach = F.sum(F.when(F.col("cents") > 9000, 1).otherwise(0))
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(ROUND(percentile(cents, 0.5)) AS LONG)").alias(
+                "p50_x100"
+            ),
+            F.expr("CAST(ROUND(percentile(cents, 0.95)) AS LONG)").alias(
+                "p95_x100"
+            ),
+            F.expr("CAST(ROUND(percentile(cents, 0.99)) AS LONG)").alias(
+                "p99_x100"
+            ),
+            breach.cast("long").alias("n_breaching"),
+            (
+                F.floor(breach * 10000 / F.count(F.lit(1))) / 10000.0 + 0.0
+            ).alias("breach_rate"),
+        )
+        .orderBy("event_type")
+    )
