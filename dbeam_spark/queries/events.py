@@ -788,3 +788,54 @@ def events_value_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           max_by(v.event_id,
+                  printf('%020d-%020d', epoch_us(v.ts), v.event_id))
+             AS matched_view_id
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view'
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join through the GENERIC asof_join
+    operator (operators/joins.py): each purchase matched to the
+    latest view at most 2 hours old — merge_asof semantics with a
+    staleness cap, the market-data/feature-store lookup shape. The
+    operator's union + running-window plan shuffles once on user_id;
+    the oracle's inequality join is only the semantic spec."""
+    from dbeam_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        direction="backward",
+        tolerance_seconds=7200,
+        payload=["view_id"],
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("view_id").alias("matched_view_id"),
+    ).orderBy("purchase_id")
