@@ -2446,3 +2446,72 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "supplier_concentration",
+    oracle="""
+    WITH sr AS (
+      SELECT s_nationkey,
+             l_suppkey,
+             CAST(SUM(CAST(ROUND(
+               l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, l_suppkey, cents,
+             SUM(cents) OVER (PARTITION BY s_nationkey) AS nat_cents
+      FROM sr
+    )
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           CAST(SUM(CAST(FLOOR(
+             (cents * 10000.0 / nat_cents)
+             * (cents * 10000.0 / nat_cents) / 100) AS BIGINT))
+             AS BIGINT) AS hhi_x100
+    FROM tot JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation: the Herfindahl-
+    Hirschman index from each supplier's revenue share (procurement-
+    risk analytics; HHI > 2500 flags concentrated supply). Shares come
+    from exact cent sums; each share² term is floor-quantized BEFORE
+    summing, so the index is bit-identical across engines (the raw
+    float sum would be order-dependent). Shuffles: the per-supplier
+    cent rollup, then windows/aggs over the reduced |suppliers| rows;
+    the nation name join is a bounded-dim broadcast."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    sr = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    tot = sr.withColumn("nat_cents", F.sum("cents").over(w))
+    share_x10k = F.col("cents") * 10000.0 / F.col("nat_cents")
+    term = F.floor(share_x10k * share_x10k / 100).cast("long")
+    return (
+        tot.join(
+            F.broadcast(nation), tot.s_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.sum(term).cast("long").alias("hhi_x100"),
+        )
+        .orderBy("n_name")
+    )
