@@ -1461,3 +1461,60 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "source_quality_report",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(ROUND(ROUND(
+               least(length(text) / 500.0, 1.0) * 0.5
+               + CASE WHEN (length(text)
+                            - (len(string_split_regex(lower(text), '\\s+')) - 1))
+                           * 1.0 / len(string_split_regex(lower(text), '\\s+'))
+                           BETWEEN 3 AND 8
+                      THEN 1.0 ELSE 0.5 END * 0.3
+               + (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+                  * 1.0 / length(text)) * 0.2, 4) * 10000) AS BIGINT)
+               AS q_x10k
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q_x10k) AS BIGINT) AS quality_sum_x10k,
+           CAST(SUM(CASE WHEN q_x10k >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_quality,
+           FLOOR(SUM(CASE WHEN q_x10k >= 8000 THEN 1 ELSE 0 END)
+                 * 10000 / COUNT(*)) / 10000.0 + 0.0 AS high_quality_share
+    FROM m
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dashboard per source feed: total docs, summed quality
+    mass, and the share of high-quality (≥0.8) documents — the view
+    that decides which feeds to up/down-sample in the training mix.
+    Each doc's 4dp quality score quantizes to an exact ×10⁴ integer
+    BEFORE aggregation, so sums, thresholds, and shares are pure
+    integer math in both engines. Map-only scoring + one tiny groupBy
+    on source."""
+    docs = _docs(spark, sf_dir)
+    q_x10k = F.round(text.quality_score(F.col("text")) * 10000).cast(
+        "long"
+    )
+    high = F.sum(F.when(F.col("q_x10k") >= 8000, 1).otherwise(0))
+    return (
+        docs.select("source", q_x10k.alias("q_x10k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_x10k").cast("long").alias("quality_sum_x10k"),
+            high.cast("long").alias("n_high_quality"),
+            (
+                F.floor(high * 10000 / F.count(F.lit(1))) / 10000.0 + 0.0
+            ).alias("high_quality_share"),
+        )
+        .orderBy("source")
+    )
