@@ -839,3 +839,43 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("view_id").alias("matched_view_id"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "events_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (the capacity-
+    planning / load-shaping dashboard view). ISO day numbering in
+    both engines (Mon=1); exact counts, one shuffle on the 168-cell
+    key space — map-side partials collapse almost everything."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("_dow_sun1"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            # Spark dayofweek is Sun=1; convert to ISO Mon=1
+            (((F.col("_dow_sun1") + 5) % 7) + 1)
+            .cast("long")
+            .alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("dow", "hour")
+    )

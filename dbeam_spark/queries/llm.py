@@ -1518,3 +1518,54 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_savings",
+    oracle="""
+    WITH fps AS (
+      SELECT source, md5(text) AS fp,
+             COUNT(*) AS n,
+             CAST(MIN(n_chars) AS BIGINT) AS keep_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS all_chars
+      FROM documents
+      GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(all_chars) AS BIGINT) AS raw_chars,
+           CAST(SUM(keep_chars) AS BIGINT) AS deduped_chars,
+           CAST(SUM(all_chars) - SUM(keep_chars) AS BIGINT) AS saved_chars,
+           FLOOR((SUM(all_chars) - SUM(keep_chars)) * 10000
+                 / SUM(all_chars)) / 10000.0 + 0.0 AS savings_rate
+    FROM fps
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/compute savings from exact dedup per source feed: raw
+    vs post-dedup character volume and the savings rate — the
+    cost-justification view for running dedup at all (identical
+    copies share one fingerprint; one survives). Two map-side-
+    combinable aggregation levels, integer math throughout."""
+    docs = _docs(spark, sf_dir)
+    fps = docs.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).agg(
+        F.min("n_chars").cast("long").alias("keep_chars"),
+        F.sum("n_chars").cast("long").alias("all_chars"),
+    )
+    saved = F.sum("all_chars") - F.sum("keep_chars")
+    return (
+        fps.groupBy("source")
+        .agg(
+            F.sum("all_chars").cast("long").alias("raw_chars"),
+            F.sum("keep_chars").cast("long").alias("deduped_chars"),
+            saved.cast("long").alias("saved_chars"),
+            (
+                F.floor(saved * 10000 / F.sum("all_chars")) / 10000.0
+                + 0.0
+            ).alias("savings_rate"),
+        )
+        .orderBy("source")
+    )
