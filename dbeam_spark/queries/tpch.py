@@ -2515,3 +2515,64 @@ def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "brand_price_position",
+    oracle="""
+    WITH p AS (
+      SELECT p_brand, p_type,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    type_med AS (
+      SELECT p_type,
+             CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT)
+               AS type_median_x2
+      FROM p GROUP BY p_type
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT)
+             AS brand_median_x2,
+           CAST(SUM(CASE WHEN cents * 2 > type_median_x2
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_type_median
+    FROM p JOIN type_med USING (p_type)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def brand_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-architecture view: each brand's median retail price and
+    how many of its parts sit above their TYPE's median — the
+    premium-vs-value positioning matrix. Cent-quantized prices make
+    the interpolated medians exact (×2 keeps half-way values
+    integral); the type-median table is a bounded-dim broadcast
+    joined back onto the part scan."""
+    part = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    p = part.select("p_brand", "p_type", cents.alias("cents"))
+    type_med = p.groupBy("p_type").agg(
+        F.expr("CAST(ROUND(percentile(cents, 0.5) * 2) AS LONG)").alias(
+            "type_median_x2"
+        )
+    )
+    return (
+        p.join(F.broadcast(type_med), "p_type")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr(
+                "CAST(ROUND(percentile(cents, 0.5) * 2) AS LONG)"
+            ).alias("brand_median_x2"),
+            F.sum(
+                F.when(
+                    F.col("cents") * 2 > F.col("type_median_x2"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_above_type_median"),
+        )
+        .orderBy("p_brand")
+    )
