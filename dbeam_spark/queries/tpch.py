@@ -2576,3 +2576,129 @@ def brand_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "trade_flow_matrix",
+    oracle="""
+    SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+           COUNT(*) AS n_lineitems,
+           ROUND(CAST(SUM(CAST(ROUND(
+             l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-region × supplier-region trade-flow matrix (q7
+    generalized to ALL region pairs — the import/export overview).
+    One orders⋈lineitem fact shuffle; customer joins key-partitioned
+    (AQE promotes at small SF); the nation→region chain pre-collapses
+    to a nationkey→region map on the driver-side bounded dims before
+    touching facts, so only TWO broadcast lookups ride the fact rows.
+    Cent-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nat_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("nk"), F.col("r_name"))
+    cust_r = cust.join(
+        F.broadcast(nat_region), cust.c_nationkey == F.col("nk")
+    ).select("c_custkey", F.col("r_name").alias("cust_region"))
+    supp_r = supp.join(
+        F.broadcast(nat_region), supp.s_nationkey == F.col("nk")
+    ).select("s_suppkey", F.col("r_name").alias("supp_region"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_r, orders.o_custkey == cust_r.c_custkey)
+        .join(F.broadcast(supp_r), li.l_suppkey == supp_r.s_suppkey)
+        .groupBy("cust_region", "supp_region")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("cust_region", "supp_region")
+    )
+
+
+@register(
+    "power_users_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents, n_orders,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             COUNT(*) OVER () AS n_cust,
+             SUM(cents) OVER () AS total_cents
+      FROM per_cust
+    )
+    SELECT CAST(SUM(CASE WHEN rk * 10 <= n_cust THEN 1 ELSE 0 END)
+                AS BIGINT) AS top_decile_customers,
+           FLOOR(SUM(CASE WHEN rk * 10 <= n_cust THEN cents ELSE 0 END)
+                 * 10000 / MAX(total_cents)) / 10000.0 + 0.0
+             AS top_decile_revenue_share,
+           FLOOR(SUM(CASE WHEN rk * 2 <= n_cust THEN cents ELSE 0 END)
+                 * 10000 / MAX(total_cents)) / 10000.0 + 0.0
+             AS top_half_revenue_share
+    FROM ranked
+    """,
+)
+def power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: what share of revenue
+    the top-decile and top-half customers carry — the whale-detection
+    dashboard number. The ranking window runs over the REDUCED
+    per-customer rollup (|customers| rows, not orders); deterministic
+    rank tie-break on custkey, integer-math shares."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w_rank = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = (
+        per_cust.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_cust", F.count(F.lit(1)).over(w_all))
+        .withColumn("total_cents", F.sum("cents").over(w_all))
+    )
+    in_decile = F.when(F.col("rk") * 10 <= F.col("n_cust"), F.col("cents")).otherwise(0)
+    in_half = F.when(F.col("rk") * 2 <= F.col("n_cust"), F.col("cents")).otherwise(0)
+    return ranked.agg(
+        F.sum(F.when(F.col("rk") * 10 <= F.col("n_cust"), 1).otherwise(0))
+        .cast("long")
+        .alias("top_decile_customers"),
+        (
+            F.floor(F.sum(in_decile) * 10000 / F.max("total_cents"))
+            / 10000.0
+            + 0.0
+        ).alias("top_decile_revenue_share"),
+        (
+            F.floor(F.sum(in_half) * 10000 / F.max("total_cents"))
+            / 10000.0
+            + 0.0
+        ).alias("top_half_revenue_share"),
+    )
