@@ -879,3 +879,46 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@register(
+    "events_type_share_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, CAST(n AS BIGINT) AS n_events,
+           FLOOR(n * 10000 / SUM(n) OVER (PARTITION BY day)) / 10000.0
+             + 0.0 AS day_share
+    FROM daily
+    ORDER BY day, event_type
+    """,
+)
+def events_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix composition over time: each type's share of its
+    day's traffic — the stream-drift twin of priority_drift (a feed
+    silently changing mix shows up as share curves bending). The
+    share window runs over the already-reduced |days × types| rows;
+    integer-math shares."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day")
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            (
+                F.floor(F.col("n") * 10000 / F.sum("n").over(w)) / 10000.0
+                + 0.0
+            ).alias("day_share"),
+        )
+        .orderBy("day", "event_type")
+    )
