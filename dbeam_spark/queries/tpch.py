@@ -2702,3 +2702,104 @@ def power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("top_half_revenue_share"),
     )
+
+
+@register(
+    "order_size_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_items,
+             CAST(SUM(CAST(ROUND(
+               l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN n_items <= 2 THEN '1-2'
+                WHEN n_items <= 4 THEN '3-4'
+                ELSE '5+' END AS basket_band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(n_items) AS BIGINT) AS n_items,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           CAST(FLOOR(SUM(cents * 2) / SUM(n_items)) AS BIGINT)
+             AS avg_item_cents_x2
+    FROM per_order
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def order_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders and revenue by line-count
+    band, plus average item value per band (merchandising view). The
+    banding runs over the per-order rollup (map-side combinable);
+    the per-band average is FLOOR of the same IEEE quotient of exact
+    cent sums in both engines (a bare CAST would truncate in Spark
+    but round in DuckDB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum(cents).alias("cents")
+    )
+    band = (
+        F.when(F.col("n_items") <= 2, "1-2")
+        .when(F.col("n_items") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return (
+        per_order.groupBy(band.alias("basket_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.floor(F.sum(F.col("cents") * 2) / F.sum("n_items"))
+            .cast("long")
+            .alias("avg_item_cents_x2"),
+        )
+        .orderBy("basket_band")
+    )
+
+
+@register(
+    "supplier_dependency",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CASE WHEN n_suppliers = 1 THEN 'single-source'
+                WHEN n_suppliers <= 3 THEN 'dual-to-triple'
+                ELSE 'diversified' END AS sourcing_band,
+           COUNT(*) AS n_parts,
+           CAST(MIN(n_suppliers) AS BIGINT) AS min_suppliers,
+           CAST(MAX(n_suppliers) AS BIGINT) AS max_suppliers
+    FROM ps
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply-risk report: parts banded by how many
+    distinct suppliers have shipped them (procurement's
+    diversification checklist). The distinct count comes from a
+    (part, supplier) pre-aggregation — one shuffle of reduced pairs,
+    no countDistinct row expansion — then a tiny banding rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(F.lit(1).alias("_x"))
+    ps = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    band = (
+        F.when(F.col("n_suppliers") == 1, "single-source")
+        .when(F.col("n_suppliers") <= 3, "dual-to-triple")
+        .otherwise("diversified")
+    )
+    return (
+        ps.groupBy(band.alias("sourcing_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("n_suppliers").cast("long").alias("min_suppliers"),
+            F.max("n_suppliers").cast("long").alias("max_suppliers"),
+        )
+        .orderBy("sourcing_band")
+    )
