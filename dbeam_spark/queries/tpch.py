@@ -2803,3 +2803,63 @@ def supplier_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sourcing_band")
     )
+
+
+@register(
+    "completeness_audit",
+    oracle="""
+    SELECT 'orders' AS tbl, 'o_custkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_totalprice', COUNT(*),
+           COUNT(*) - COUNT(o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', COUNT(*),
+           COUNT(*) - COUNT(l_orderkey) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_extendedprice', COUNT(*),
+           COUNT(*) - COUNT(l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'customer', 'c_mktsegment', COUNT(*),
+           COUNT(*) - COUNT(c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'events', 'props', COUNT(*),
+           COUNT(*) - COUNT(props) FROM events
+    UNION ALL
+    SELECT 'documents', 'text', COUNT(*),
+           COUNT(*) - COUNT(text) FROM documents
+    ORDER BY tbl, col
+    """,
+)
+def completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table completeness (NULL-rate) audit over the load-
+    bearing columns of the star schema — the DQ monitor that pairs
+    with integrity_audit (referential) and priority_drift
+    (distributional). Each table contributes one partial-aggregated
+    count pass; the union is rows-per-column tiny. At 100 TB each
+    branch is a single map-side-combinable scan — no shuffle carries
+    more than one row per column audited."""
+    specs = [
+        ("orders", ["o_custkey", "o_totalprice"]),
+        ("lineitem", ["l_orderkey", "l_extendedprice"]),
+        ("customer", ["c_mktsegment"]),
+        ("events", ["props"]),
+        ("documents", ["text"]),
+    ]
+    out = None
+    for tbl, cols in specs:
+        df = _t(spark, sf_dir, tbl)
+        for col in cols:
+            branch = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                "n_rows",
+                "n_nulls",
+            )
+            out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("tbl", "col")
