@@ -1521,21 +1521,23 @@ def fuzzy_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ranking windows (ntile quartiles + cume_dist) over a
-    UNIQUE total order (ties broken by key) so bucket edges are
-    engine-exact. Scale note: a global ORDER BY window is a single
-    range-partitioned sort — fine for dimension-sized tables; for
-    fact-sized ranking switch to approx quantile cut points and a
-    broadcast bucketizer (percentile_prices shows the exact-quantile
-    building block)."""
-    cust = _t(spark, sf_dir, "customer")
-    from pyspark.sql import Window
+    """ntile quartiles + cume_dist over a UNIQUE total order (ties
+    broken by key) so bucket edges are engine-exact — computed WITHOUT
+    a global unpartitioned window. global_ranked range-partitions the
+    sort and folds per-partition offsets back, then ntile/cume_dist
+    are pure arithmetic on the exact rank: per-partition bounded
+    sorts, no single-task WindowExec, survives fact-scale input."""
+    from dbeam_spark.operators.ranking import global_ranked, ntile_from_rank
 
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    cust = _t(spark, sf_dir, "customer")
+    ranked, n = global_ranked(
+        cust.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(F.col("_rank"), n, 4).alias("quartile"),
+        F.round(F.col("_rank") / F.lit(n), 6).alias("cume"),
     ).orderBy("c_custkey")
 
 
@@ -1569,9 +1571,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. Scale note: the windows sort customers, not orders;
     for billions of customers swap ntile for approx-quantile cut
     points broadcast back."""
-    orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    from dbeam_spark.operators.ranking import global_ranked, ntile_from_rank
 
+    orders = _t(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.datediff(
             F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
@@ -1581,17 +1583,33 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary_raw"),
     )
-    wr = Window.orderBy("recency_days", "c_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "c_custkey")
-    wm = Window.orderBy(F.col("monetary_raw").desc(), "c_custkey")
-    return rfm.select(
+    # pin the rollup so the three rank passes don't rescan orders
+    from pyspark import StorageLevel
+
+    rfm = rfm.persist(StorageLevel.MEMORY_AND_DISK)
+    # three scale-safe global ranks (range-partitioned, no single-task
+    # window); each yields an ntile score joined back on the key
+    specs = [
+        ("r_score", [F.col("recency_days").asc(), F.col("c_custkey").asc()]),
+        ("f_score", [F.col("frequency").desc(), F.col("c_custkey").asc()]),
+        ("m_score", [F.col("monetary_raw").desc(), F.col("c_custkey").asc()]),
+    ]
+    out = rfm
+    for score_col, order in specs:
+        ranked, n = global_ranked(rfm, order, rank_col="_rank")
+        scores = ranked.select(
+            "c_custkey",
+            ntile_from_rank(F.col("_rank"), n, 4).alias(score_col),
+        )
+        out = out.join(scores, "c_custkey")
+    return out.select(
         "c_custkey",
         "recency_days",
         "frequency",
         F.round("monetary_raw", 2).alias("monetary"),
-        F.ntile(4).over(wr).cast("long").alias("r_score"),
-        F.ntile(4).over(wf).cast("long").alias("f_score"),
-        F.ntile(4).over(wm).cast("long").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).orderBy("c_custkey")
 
 
@@ -2668,36 +2686,33 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) report: what share of revenue
     the top-decile and top-half customers carry — the whale-detection
-    dashboard number. The ranking window runs over the REDUCED
-    per-customer rollup (|customers| rows, not orders); deterministic
-    rank tie-break on custkey, integer-math shares."""
-    from pyspark.sql import Window
+    dashboard number. The global revenue rank comes from the
+    range-partitioned global_ranked operator (no single-task window);
+    deterministic rank tie-break on custkey, integer-math shares."""
+    from dbeam_spark.operators.ranking import global_ranked
 
     orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n_orders")
     )
-    w_rank = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = (
-        per_cust.withColumn("rk", F.row_number().over(w_rank))
-        .withColumn("n_cust", F.count(F.lit(1)).over(w_all))
-        .withColumn("total_cents", F.sum("cents").over(w_all))
+    ranked, n_cust = global_ranked(
+        per_cust, [F.col("cents").desc(), F.col("o_custkey").asc()],
+        rank_col="rk",
     )
-    in_decile = F.when(F.col("rk") * 10 <= F.col("n_cust"), F.col("cents")).otherwise(0)
-    in_half = F.when(F.col("rk") * 2 <= F.col("n_cust"), F.col("cents")).otherwise(0)
+    in_decile = F.when(F.col("rk") * 10 <= F.lit(n_cust), F.col("cents")).otherwise(0)
+    in_half = F.when(F.col("rk") * 2 <= F.lit(n_cust), F.col("cents")).otherwise(0)
     return ranked.agg(
-        F.sum(F.when(F.col("rk") * 10 <= F.col("n_cust"), 1).otherwise(0))
+        F.sum(F.when(F.col("rk") * 10 <= F.lit(n_cust), 1).otherwise(0))
         .cast("long")
         .alias("top_decile_customers"),
         (
-            F.floor(F.sum(in_decile) * 10000 / F.max("total_cents"))
+            F.floor(F.sum(in_decile) * 10000 / F.sum("cents"))
             / 10000.0
             + 0.0
         ).alias("top_decile_revenue_share"),
         (
-            F.floor(F.sum(in_half) * 10000 / F.max("total_cents"))
+            F.floor(F.sum(in_half) * 10000 / F.sum("cents"))
             / 10000.0
             + 0.0
         ).alias("top_half_revenue_share"),

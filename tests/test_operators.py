@@ -768,3 +768,65 @@ def test_merge_into_semantics(spark, tmp_path):
     # untouched partition p2 files were not rewritten by the p1-only merge
     import glob as _g
     assert len(_g.glob(path + "/part=p2/*.parquet")) >= 1
+
+
+def test_global_ranked_matches_window_row_number(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.ranking import global_ranked, ntile_from_rank
+
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.hash(F.col("id")) % 1000).alias("v"),
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    ranked, n = global_ranked(df, order, num_partitions=7)
+    assert n == 997
+    got = {
+        r["id"]: r["_rank"] for r in ranked.select("id", "_rank").collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    # ntile arithmetic matches the window ntile for several bucket counts
+    for k in (3, 4, 10):
+        nt = {
+            r["id"]: r["nt"]
+            for r in ranked.select(
+                "id", ntile_from_rank(F.col("_rank"), n, k).alias("nt")
+            ).collect()
+        }
+        ref = {
+            r["id"]: r["nt"]
+            for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
+        }
+        assert nt == ref, k
+
+
+def test_global_ranked_tiny_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.ranking import global_ranked, ntile_from_rank
+
+    tiny = spark.createDataFrame([(3,), (1,)], "x long")
+    ranked, n = global_ranked(tiny, [F.col("x").asc()], num_partitions=4)
+    assert n == 2
+    rows = {r["x"]: r["_rank"] for r in ranked.collect()}
+    assert rows == {1: 1, 3: 2}
+    # fewer rows than buckets: ntile gives bucket i to row i
+    nt = {
+        r["x"]: r["nt"]
+        for r in ranked.select(
+            "x", ntile_from_rank(F.col("_rank"), n, 4).alias("nt")
+        ).collect()
+    }
+    assert nt == {1: 1, 3: 2}
+
+    empty = tiny.filter("x > 100")
+    ranked_e, n_e = global_ranked(empty, [F.col("x").asc()])
+    assert n_e == 0 and ranked_e.count() == 0

@@ -59,6 +59,28 @@ def test_dedup_exact_single_exchange(spark):
     assert plan.count("Exchange") <= 2
 
 
+def _unpartitioned_windows(plan: str) -> list[str]:
+    # a partitioned Window line renders three bracket groups
+    # (`Window [exprs], [partSpec], [orderSpec]`); a global one only
+    # two — the single-task sort Spark warns about with
+    # `WindowExec: No Partition Defined`.
+    bad = []
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-: ")
+        if stripped.startswith("Window ") and stripped.count("], [") < 2:
+            bad.append(stripped)
+    return bad
+
+
+def test_no_global_window_in_data_scaled_queries(spark):
+    # these rank over per-customer grain (linear in the data): a
+    # global unpartitioned window here is a single-task sort that
+    # cannot survive a 100x scale-up. global_ranked replaces it.
+    for name in ("customer_quartiles", "rfm_segments", "power_users_pareto"):
+        plan = plan_of(spark, name)
+        assert not _unpartitioned_windows(plan), (name, _unpartitioned_windows(plan))
+
+
 def test_knn_bruteforce_is_map_only_scoring(spark):
     plan = plan_of(spark, "knn_bruteforce")
     # query vectors ship in the task closure and scoring is numpy via
