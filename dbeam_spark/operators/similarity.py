@@ -221,6 +221,7 @@ def embedding_dedup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (exact all-pairs) via blocked
     matrix multiply.
@@ -233,16 +234,25 @@ def embedding_dedup_pairs(
     Arrow-batched numpy matmul — one scan, no shuffle, no pair
     materialization.
 
-    100 TB note: when the comparison side no longer fits a broadcast,
-    pre-bucket both sides with random-hyperplane LSH and run this
-    same blocked matmul per bucket.
+    The broadcast path is SIZE-GATED: above `max_broadcast_rows`
+    (500k rows ≈ 256 MB of float64 at dim 64 — the practical driver/
+    broadcast ceiling) the exact all-pairs collect would OOM the
+    driver, so the operator falls through to the bucketed
+    random-hyperplane LSH path (`rh_lsh_embedding_pairs`: bucket join
+    + exact cosine verify, recall governed by the table/plane knobs,
+    precision 1.0) — the formulation that survives 100 TB.
     """
     import numpy as np
 
     d = _as_double(df, vec_col).select(
         F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
     )
-    rows = d.collect()  # comparison matrix: small by contract (see note)
+    n = d.count()
+    if n > max_broadcast_rows:
+        return rh_lsh_embedding_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col
+        )
+    rows = d.collect()  # comparison matrix: bounded by the gate above
     ids = np.array([r["pid"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)

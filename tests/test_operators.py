@@ -830,3 +830,24 @@ def test_global_ranked_tiny_and_empty(spark):
     empty = tiny.filter("x > 100")
     ranked_e, n_e = global_ranked(empty, [F.col("x").asc()])
     assert n_e == 0 and ranked_e.count() == 0
+
+
+def test_embedding_dedup_size_gate_falls_through_to_lsh(vectors):
+    # above max_broadcast_rows the exact driver-collect path is
+    # forbidden; the operator must route to the bucketed LSH path
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dedup_pairs(
+            vectors, 0.95, max_broadcast_rows=2
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.rh_lsh_embedding_pairs(vectors, 0.95).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_dedup_pairs(vectors, 0.95).collect()
+    }
+    assert gated == lsh
+    assert gated <= exact  # LSH precision is 1.0 (exact verify)
