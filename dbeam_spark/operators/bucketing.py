@@ -270,8 +270,11 @@ def merge_into(
 
     tombstones = None
     if delete_col is not None:
-        tombstones = source.filter(F.col(delete_col)).select(key_col)
-        source = source.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flags must not make rows vanish silently: coalesce to
+        # False so an unflagged row flows through the upsert path
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
+        tombstones = source.filter(flag).select(key_col)
+        source = source.filter(~flag).drop(delete_col)
 
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
@@ -334,9 +337,26 @@ def merge_into(
                 raise ValueError(
                     f"when_matched must be update|ignore: {when_matched}"
                 )
+        # dynamic overwrite only rewrites partitions PRESENT in
+        # `merged`: a touched partition whose rows were all deleted
+        # (or all migrated away) would otherwise survive on disk and
+        # resurface deleted rows — remove those directories explicitly
+        remaining = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
         merged.write.mode("overwrite").partitionBy(
             partition_col
         ).parquet(path)
+        emptied = [p for p in touched if p not in remaining and p is not None]
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for p in emptied:
+                part_dir = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{partition_col}={p}"
+                )
+                fs = part_dir.getFileSystem(hconf)
+                fs.delete(part_dir, True)
         return stats
     finally:
         spark.conf.set(

@@ -212,14 +212,28 @@ def asof_join(
     l_tagged = left.withColumn("_is_left", F.lit(1)).withColumn(
         "_ord", F.unix_micros(F.col(left_ts)) * (1 if backward else -1)
     )
-    r_tagged = right.withColumn("_is_left", F.lit(0)).withColumn(
-        "_ord", F.unix_micros(F.col(right_ts)) * (1 if backward else -1)
+    # deterministic tie-break for equal right_ts: merge_asof picks the
+    # LAST right row in input order going backward and the FIRST going
+    # forward, so carry a monotonic row id (sign-flipped like _ord)
+    # directly after _ord in the max-struct — without it the winner
+    # would be chosen by payload VALUES (greatest wins), which depends
+    # on payload column ordering
+    r_tagged = (
+        right.withColumn("_is_left", F.lit(0))
+        .withColumn(
+            "_ord", F.unix_micros(F.col(right_ts)) * (1 if backward else -1)
+        )
+        .withColumn(
+            "_tie",
+            F.monotonically_increasing_id() * (1 if backward else -1),
+        )
     )
     r_cols = [F.col(right_ts).alias("_r_ts")] + [
         F.col(c).alias(f"_r_{c}") for c in payload
     ]
     l_side = l_tagged.select(
         on, "_is_left", "_ord",
+        F.lit(None).cast("long").alias("_tie"),
         *[c for c in left.columns if c != on],
         *[F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts")],
         *[
@@ -228,7 +242,7 @@ def asof_join(
         ],
     )
     r_side = r_tagged.select(
-        on, "_is_left", "_ord",
+        on, "_is_left", "_ord", "_tie",
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -248,7 +262,7 @@ def asof_join(
     carry = F.max(
         F.when(
             F.col("_is_left") == 0,
-            F.struct("_ord", "_r_ts", *[f"_r_{c}" for c in payload]),
+            F.struct("_ord", "_tie", "_r_ts", *[f"_r_{c}" for c in payload]),
         )
     ).over(w)
     out = (

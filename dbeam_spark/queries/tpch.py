@@ -2189,8 +2189,8 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            COUNT(*) AS n_kept,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                 / 100.0 / COUNT(*), 2) + 0.0 AS trimmed_mean
+           CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      / COUNT(*)) AS BIGINT) AS trimmed_mean_cents
     FROM orders, bounds
     WHERE o_totalprice >= lo AND o_totalprice <= hi
     GROUP BY o_orderpriority
@@ -2203,7 +2203,10 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile pair is a 1-row scalar cross-joined back (broadcast
     nested loop on one row — map-only), so the fact table is scanned
     once more with a pushed-down range filter. Cent-quantized SUM
-    makes the mean summation-order exact before the single division."""
+    makes the mean summation-order exact, and the mean is emitted as
+    an integer-rounded cent value (ROUND on a fractional-scale
+    division result can tie-break differently across engines; integer
+    ROUND only ties on exactly-representable .5 doubles)."""
     orders = _t(spark, sf_dir, "orders")
     bounds = orders.agg(
         F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
@@ -2218,12 +2221,9 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            (
-                F.round(
-                    F.sum(cents) / 100.0 / F.count(F.lit(1)), 2
-                )
-                + 0.0
-            ).alias("trimmed_mean"),
+            F.round(F.sum(cents) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("trimmed_mean_cents"),
         )
         .orderBy("o_orderpriority")
     )

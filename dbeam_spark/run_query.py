@@ -67,9 +67,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.name not in ORACLES:
             summary["oracle"] = "rows-only (no SQL oracle registered)"
         else:
+            import os
+
             import duckdb
 
-            sys.path.insert(0, "tools")
+            tools_dir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools",
+            )
+            sys.path.insert(0, tools_dir)
             from check_correctness import canon_hash
 
             con = duckdb.connect()
@@ -82,8 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
             opdf = con.execute(ORACLES[args.name]).df()
             spdf = df.toPandas()
-            match = len(spdf) == len(opdf) and canon_hash(spdf) == canon_hash(
-                opdf
+            match = (
+                len(spdf) == len(opdf)
+                and sorted(spdf.columns) == sorted(opdf.columns)
+                and canon_hash(spdf) == canon_hash(opdf)
             )
             summary["oracle"] = "match" if match else "MISMATCH"
     print(json.dumps(summary))

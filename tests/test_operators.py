@@ -851,3 +851,86 @@ def test_embedding_dedup_size_gate_falls_through_to_lsh(vectors):
     }
     assert gated == lsh
     assert gated <= exact  # LSH precision is 1.0 (exact verify)
+
+
+def test_asof_join_duplicate_right_ts_ties(spark):
+    """Equal right_ts rows: backward carries the LAST right row in
+    input order, forward the FIRST — pandas.merge_asof semantics,
+    independent of payload values."""
+    import pandas as pd
+
+    from dbeam_spark.operators.joins import asof_join
+
+    lpdf = pd.DataFrame({
+        "k": [1, 1],
+        "lts": pd.to_datetime([100, 300], unit="s"),
+        "lval": [0, 1],
+    })
+    # three right rows share ts=100; payload values DESCEND so a
+    # payload-value max would pick the first row, not the last
+    rpdf = pd.DataFrame({
+        "k": [1, 1, 1, 1],
+        "rts": pd.to_datetime([100, 100, 100, 300], unit="s"),
+        "rval": [30, 20, 10, 5],
+    })
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                      direction=direction, payload=["rval"])
+            .orderBy("lval")
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            lpdf, rpdf, left_on="lts", right_on="rts", by="k",
+            direction=direction,
+        )
+        assert list(got["rval"]) == list(exp["rval"]), direction
+
+
+def test_merge_into_null_delete_flag_flows_to_upsert(spark, tmp_path):
+    from dbeam_spark.operators.bucketing import merge_into
+
+    path = str(tmp_path / "tbl_nullflag")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1")], "k long, v string, part string"
+    ).write.partitionBy("part").parquet(path)
+    # NULL is_deleted must behave like False (row upserts), not vanish
+    src = spark.createDataFrame(
+        [(2, "B", "p1", None), (3, "c", "p1", False)],
+        "k long, v string, part string, is_deleted boolean",
+    )
+    stats = merge_into(
+        spark, path, src, key_col="k", partition_col="part",
+        delete_col="is_deleted",
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert stats == {"inserted": 1, "updated_or_kept": 1, "deleted": 0}
+
+
+def test_merge_into_removes_fully_emptied_partition(spark, tmp_path):
+    import glob as _g
+
+    from dbeam_spark.operators.bucketing import merge_into
+
+    path = str(tmp_path / "tbl_empty")
+    spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "k long, v string, part string",
+    ).write.partitionBy("part").parquet(path)
+    # tombstone EVERY key in p1: dynamic overwrite alone would leave
+    # the p1 directory (and its deleted rows) on disk
+    src = spark.createDataFrame(
+        [(1, None, "p1", True), (2, None, "p1", True)],
+        "k long, v string, part string, is_deleted boolean",
+    )
+    stats = merge_into(
+        spark, path, src, key_col="k", partition_col="part",
+        delete_col="is_deleted",
+    )
+    assert stats["deleted"] == 2 and stats["inserted"] == 0
+    assert _g.glob(path + "/part=p1/*.parquet") == []
+    got = {(r.k, r.v, r.part) for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "c", "p2")}
