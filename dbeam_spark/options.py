@@ -73,7 +73,12 @@ class JdbcExportOptions:
                 "also be configured"
             )
         if self.arrayMode not in ("bytes", "typed_first_row", "typed_postgres"):
-            raise ValueError(f"Invalid arrayMode: {self.arrayMode}")
+            # ref options/ArrayHandlingMode.java:31-38 (same message)
+            raise ValueError(
+                f"Invalid value '{self.arrayMode}' for array handling "
+                "mode. Allowed values: "
+                "[bytes, typed_first_row, typed_postgres]"
+            )
 
 
 def _bool(v: str) -> bool:
@@ -88,7 +93,15 @@ def parse_args(argv: list[str]) -> JdbcExportOptions:
         if f_name == "preCommand":
             p.add_argument("--preCommand", action="append", default=[])
         elif isinstance(default, bool):
-            p.add_argument(f"--{f_name}", type=_bool, default=default)
+            # Beam PipelineOptions accepts both `--flag` and
+            # `--flag=true|false` — mirror that
+            p.add_argument(
+                f"--{f_name}",
+                type=_bool,
+                default=default,
+                nargs="?",
+                const=True,
+            )
         elif f_def.type in ("int", "int | None"):
             p.add_argument(f"--{f_name}", type=int, default=default)
         else:

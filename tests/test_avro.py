@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import glob
+import re
 
 import pytest
 from pyspark.sql import types as T
@@ -62,6 +63,53 @@ def test_nullable_array_items():
     avro = spark_schema_to_avro(_schema(), "tbl", nullable_array_items=True)
     tags = next(f for f in avro["fields"] if f["name"] == "tags")
     assert tags["type"][1]["items"] == ["null", "string"]
+
+
+def test_decimal_maps_to_string_like_reference_default():
+    """DECIMAL/NUMERIC has no row in docs/type-conversion.md: it falls
+    to the reference's default case (JdbcAvroSchema.java:318-324
+    `default: return field.stringType()`), with or without
+    --useAvroLogicalTypes — the reference defines no decimal
+    logicalType, so neither do we."""
+    schema = T.StructType([T.StructField("price", T.DecimalType(12, 2))])
+    for logical in (False, True):
+        avro = spark_schema_to_avro(schema, "tbl", use_logical_types=logical)
+        assert avro["fields"][0]["type"][1] == "string", logical
+
+
+def test_array_handling_mode_parity():
+    """Mirrors reference ArrayHandlingModeTest: all three published
+    values validate; an unknown one raises the reference's message.
+    In Spark the two typed modes coincide (Catalyst already carries
+    array item types, so no first-row probe / PG typname parse is
+    needed) — but the flag surface and error text match."""
+    import pytest
+
+    from dbeam_spark.options import JdbcExportOptions
+
+    for mode in ("bytes", "typed_first_row", "typed_postgres"):
+        JdbcExportOptions(
+            connectionUrl="jdbc:postgresql://h/db", table="t", arrayMode=mode
+        ).validate()
+        avro = spark_schema_to_avro(_schema(), "tbl", array_mode=mode)
+        tags = next(f for f in avro["fields"] if f["name"] == "tags")
+        expected = (
+            "bytes" if mode == "bytes"
+            else {"type": "array", "items": "string"}
+        )
+        assert tags["type"][1] == expected
+    with pytest.raises(
+        ValueError,
+        match=re.escape(
+            "Invalid value 'invalid' for array handling mode. "
+            "Allowed values: [bytes, typed_first_row, typed_postgres]"
+        ),
+    ):
+        JdbcExportOptions(
+            connectionUrl="jdbc:postgresql://h/db",
+            table="t",
+            arrayMode="invalid",
+        ).validate()
 
 
 def test_merge_input_schema_propagates_docs():

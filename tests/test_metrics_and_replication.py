@@ -57,3 +57,70 @@ def test_replication_validate_options():
         JdbcExportOptions(connectionUrl="jdbc:postgresql://h/db", partition="2025-01-01")
     )
     assert "pg_last_xact_replay_timestamp" in REPLICATION_QUERY
+
+
+def test_psql_avro_job_create_and_validate():
+    """Mirrors reference PsqlAvroJobTest.shouldCreatePsqlAvroJob: a
+    psql-shaped arg set parses and validates without touching the DB."""
+    from dbeam_spark.jobs.psql_avro_job import create
+
+    opts = create(
+        [
+            "--connectionUrl=jdbc:postgresql://fake",
+            "--table=foo",
+            "--partition=2025-02-28",
+            "--skipPartitionCheck",
+            "--output=/fake",
+        ]
+    )
+    assert opts.table == "foo"
+
+    # non-psql URL is rejected up front (PsqlReplicationCheck.validateOptions)
+    with pytest.raises(ValueError, match="PostgreSQL"):
+        create(
+            [
+                "--connectionUrl=jdbc:mysql://fake",
+                "--table=foo",
+                "--partition=2025-02-28",
+                "--output=/fake",
+            ]
+        )
+
+
+def test_psql_avro_job_delayed_replication_exits_20(monkeypatch, tmp_path):
+    """checkReplication gates the export: late replica -> NotReady exit
+    code 20 and run_export never runs (ref PsqlAvroJob.main:46-52)."""
+    from dbeam_spark.jobs import psql_avro_job
+
+    argv = [
+        "--connectionUrl=jdbc:postgresql://fake",
+        "--table=foo",
+        "--partition=2025-02-28",
+        "--skipPartitionCheck",
+        f"--output={tmp_path}/out",
+    ]
+    calls = []
+    monkeypatch.setattr(
+        psql_avro_job.replication,
+        "query_replication",
+        lambda spark, opts, password=None: datetime(
+            2025, 2, 28, 12, 0, tzinfo=timezone.utc
+        ),
+    )
+    monkeypatch.setattr(
+        psql_avro_job, "run_export", lambda s, o: calls.append(o) or {}
+    )
+    # replica replayed only to mid-partition: partition+P1D not covered
+    assert psql_avro_job.main(argv) == 20
+    assert calls == []
+
+    # replica past partition+period: export runs, exit 0
+    monkeypatch.setattr(
+        psql_avro_job.replication,
+        "query_replication",
+        lambda spark, opts, password=None: datetime(
+            2025, 3, 2, 0, 0, tzinfo=timezone.utc
+        ),
+    )
+    assert psql_avro_job.main(argv) == 0
+    assert len(calls) == 1
