@@ -438,3 +438,81 @@ def stream_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+def windowed_late_metrics(
+    stream_df,
+    name: str,
+    watermark_delay_seconds: int = 3600,
+) -> tuple[int, int, int]:
+    """Run `stream_df` (must carry an event-time `ts` column) to
+    completion and return exact out-of-order accounting:
+    (input_rows, late_rows, micro_batches).
+
+    A row is LATE when its event time is behind the watermark at the
+    batch it arrives in — watermark being max(event time seen in
+    PRIOR batches) − delay, Structured Streaming's own definition.
+    The ledger is kept driver-side in a foreachBatch sink (per batch:
+    one distributed aggregate, two scalars back) because the engine's
+    `numRowsDroppedByWatermark` metric is not populated for this
+    windowed-aggregation shape (Spark 4.1 aggregates the late row and
+    immediately evicts its window instead of pre-filtering it). This
+    is also exactly the production late-data side-output shape: the
+    same foreachBatch can route `ts < watermark` rows to a repair
+    sink instead of just counting them."""
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    state = {"max_ts": None, "late": 0, "input": 0, "batches": 0}
+
+    def ledger(batch_df, _batch_id: int) -> None:
+        state["batches"] += 1
+        wm = (
+            state["max_ts"] - timedelta(seconds=watermark_delay_seconds)
+            if state["max_ts"] is not None
+            else None
+        )
+        late_expr = (
+            F.sum((F.col("ts") < F.lit(wm)).cast("long"))
+            if wm is not None
+            else F.lit(0)
+        )
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("ts").alias("mx"),
+            late_expr.alias("late"),
+        ).collect()[0]
+        state["input"] += row["n"] or 0
+        state["late"] += row["late"] or 0
+        if row["mx"] is not None and (
+            state["max_ts"] is None or row["mx"] > state["max_ts"]
+        ):
+            state["max_ts"] = row["mx"]
+
+    q = (
+        stream_df.writeStream.foreachBatch(ledger)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["input"], state["late"], state["batches"]
+
+
+@register("stream_late_events")
+def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-event / watermark-drop report over the events stream
+    (rows-only: the metrics come from StreamingQueryProgress, which
+    SQL cannot express). The finite replay delivers the data file(s)
+    one per micro-batch followed by the far-future sentinel, so the
+    watermark advances between batches exactly as in a live stream;
+    rows older than watermark-delay when they arrive are counted as
+    dropped. drop-rate is the fraction of real events a continuous
+    pipeline would have to repair out-of-band."""
+    name = f"sle_{uuid.uuid4().hex[:8]}"
+    stream = _events_stream(spark, sf_dir, flush_sentinel=True)
+    n_input, dropped, _batches = windowed_late_metrics(stream, name)
+    n_real = max(n_input - 1, 0)  # exclude the sentinel marker row
+    rate = round(dropped / n_real, 6) if n_real else 0.0
+    return spark.createDataFrame(
+        [(n_real, dropped, rate)],
+        "n_events long, late_dropped long, drop_rate double",
+    )

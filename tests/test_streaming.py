@@ -91,3 +91,57 @@ def test_stream_upsert_sink(spark, tmp_path):
     again = spark.read.parquet(table)
     assert again.count() == n_users
     assert again.select("uid", "event_id").exceptAll(latest).count() == 0
+
+
+def test_windowed_late_metrics_counts_planted_late_rows(spark, tmp_path):
+    """Plant rows that arrive behind the watermark (file 2 is an hour
+    older than the watermark after file 1) and check the drop counter
+    surfaces exactly those rows."""
+    import glob
+    import os
+    import shutil
+    import uuid as _uuid
+    from datetime import datetime
+
+    from dbeam_spark.queries.streaming import windowed_late_metrics
+
+    schema_sql = (
+        "event_id long, user_id long, event_type string, "
+        "value double, props string, ts timestamp"
+    )
+
+    def mk(ts_hour: int, ids: range):
+        return spark.createDataFrame(
+            [
+                (i, i, "click", 1.0, "{}", datetime(2024, 1, 1, ts_hour, 0, i % 60))
+                for i in ids
+            ],
+            schema_sql,
+        )
+
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    batches = [
+        ("a_current", mk(12, range(10))),     # watermark -> 11:00
+        ("b_late", mk(9, range(100, 105))),   # 09:xx < 11:00 -> dropped
+        ("c_flush", mk(23, range(200, 201))),  # advances + flushes
+    ]
+    for i, (fname, df) in enumerate(batches):
+        tmp = str(tmp_path / f"_b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dest = os.path.join(stream_dir, f"{fname}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema_sql)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    n_input, dropped, n_batches = windowed_late_metrics(
+        stream, f"late_{_uuid.uuid4().hex[:8]}", watermark_delay_seconds=3600
+    )
+    assert n_input == 16
+    assert dropped == 5
+    assert n_batches >= 3
