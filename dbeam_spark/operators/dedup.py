@@ -357,44 +357,130 @@ def minhash_lsh_pairs(
        (minhash_signatures_maponly): no shingle explode, no shuffle —
        the only exchange before candidates is the (band, sig) groupBy
        over |docs|×32 rows.
-    2. The candidate pair set is tiny; it is cached and materialized
-       once so the broadcasts below don't re-run the signature
-       pipeline per use (a broadcast of a derived frame re-executes
-       its whole subtree).
+    2. The candidate pair set is tiny by the bucket-cap construction
+       (O(docs × bands) buckets, each expanding at most max_bucket²/2
+       pairs), so ONE collect materializes it on the driver: the pair
+       frame and the candidate-id filter are then rebuilt locally —
+       no cache, no second traversal of the signature pipeline.
+       Degenerate corpora that still exceed the collect cap fall back
+       to the distributed cache + semi-join path.
     3. Exact verification builds DISTINCT shingle sets only for docs
        that appear in some candidate pair (map-side semi filter), so
        the expensive part of verification scales with candidate
        volume, not corpus size.
     """
-    cand = lsh_candidates(
+    spark = docs.sparkSession
+    cand_df = lsh_candidates(
         minhash_signatures_maponly(docs, id_col, text_col, n)
-    ).cache()
+    )
+    pair_rows = cand_df.limit(200_001).collect()
+    if len(pair_rows) <= 200_000:
+        # Near-dup regime: pairs fit the driver easily. The id set
+        # collects to an IN filter that rides the parquet scan
+        # (PushedFilters) — the verify pass READS only candidate docs,
+        # and each pair verifies independently in one Arrow-batched
+        # map stage (no shingle explode, no join-back of sizes).
+        cand = spark.createDataFrame(
+            pair_rows, "id_a long, id_b long"
+        ) if pair_rows else cand_df.limit(0)
+        id_list = sorted(
+            {r[0] for r in pair_rows} | {r[1] for r in pair_rows}
+        )
+        cand_docs = docs.filter(F.col(id_col).isin(id_list))
+        return _pairwise_text_jaccard(
+            cand, cand_docs, id_col, text_col, n, threshold
+        )
+    # Degenerate corpora: huge candidate sets stay distributed —
+    # shingle-join verification with a semi-filtered shingle table.
+    cand = cand_df.cache()
     cand.count()
     id_rows = (
         cand.select(F.col("id_a").alias("cid"))
         .unionByName(cand.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    # Small candidate sets (the near-dup regime) collect to an IN
-    # filter that rides the parquet scan (PushedFilters) — the verify
-    # pass then READS only candidate docs. Degenerate corpora with
-    # huge candidate sets fall back to a broadcast semi-join.
-    id_list = [r[0] for r in id_rows.limit(100_001).collect()]
-    if len(id_list) <= 100_000:
-        cand_docs = docs.filter(F.col(id_col).isin(id_list))
-        sh_c = shingle_table(cand_docs, id_col, text_col, n).cache()
-    else:
-        sh_c = (
-            shingle_table(docs, id_col, text_col, n)
-            .join(
-                F.broadcast(id_rows),
-                F.col("sid") == F.col("cid"),
-                "left_semi",
-            )
-            .cache()
+    sh_c = (
+        shingle_table(docs, id_col, text_col, n)
+        .join(
+            F.broadcast(id_rows),
+            F.col("sid") == F.col("cid"),
+            "left_semi",
         )
+        .cache()
+    )
     sizes = sh_c.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
     return _verified_jaccard(cand, sh_c, sizes, threshold)
+
+
+def _pairwise_text_jaccard(
+    cand: DataFrame,
+    cand_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard per candidate pair, texts joined in and
+    each pair scored independently in one Arrow batch pass.
+
+    Semantically identical to the shingle-join `_verified_jaccard`
+    (distinct word n-grams, |∩|/|∪|): the raw ratio is an exact
+    rational of small ints, so the Python float division equals the
+    JVM double division bit-for-bit, and the 4-dp ROUND + threshold
+    filter stay in Spark so rounding semantics match the SQL oracle.
+    Scale shape: the pair list and candidate texts are both
+    O(near-dup pairs) — two joins over candidate-only rows, then a
+    map-only scoring stage; nothing here ever touches the full
+    corpus."""
+    ta = cand_docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    )
+    tb = cand_docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+    )
+    withtext = (
+        ta.join(F.broadcast(cand), "id_a").join(F.broadcast(tb), "id_b")
+    )
+
+    def part(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+
+        def grams(txt):
+            toks = ws.split(txt.lower())
+            return {
+                " ".join(toks[i: i + n])
+                for i in range(len(toks) - n + 1)
+            }
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jraw = [
+                (
+                    lambda ga, gb: len(ga & gb)
+                    / (len(ga | gb) or 1)
+                )(grams(a), grams(b))
+                for a, b in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "jraw": jraw,
+                }
+            )
+
+    scored = withtext.mapInPandas(
+        part, "id_a long, id_b long, jraw double"
+    )
+    return (
+        scored.filter(F.col("jraw") >= threshold)
+        .select("id_a", "id_b", F.round("jraw", 4).alias("jaccard"))
+    )
 
 
 def simhash_fingerprints(

@@ -922,3 +922,80 @@ def events_type_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "events_outliers_mad",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM e GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, cents, med, ABS(cents - med) AS adev
+      FROM e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(d.med) + 0.0 AS med_cents,
+           MIN(m.mad) + 0.0 AS mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(ROUND(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                      * 10000.0 / COUNT(*)) AS BIGINT)
+             AS outlier_share_x1e4
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via median absolute
+    deviation: |x - median| > 3*MAD — unlike the z-score monitor
+    (events_anomaly_zscore) the threshold itself is outlier-immune,
+    the estimator monitoring teams actually want on skewed metrics.
+
+    Engine-exactness: values quantized to integer cents, so both
+    medians interpolate over integers (exact .0/.5 doubles) and every
+    comparison is between exactly-representable doubles. Shape: two
+    percentile aggregations over event_type (a handful of groups) and
+    two broadcast joins of the per-type thresholds back onto the
+    stream; the exact per-group percentile is the only sort, and it
+    runs per type. At 100 TB the approx_percentile twin
+    (events_value_slo shows the pattern) replaces the exact sort."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    d = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.min("med") + 0.0).alias("med_cents"),
+            (F.min("mad") + 0.0).alias("mad_cents"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+            F.round(F.sum(is_out) * 10000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("outlier_share_x1e4"),
+        )
+        .orderBy("event_type")
+    )

@@ -7,7 +7,7 @@ down is at 0.07), and embedding cosine tops out near 0.51.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbeam_spark.operators import dedup, multimodal, sampling, similarity, text
@@ -1569,3 +1569,227 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "lexical_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS n_distinct,
+             SUM(c * (c - 1)) AS rep2
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS distinct_tokens,
+           CAST(ROUND((total * (total - 1) - rep2) * 1000000.0
+                      / (total * (total - 1))) AS BIGINT) AS simpson_x1e6
+    FROM agg WHERE total > 1
+    ORDER BY doc_id
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Simpson lexical diversity: the probability two randomly
+    drawn tokens differ, 1 - sum(c*(c-1))/(n*(n-1)). A low value flags
+    degenerate/repetitive generations in a training corpus.
+
+    Engine-exact by construction: the statistic is a ratio of two
+    integer sums (token pair counts), so no float summation order can
+    flip the hash — only one ROUND on the final exact rational.
+    Shape: explode -> (doc, token) count -> per-doc rollup; both
+    aggregations are map-side combinable and shuffle on doc_id only."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    rep2 = F.sum(F.col("c") * (F.col("c") - 1))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            F.round(
+                (total * (total - 1) - rep2)
+                * 1000000.0
+                / (total * (total - 1))
+            )
+            .cast("long")
+            .alias("simpson_x1e6"),
+        )
+        .filter(F.col("n_tokens") > 1)
+        .orderBy("doc_id")
+    )
+
+
+# Shared 5-gram phrase CTE (word shingles, distinct within doc).
+_PHRASE_CTE = r"""
+    toks AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4]))) AS gram
+      FROM toks WHERE len(t) >= 5
+    )
+"""
+
+
+@register(
+    "dedup_span_share",
+    oracle=f"""
+    WITH {_PHRASE_CTE},
+    df AS (SELECT gram, COUNT(*) AS nd FROM ph GROUP BY 1),
+    per AS (
+      SELECT p.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS shared
+      FROM ph p JOIN df USING (gram) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(shared AS BIGINT) AS shared_grams,
+           CAST(ROUND(shared * 10000.0 / n_grams) AS BIGINT)
+             AS dup_span_x1e4
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-text-span share per doc: the fraction of a doc's
+    word 5-grams that also occur in at least one OTHER document —
+    the span-level dedup signal of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" (exact-substring
+    dedup), expressed at n-gram granularity.
+
+    Shape: distinct per-doc 5-grams -> one gram-frequency groupBy
+    (map-side combinable counts) -> join back on gram. At 100 TB the
+    gram table is hash-partitioned by gram (no broadcast of corpus
+    state), and grams would be 64-bit fingerprints rather than
+    strings — the string form here keeps the DuckDB oracle exact."""
+    docs = _docs(spark, sf_dir)
+    ph = dedup.shingle_table(docs, "doc_id", "text", n=5)
+    df_freq = ph.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        ph.join(df_freq, "shingle")
+        .groupBy(F.col("sid").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            shared.cast("long").alias("shared_grams"),
+            F.round(shared * 10000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("dup_span_x1e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "phrase_boilerplate",
+    oracle=f"""
+    WITH {_PHRASE_CTE},
+    cnt AS (
+      SELECT source, gram, COUNT(*) AS n_docs
+      FROM ph GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, gram AS phrase, n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_docs DESC, gram
+             ) AS rk
+      FROM cnt WHERE n_docs >= 2
+    )
+    SELECT source, phrase, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(rk AS BIGINT) AS rk
+    FROM top WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+)
+def phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template phrase detection per source feed: word
+    5-grams repeated across >= 2 distinct documents of the same
+    source, top-5 per source with a deterministic (count desc,
+    phrase) tie-break. Headers, footers and licence blurbs show up
+    here first; the output drives a strip-list for corpus cleaning.
+
+    Shape: per-doc distinct shingles -> (source, gram) count (map-side
+    combinable) -> per-source top-5 ranking window over the tiny
+    filtered survivor set, never the full gram table."""
+    docs = _docs(spark, sf_dir)
+    ph = dedup.shingle_table(docs, "doc_id", "text", n=5)
+    # attach source via a key->source projection (shuffles with the
+    # gram stream; at 100 TB this is a co-partitioned join on doc id)
+    src = docs.select(F.col("doc_id").alias("sid"), "source")
+    cnt = (
+        ph.join(src, "sid")
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("shingle")
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("shingle").alias("phrase"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+@register("text_compress_ratio")  # zlib is not SQL-expressible -> rows-only
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic cheap proxy for
+    text quality/repetitiveness (Gopher's "compression filter"):
+    highly repetitive or templated text compresses far below natural
+    prose. Deterministic (fixed zlib level 6), unit-tested against
+    python zlib directly; rows-only at the driver gate because DuckDB
+    has no deflate.
+
+    Shape: map-only Arrow-batched pass, no shuffle — the 100 TB cost
+    is one scan, and the UDF is bytes-in/ints-out per batch."""
+    docs = _docs(spark, sf_dir)
+
+    def part(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw.map(len),
+                    "comp_len": comp,
+                }
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        part, "doc_id long, raw_len long, comp_len long"
+    )
+    return out.select(
+        "doc_id",
+        "raw_len",
+        "comp_len",
+        (F.round(F.col("comp_len") * 10000.0 / F.col("raw_len")))
+        .cast("long")
+        .alias("ratio_x1e4"),
+    ).orderBy("doc_id")

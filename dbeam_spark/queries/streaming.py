@@ -516,3 +516,44 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_real, dropped, rate)],
         "n_events long, late_dropped long, drop_rate double",
     )
+
+
+@register(
+    "stream_enrich_dim",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    customer dimension (broadcast, re-read per micro-batch) and
+    aggregated per (segment, event type) — the canonical "enrich the
+    clickstream with the profile table" topology. The static side
+    never enters the state store; only the running aggregate is
+    stateful. Complete output mode makes the finite replay equal the
+    batch join exactly."""
+    name = f"sed_{uuid.uuid4().hex[:8]}"
+    ensure_utc(spark)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    _run_stream(enriched, name, "complete")
+    return spark.table(name).orderBy("c_mktsegment", "event_type")

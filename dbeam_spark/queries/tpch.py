@@ -2878,3 +2878,141 @@ def completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = branch if out is None else out.unionByName(branch)
     return out.orderBy("tbl", "col")
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS om,
+             year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fc AS (
+      SELECT o_custkey, om, ym, cents,
+             MIN(om) OVER (PARTITION BY o_custkey) AS cohort_month,
+             MIN(ym) OVER (PARTITION BY o_custkey) AS cym
+      FROM o
+    ),
+    g AS (
+      SELECT cohort_month, ym - cym AS month_idx,
+             COUNT(*) AS n_orders,
+             COUNT(DISTINCT o_custkey) AS active_customers,
+             SUM(cents) AS revenue_cents
+      FROM fc GROUP BY 1, 2
+    )
+    SELECT cohort_month,
+           CAST(month_idx AS BIGINT) AS month_idx,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(active_customers AS BIGINT) AS active_customers,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+                  PARTITION BY cohort_month ORDER BY month_idx
+                ) AS BIGINT) AS cum_revenue_cents
+    FROM g
+    ORDER BY cohort_month, month_idx
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, revenue tracked by months-since-acquisition,
+    with the running cumulative LTV per cohort — the standard
+    retention-economics view.
+
+    Shape: ONE shuffle on o_custkey serves both window MINs (cohort
+    assignment), then a small (cohort x month_idx) rollup; the
+    cumulative window runs over that reduced matrix (#months² rows at
+    any scale), never over raw orders. Cent-exact integer sums."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("om"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wc = Window.partitionBy("o_custkey")
+    fc = o.select(
+        "o_custkey",
+        "ym",
+        "cents",
+        F.min("om").over(wc).alias("cohort_month"),
+        F.min("ym").over(wc).alias("cym"),
+    )
+    g = fc.groupBy(
+        "cohort_month", (F.col("ym") - F.col("cym")).alias("month_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort_month",
+        F.col("month_idx").cast("long").alias("month_idx"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("active_customers").cast("long").alias("active_customers"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("revenue_cents").over(wcum).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+    ).orderBy("cohort_month", "month_idx")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS exposed_customers,
+           CAST(ROUND(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END)
+                      * 10000.0 / SUM(sz)) AS BIGINT)
+             AS exposed_share_x1e4
+    FROM g
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (mktsegment, nationkey)
+    quasi-identifier: per segment, how many identifier groups fall
+    below k=5 members and what share of customers sit in those
+    re-identifiable groups — the privacy gate a training-data release
+    pipeline runs before shipping user-derived records.
+
+    Shape: two map-side-combinable aggregations (pair counts, then a
+    segment rollup over the tiny group table); exact integer math."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    small = F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+    return (
+        g.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("sz").cast("long").alias("min_group_size"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_groups"),
+            F.sum(small).cast("long").alias("exposed_customers"),
+            F.round(F.sum(small) * 10000.0 / F.sum("sz"))
+            .cast("long")
+            .alias("exposed_share_x1e4"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -934,3 +934,25 @@ def test_merge_into_removes_fully_emptied_partition(spark, tmp_path):
     assert _g.glob(path + "/part=p1/*.parquet") == []
     got = {(r.k, r.v, r.part) for r in spark.read.parquet(path).collect()}
     assert got == {(3, "c", "p2")}
+
+
+def test_text_compress_ratio_matches_python_zlib(spark):
+    import zlib
+
+    from dbeam_spark.queries.llm import text_compress_ratio
+
+    rows = text_compress_ratio(spark, "/root/testdata/sf0.001").collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        assert r["raw_len"] == len(raw)
+        assert r["comp_len"] == len(zlib.compress(raw, 6))
+        assert r["ratio_x1e4"] == round(
+            len(zlib.compress(raw, 6)) * 10000.0 / len(raw)
+        )

@@ -145,3 +145,27 @@ def test_windowed_late_metrics_counts_planted_late_rows(spark, tmp_path):
     assert n_input == 16
     assert dropped == 5
     assert n_batches >= 3
+
+
+def test_stream_enrich_dim_equals_batch_join(spark):
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.queries.streaming import stream_enrich_dim
+    from dbeam_spark.sources.files import load_table
+
+    got = stream_enrich_dim(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    dim = load_table(spark, SF_DIR, "customer")
+    want = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
