@@ -484,3 +484,100 @@ def kmeans_assign(
     import pandas as pd  # noqa: F401
 
     return vecs.mapInPandas(assign, "vid long, cluster int, dist double")
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """k-NN self-join: every vector's exact top-k cosine neighbors
+    within the same table — the all-pairs neighbor primitive behind
+    semantic-dedup graphs and hard-negative mining.
+
+    Same size-gated topology as `embedding_dedup_pairs`: at or below
+    `max_broadcast_rows` the normalized comparison matrix ships in
+    the task closure and each partition scores its rows map-only
+    (exact, no shuffle of the base table; the only exchange is the
+    per-query top-k window over k·n result rows). Above the gate the
+    exact collect would OOM the driver, so it falls through to the
+    IVF approximate join (`knn_ivf(df, df)`) — broadcast centroids,
+    cell-pruned probes — which is the 100 TB formulation.
+
+    Unlike `knn_bruteforce(df, df)` — which emits ALL n×m scored
+    pairs into the ranking window — each row selects its own top
+    (k + 8) candidates in-batch against the closure matrix, so the
+    window ranks n×(k+8) rows instead of n². The +8 pad keeps the
+    raw-sim preselection safe against 6-dp rounding reordering: the
+    final rank still orders by the SPARK-rounded similarity, and a
+    candidate can only be displaced across the rounding boundary by
+    a near-tie within 1e-6 — ties deeper than the pad would require
+    nine raw sims inside one rounding ulp."""
+    import numpy as np
+
+    d = _as_double(df, vec_col).select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("v")
+    )
+    if d.count() > max_broadcast_rows:
+        return knn_ivf(df, df, k=k, id_col=id_col, vec_col=vec_col)
+    rows = d.collect()
+    ids = np.array([r["rid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    bc = d.sparkSession.sparkContext.broadcast((ids, mat))
+    pad = k + 8
+
+    def score(batches):
+        import pandas as pd
+
+        b_ids, B = bc.value
+        n, dim = B.shape
+        # norms with explicit left-to-right accumulation: bit-equal
+        # to the SQL oracle's list_inner_product (see knn_bruteforce)
+        nb = np.zeros(n)
+        for i in range(dim):
+            nb = nb + B[:, i] * B[:, i]
+        nb = np.sqrt(nb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            a_ids = pdf["rid"].to_numpy(dtype=np.int64)
+            m = A.shape[0]
+            dots = np.zeros((m, n))
+            na = np.zeros(m)
+            for i in range(dim):
+                col = A[:, i]
+                dots += col[:, None] * B[:, i][None, :]
+                na = na + col * col
+            sims = dots / (np.sqrt(na)[:, None] * nb[None, :])
+            q_out, n_out, s_out = [], [], []
+            for j in range(m):
+                row = sims[j]
+                mask = b_ids != a_ids[j]
+                cand_ids = b_ids[mask]
+                cand_sims = row[mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:pad]
+                q_out.append(np.full(len(order), a_ids[j]))
+                n_out.append(cand_ids[order])
+                s_out.append(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(q_out),
+                    "neighbor_id": np.concatenate(n_out),
+                    "sim_raw": np.concatenate(s_out),
+                }
+            )
+
+    scored = d.mapInPandas(
+        score, "query_id long, neighbor_id long, sim_raw double"
+    ).select(
+        "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1793,3 +1793,111 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ratio_x1e4"),
     ).orderBy("doc_id")
+
+
+@register(
+    "knn_self_join",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-join (k=3): every vector's top neighbors within
+    the table — the all-pairs primitive behind semantic-dedup graphs
+    and hard-negative mining. Size-gated closure broadcast of the
+    comparison matrix, map-only scoring; above the gate the operator
+    degrades to the IVF approximate join (see similarity.knn_join)."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_join(emb, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "sampling_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_chars) AS total_chars FROM s),
+    w AS (
+      SELECT source, n_docs, n_chars, total_chars,
+             CAST(FLOOR(pow(n_chars * 1.0 / total_chars, 0.7)
+                        * 1000000000) AS BIGINT) AS wq
+      FROM s, t
+    ),
+    z AS (SELECT SUM(wq) AS wsum FROM w)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_chars,
+           FLOOR(n_chars * 1000000 / total_chars)
+             / 1000000.0 + 0.0 AS raw_share,
+           FLOOR(wq * 1000000 / wsum) / 1000000.0 + 0.0
+             AS sample_share,
+           CAST(FLOOR(wq * 1000000 / wsum) AS BIGINT)
+             AS docs_per_million
+    FROM w, z
+    ORDER BY source
+    """,
+)
+def sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mix weights (alpha = 0.7, the
+    multilingual-LM rebalancing rule): raw char share per source,
+    share^alpha renormalized, and the docs-per-million sampling quota
+    that the training-mix sampler consumes. Up-samples the tail,
+    down-samples dominant feeds.
+
+    Shape: one map-side per-source rollup, then scalar (1-row) totals
+    broadcast back — no data-scaled shuffle. Each pow term is
+    floor-quantized to an int (1e9 scale) BEFORE the normalizing sum,
+    so the renormalization is exact integer math — a float SUM of pow
+    terms would be summation-order dependent across engines."""
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    t = s.agg(F.sum("n_chars").alias("total_chars"))
+    w = s.crossJoin(F.broadcast(t)).withColumn(
+        "wq",
+        F.floor(
+            F.pow(F.col("n_chars") * 1.0 / F.col("total_chars"), 0.7)
+            * 1000000000
+        ).cast("long"),
+    )
+    z = w.agg(F.sum("wq").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            (
+                F.floor(F.col("n_chars") * 1000000 / F.col("total_chars"))
+                / 1000000.0
+                + 0.0
+            ).alias("raw_share"),
+            (
+                F.floor(F.col("wq") * 1000000 / F.col("wsum")) / 1000000.0
+                + 0.0
+            ).alias("sample_share"),
+            F.floor(F.col("wq") * 1000000 / F.col("wsum"))
+            .cast("long")
+            .alias("docs_per_million"),
+        )
+        .orderBy("source")
+    )

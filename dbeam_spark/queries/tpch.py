@@ -3016,3 +3016,167 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "uniqueness_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'customer.c_custkey' AS key_check,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT c_custkey) AS n_keys
+      FROM customer
+      UNION ALL
+      SELECT 'orders.o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey)
+      FROM orders
+      UNION ALL
+      SELECT 'part.p_partkey', COUNT(*), COUNT(DISTINCT p_partkey)
+      FROM part
+      UNION ALL
+      SELECT 'supplier.s_suppkey', COUNT(*), COUNT(DISTINCT s_suppkey)
+      FROM supplier
+      UNION ALL
+      SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id)
+      FROM events
+      UNION ALL
+      SELECT 'documents.doc_id', COUNT(*), COUNT(DISTINCT doc_id)
+      FROM documents
+      UNION ALL
+      SELECT 'lineitem.(orderkey,partkey,suppkey)', COUNT(*),
+             COUNT(DISTINCT l_orderkey || '|' || l_partkey || '|' || l_suppkey)
+      FROM lineitem
+    )
+    SELECT key_check,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows - n_keys AS BIGINT) AS n_duplicate_rows
+    FROM checks
+    ORDER BY key_check
+    """,
+)
+def uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed table — the
+    third leg of the DQ trio (integrity_audit: FKs,
+    completeness_audit: NULLs). Each check is one map-side-combinable
+    count-distinct per table; the composite lineitem key concatenates
+    to one column so the distinct needs no multi-column expansion."""
+    def chk(name: str, df: DataFrame, key) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("key_check"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(key).cast("long").alias("n_keys"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        chk("customer.c_custkey", _t(spark, sf_dir, "customer"),
+            F.col("c_custkey")),
+        chk("orders.o_orderkey", _t(spark, sf_dir, "orders"),
+            F.col("o_orderkey")),
+        chk("part.p_partkey", _t(spark, sf_dir, "part"),
+            F.col("p_partkey")),
+        chk("supplier.s_suppkey", _t(spark, sf_dir, "supplier"),
+            F.col("s_suppkey")),
+        chk("events.event_id", _t(spark, sf_dir, "events"),
+            F.col("event_id")),
+        chk("documents.doc_id", _t(spark, sf_dir, "documents"),
+            F.col("doc_id")),
+        chk(
+            "lineitem.(orderkey,partkey,suppkey)",
+            li,
+            F.concat_ws(
+                "|", "l_orderkey", "l_partkey", "l_suppkey"
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "n_duplicate_rows",
+        (F.col("n_rows") - F.col("n_keys")).cast("long"),
+    ).orderBy("key_check")
+
+
+@register(
+    "domain_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders.o_orderstatus in (O,F,P)' AS rule,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                      THEN 0 ELSE 1 END) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_discount in [0,0.1]', COUNT(*),
+             SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                      THEN 0 ELSE 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_quantity in [1,50]', COUNT(*),
+             SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                      THEN 0 ELSE 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events.value >= 0', COUNT(*),
+             SUM(CASE WHEN value >= 0 THEN 0 ELSE 1 END)
+      FROM events
+      UNION ALL
+      SELECT 'documents.lang in corpus langs', COUNT(*),
+             SUM(CASE WHEN lang IN ('en','de','fr','es','zh')
+                      THEN 0 ELSE 1 END)
+      FROM documents
+    )
+    SELECT rule,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations
+    FROM checks
+    ORDER BY rule
+    """,
+)
+def domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accepted-values / range constraint audit (the dbt-style domain
+    checks): each rule is a map-side conditional count over its table,
+    no shuffle beyond the 1-row-per-rule union. Completes the DQ
+    quartet: integrity (FKs), completeness (NULLs), uniqueness (PKs),
+    domain (values)."""
+    def rule(name: str, df: DataFrame, ok) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+    parts = [
+        rule(
+            "orders.o_orderstatus in (O,F,P)",
+            o,
+            F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        rule(
+            "lineitem.l_discount in [0,0.1]",
+            li,
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        ),
+        rule(
+            "lineitem.l_quantity in [1,50]",
+            li,
+            (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        ),
+        rule("events.value >= 0", ev, F.col("value") >= 0),
+        rule(
+            "documents.lang in corpus langs",
+            docs,
+            F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule")

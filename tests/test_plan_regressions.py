@@ -67,7 +67,15 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     bad = []
     for line in plan.splitlines():
         stripped = line.strip().lstrip("+-: ")
-        if stripped.startswith("Window ") and stripped.count("], [") < 2:
+        if not stripped.startswith("Window "):
+            continue
+        if stripped.count("], [") >= 2:
+            continue  # [exprs], [partSpec], [orderSpec] — partitioned
+        # two bracket groups: either partitioned-unordered (fine: the
+        # second group is a partition spec) or global-ordered (bad:
+        # the second group is an order spec with ASC/DESC markers)
+        tail = stripped.rsplit("], [", 1)[-1]
+        if " ASC" in tail or " DESC" in tail:
             bad.append(stripped)
     return bad
 
@@ -89,3 +97,27 @@ def test_knn_bruteforce_is_map_only_scoring(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_self_join_prefilters_before_window(spark):
+    plan = plan_of(spark, "knn_self_join")
+    # self-join scores map-only against the closure matrix and emits
+    # only n*(k+pad) candidate rows; the ranking window must be
+    # partitioned by query_id (never global) and there is no join
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert not _unpartitioned_windows(plan)
+
+
+def test_new_queries_have_no_global_windows(spark):
+    for name in ("cohort_ltv", "phrase_boilerplate", "dedup_span_share"):
+        plan = plan_of(spark, name)
+        assert not _unpartitioned_windows(plan), name
+
+
+def test_audits_are_aggregation_only(spark):
+    # DQ audits must stay map-side conditional counts: no shuffle
+    # beyond one exchange per table branch, no joins
+    for name in ("uniqueness_audit", "domain_audit"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, name
