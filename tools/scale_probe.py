@@ -1,0 +1,189 @@
+"""Scale probe: build a 10x replica of sf0.1 (~sf1) in /tmp and time
+the headline operators on it vs sf0.1.
+
+The point is EVIDENCE for the 100 TB posture claims in SURVEY §6: on a
+fixed 32-core executor fleet, a well-shaped operator's wall-clock
+should grow ~linearly with input (no quadratic pair blowups, no
+driver-side collects that OOM, no single-task global sorts). A 10x
+step is the smallest one that would expose an O(n²) term (100x cost)
+or a driver collect (10x memory) unambiguously.
+
+Replication semantics (keys shifted so semantics survive):
+- facts (lineitem/orders/events) x10 with orderkey/custkey/event_id/
+  user_id offset per copy — per-key cardinalities stay realistic
+  (10x users, same events-per-user), group counts grow 10x.
+- customer x10 (it scales WITH facts; the dims region/nation/
+  supplier/part stay fixed, as they would at 100 TB).
+- documents x10 with doc_id offset AND a per-copy token suffix
+  (every token t -> t_<i>): within-copy planted near-dups are
+  preserved, cross-copy texts share no shingles — so the near-dup
+  density (the thing LSH cost scales with) stays constant instead of
+  every doc gaining 9 identical twins.
+- embeddings x10 with vec_id offset (used for knn query scoring:
+  fixed query set against a 10x base).
+
+Usage:
+  python tools/scale_probe.py            # build (if absent) + run
+  python tools/scale_probe.py --rebuild  # force rebuild
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/scale10"
+COPIES = 10
+
+PROBES = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q21_waiting_suppliers",
+    "events_sessionize",
+    "events_retention",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_tokens",
+    "knn_bruteforce",
+    "lexical_diversity",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.sources.files import load_table
+
+    os.makedirs(OUT, exist_ok=True)
+    # fixed dims: straight copies
+    for t in ("region", "nation", "supplier", "part"):
+        load_table(spark, BASE, t).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+
+    cust = load_table(spark, BASE, "customer")
+    orders = load_table(spark, BASE, "orders")
+    li = load_table(spark, BASE, "lineitem")
+    ev = load_table(spark, BASE, "events")
+    docs = load_table(spark, BASE, "documents")
+    emb = load_table(spark, BASE, "embeddings")
+
+    c_off = cust.agg(F.max("c_custkey")).first()[0] + 1
+    o_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    e_off = ev.agg(F.max("event_id")).first()[0] + 1
+    u_off = ev.agg(F.max("user_id")).first()[0] + 1
+    d_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    v_off = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def rep(df, exprs):
+        parts = [df.selectExpr(*[e.format(i=i) for e in exprs])
+                 for i in range(COPIES)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    rep(cust, [
+        f"c_custkey + {{i}} * {c_off} AS c_custkey",
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    ]).write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
+
+    rep(orders, [
+        f"o_orderkey + {{i}} * {o_off} AS o_orderkey",
+        f"o_custkey + {{i}} * {c_off} AS o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ]).write.mode("overwrite").parquet(f"{OUT}/orders.parquet")
+
+    li_cols = [c for c in li.columns if c != "l_orderkey"]
+    rep(li, [f"l_orderkey + {{i}} * {o_off} AS l_orderkey"] + li_cols
+        ).write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
+
+    rep(ev, [
+        f"event_id + {{i}} * {e_off} AS event_id",
+        "ts",
+        f"user_id + {{i}} * {u_off} AS user_id",
+        "event_type", "value", "props",
+    ]).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    # per-copy token suffix keeps cross-copy Jaccard at 0
+    rep(docs, [
+        f"doc_id + {{i}} * {d_off} AS doc_id",
+        "regexp_replace(text, '(\\\\S+)', '$1_{i}') AS text",
+        "lang", "source", "n_chars",
+    ]).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+
+    rep(emb, [
+        f"vec_id + {{i}} * {v_off} AS vec_id",
+        "embedding", "label",
+    ]).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    from dbeam_spark.queries import QUERIES
+
+    res = {}
+    for name in PROBES:
+        t0 = time.monotonic()
+        rows = QUERIES[name](spark, sf_dir).collect()
+        res[name] = (round(time.monotonic() - t0, 2), len(rows))
+    # export throughput
+    import tempfile
+
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.sources.files import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(32)
+    out = tempfile.mkdtemp(prefix="scale_avro_")
+    t0 = time.monotonic()
+    stats = write_avro(
+        li, out, spark_schema_to_avro(li.schema, "lineitem"),
+        codec="deflate6",
+    )
+    el = time.monotonic() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    res["avro_export_lineitem"] = (
+        round(el, 2), sum(s["rows"] for s in stats)
+    )
+    return res
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dbeam_spark.session import get_spark
+
+    # local-mode driver hosts the executors: size the single JVM for
+    # the 10x shuffles (the 1g default is tuned for the sf0.1 gates)
+    spark = get_spark(
+        "scale-probe", extra_conf={"spark.driver.memory": "24g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv and os.path.exists(OUT):
+        shutil.rmtree(OUT)
+    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+        print("building 10x replica ...", flush=True)
+        build(spark)
+
+    # warm codegen + python fleet
+    from dbeam_spark.queries import QUERIES
+
+    for name in PROBES:
+        QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+
+    base = time_queries(spark, BASE)
+    big = time_queries(spark, OUT)
+    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}  rows(10x)")
+    for name in base:
+        b, _ = base[name]
+        g, nrows = big[name]
+        ratio = g / b if b else float("nan")
+        print(f"{name:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}  {nrows}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
