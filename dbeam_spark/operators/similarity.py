@@ -581,3 +581,254 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _l2_normalized(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Map-only Arrow pass replacing each vector with its unit-norm
+    form (keeps only id + vector — enough for PQ train/encode)."""
+    d = _as_double(df, vec_col).select(F.col(id_col), F.col(vec_col))
+
+    def norm_part(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), vec_col: list(X)}
+            )
+
+    return d.mapInPandas(
+        norm_part, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into
+    `m` subspaces, each quantized to 2^nbits codewords by k-means —
+    the memory-reduction step that lets an ANN index hold 100 TB of
+    embeddings in RAM (64 float32 dims -> m bytes per vector).
+
+    Distributed shape: ALL m subspace k-means run inside the SAME
+    Arrow pass — each iteration is one mapInPandas over the vectors
+    emitting (subspace, code, partial sum, count) rows, reduced
+    driver-side into m*(2^nbits) centroid updates (a few KB). m
+    separate kmeans_fit loops would cost m× the scans. Init is
+    deterministic: the first k vectors in id order seed every
+    subspace, so codebooks (and codes) are bit-reproducible."""
+    import numpy as np
+
+    k = 1 << nbits
+    d = _as_double(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    seed_rows = d.orderBy("vid").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least {k} vectors to train PQ")
+    dim = len(seed_rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    # codebooks[j]: (k × sub) for subspace j
+    books = np.stack(
+        [seeds[:, j * sub: (j + 1) * sub].copy() for j in range(m)]
+    )
+
+    for _ in range(n_iter):
+        bc = d.sparkSession.sparkContext.broadcast(books)
+
+        def partial(batches):
+            import pandas as pd
+
+            B = bc.value  # (m × k × sub)
+            mm, kk, ss = B.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                rows = []
+                for j in range(mm):
+                    Xj = X[:, j * ss: (j + 1) * ss]
+                    d2 = (
+                        (Xj[:, None, :] - B[j][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    a = d2.argmin(axis=1)
+                    for code in np.unique(a):
+                        mask = a == code
+                        rows.append(
+                            (
+                                j,
+                                int(code),
+                                Xj[mask].sum(axis=0).tolist(),
+                                int(mask.sum()),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "code", "sum", "count"]
+                )
+
+        parts = d.mapInPandas(
+            partial,
+            "sub int, code int, sum array<double>, count long",
+        ).collect()
+        sums = np.zeros((m, k, sub))
+        counts = np.zeros((m, k), dtype=np.int64)
+        for r in parts:
+            sums[r["sub"], r["code"]] += np.array(r["sum"])
+            counts[r["sub"], r["code"]] += r["count"]
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+        bc.destroy()
+    return books.tolist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: (id, codes) with codes[j] = nearest
+    codeword of subvector j. The codebook ships in the task closure
+    (m × 2^nbits × sub doubles — KBs)."""
+    import numpy as np
+
+    B = np.array(codebooks, dtype=np.float64)
+    d = _as_double(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        mm, kk, ss = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = np.zeros((X.shape[0], mm), dtype=np.int32)
+            err = np.zeros(X.shape[0])
+            for j in range(mm):
+                Xj = X[:, j * ss: (j + 1) * ss]
+                d2 = ((Xj[:, None, :] - B[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+                err += d2[np.arange(len(Xj)), codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(),
+                    "codes": list(codes),
+                    "recon_err": np.sqrt(err),
+                }
+            )
+
+    import pandas as pd  # noqa: F401
+
+    return d.mapInPandas(
+        enc, "vid long, codes array<int>, recon_err double"
+    )
+
+
+def knn_pq(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN by asymmetric distance computation: the base
+    side is PQ codes only (m small ints per vector), each query
+    precomputes its (m × 2^nbits) distance table, and scanning a
+    candidate costs m table lookups instead of a dim-length dot —
+    the FAISS IVFADC inner loop, here as the flat-ADC variant.
+
+    Distributed shape: codes are produced map-only, the query tables
+    ship in the task closure, scoring is one mapInPandas over the
+    code rows (no shuffle of the base table), and only n×k candidate
+    rows reach the ranking window. Approximate by construction →
+    rows-only gate; recall is asserted against knn_bruteforce in
+    tests.
+
+    Vectors are L2-NORMALIZED before training/encoding: ADC ranks by
+    Euclidean distance, and on unit vectors the L2 order equals the
+    cosine order knn_bruteforce uses — without this the two rank
+    different neighbors and recall craters on unnormalized data."""
+    import numpy as np
+
+    normed = _l2_normalized(base, id_col, vec_col)
+    books = pq_train(
+        normed, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col
+    )
+    B = np.array(books, dtype=np.float64)
+    codes = pq_encode(normed, books, id_col=id_col, vec_col=vec_col)
+
+    qrows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    q_ids = [int(r["qid"]) for r in qrows]
+    Q = np.array([r["v"] for r in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    mm, kk, ss = B.shape
+    # tables[q, j, c] = ||Q[q, sub j] - codeword c||²
+    tables = np.zeros((len(q_ids), mm, kk))
+    for j in range(mm):
+        Qj = Q[:, j * ss: (j + 1) * ss]
+        tables[:, j, :] = (
+            (Qj[:, None, :] - B[j][None, :, :]) ** 2
+        ).sum(axis=2)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (n × m)
+            n = C.shape[0]
+            # adc[q, row] = Σ_j tables[q, j, C[row, j]]
+            adc = np.zeros((len(q_ids), n))
+            for j in range(mm):
+                adc += tables[:, j, C[:, j]]
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(vids, len(q_ids)),
+                    "adist": np.sqrt(adc.reshape(-1)),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 6).alias("adist"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

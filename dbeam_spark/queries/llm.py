@@ -1901,3 +1901,43 @@ def sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("knn_pq")  # approximate by construction -> rows-only gate
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate k-NN (the FAISS flat-ADC shape): 4-bit × 16
+    subspace codebooks trained distributed (all subspaces in one
+    Arrow pass per iteration), base table scanned as codes only,
+    query distance tables in the task closure. Recall vs the exact
+    brute-force result is asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.knn_pq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=16, nbits=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("embedding_pq_audit")  # kmeans codebooks -> rows-only gate
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compression audit: per-label reconstruction error of the
+    trained codebooks (mean/max quantization distortion, code volume
+    vs raw volume) — the go/no-go view before swapping an ANN index
+    to PQ codes. Rows-only: codebooks come from iterative k-means."""
+    emb = _emb(spark, sf_dir)
+    books = similarity.pq_train(emb, m=16, nbits=4)
+    enc = similarity.pq_encode(emb, books)
+    joined = enc.join(
+        emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    )
+    dim = 64
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("recon_err"), 4).alias("mean_recon_err"),
+            F.round(F.max("recon_err"), 4).alias("max_recon_err"),
+            F.lit(16).cast("long").alias("code_bytes"),
+            F.lit(dim * 4).cast("long").alias("raw_bytes"),
+        )
+        .orderBy("label")
+    )

@@ -252,3 +252,41 @@ def test_compact_runs_last_write_wins(spark, tmp_path):
     assert res["rows"] == 4
     got = sorted(_rows_in(Path(res["snapshot_dir"])))
     assert got == [(1, "a0"), (2, "b2"), (3, "c2"), (4, "d1")]
+
+
+def test_export_diff_classifies_keys(spark, tmp_path):
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.jobs.export_diff import diff_exports, materialize_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50),
+         (6, None, 60), (7, "g", None)],
+        "id long, name string, amount long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (5, "e", 50), (11, "k", 110),
+         (6, None, 60), (7, None, 7)],  # 7: g/None -> None/7
+        "id long, name string, amount long",
+    )
+    d_old, d_new = str(tmp_path / "old"), str(tmp_path / "new")
+    write_avro(old, d_old, spark_schema_to_avro(old.schema, "t"))
+    write_avro(new, d_new, spark_schema_to_avro(new.schema, "t"))
+
+    diff, stats = diff_exports(spark, d_old, d_new, "id")
+    got = {r["k"]: r["status"] for r in diff.collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 5: "unchanged",
+        6: "unchanged", 7: "changed", 11: "added",
+    }
+    assert (stats.added, stats.removed, stats.changed, stats.unchanged) == (
+        1, 1, 2, 3
+    )
+    assert stats.total_delta == 0
+
+    out = str(tmp_path / "delta")
+    stats2 = materialize_diff(spark, d_old, d_new, "id", out)
+    ups = {r["id"] for r in spark.read.parquet(f"{out}/upserts").collect()}
+    dels = {r["id"] for r in spark.read.parquet(f"{out}/deletes").collect()}
+    assert ups == {2, 7, 11} and dels == {3}
+    assert stats2.changed == 2
