@@ -1941,3 +1941,52 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register("bpe_vocab")  # iterative merge loop -> rows-only gate
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/tokenizer.py):
+    the corpus collapses to a word histogram in ONE
+    map-side-combinable groupBy (the only data-scaled step — the
+    GPT-2/HF-tokenizers training shape), then the merge loop runs on
+    the bounded histogram. Output: the first 40 learned merges in
+    order with their pair counts — deterministic by the
+    (count desc, pair asc) tie-break, but the loop itself is not
+    SQL-expressible."""
+    from dbeam_spark.operators import tokenizer
+
+    docs = _docs(spark, sf_dir)
+    merges = tokenizer.bpe_train(docs, n_merges=40)
+    rows = [
+        (i, a, b, a + b, int(n)) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, left string, right string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+@register(
+    "bpe_compression",
+    oracle="""
+    SELECT
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+           AS BIGINT) AS ws_tokens
+    FROM documents
+    """,
+)
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus volume under the two tokenizations the pipeline plans
+    with (chars and whitespace tokens) — the denominator pair for
+    judging a learned vocab's compression. The BPE numerator itself
+    is rows-only (bpe_vocab); this split keeps the SQL-checkable part
+    oracle-gated."""
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(
+            F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        ).cast("long").alias("ws_tokens"),
+    )

@@ -1001,3 +1001,28 @@ def test_knn_pq_recall_vs_bruteforce(spark):
     # 4-bit×16 PQ on 64-dim near-random data: recall@5 well above
     # chance (≈ 5/n); assert a conservative floor
     assert tot > 0 and hits / tot >= 0.2, hits / tot
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    from dbeam_spark.operators import tokenizer
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest newest")],
+        "doc_id long, text string",
+    )
+    merges = tokenizer.bpe_train(docs, n_merges=6)
+    assert merges, "no merges learned"
+    # most frequent pair first: (w,e) appears in newest×4 + lower×2
+    assert merges[0] == ("w", "e", 6)
+    pairs = [(a, b) for a, b, _ in merges]
+    assert ("l", "o") in pairs
+    # deterministic across runs
+    assert merges == tokenizer.bpe_train(docs, n_merges=6)
+
+    # encoder: fully merged frequent word costs fewer tokens
+    enc = tokenizer.bpe_encode_expr(tokenizer.bpe_train(docs, 200))
+    out = docs.select("doc_id", "text").mapInPandas(
+        enc, "doc_id long, n_bpe_tokens long"
+    ).collect()
+    # 9 words, every word fully collapsed to 1 token by 200 merges
+    assert out[0]["n_bpe_tokens"] == 9
