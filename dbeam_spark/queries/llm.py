@@ -1990,3 +1990,15 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.lower(F.col("text")), r"\s+"))
         ).cast("long").alias("ws_tokens"),
     )
+
+
+@register("quality_classifier")  # LBFGS fit -> rows-only gate
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (the CCNet/fastText-classifier stage):
+    Catalyst-only features, MLlib LBFGS logistic regression trained
+    distributed on the even-doc_id half, held-out AUC/accuracy on the
+    odd half (operators/quality_model.py). Rows-only: iterative
+    optimization is not SQL-expressible."""
+    from dbeam_spark.operators import quality_model
+
+    return quality_model.train_quality_classifier(_docs(spark, sf_dir))

@@ -1026,3 +1026,14 @@ def test_bpe_train_learns_expected_merges(spark):
     ).collect()
     # 9 words, every word fully collapsed to 1 token by 200 merges
     assert out[0]["n_bpe_tokens"] == 9
+
+
+def test_quality_classifier_learns_teacher_signal(spark):
+    from dbeam_spark.operators import quality_model
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = quality_model.train_quality_classifier(docs).collect()[0]
+    assert rep["n_train"] + rep["n_test"] == docs.count()
+    # features ~generate the teacher signal -> held-out AUC far above chance
+    assert rep["auc"] >= 0.8, rep
+    assert 0.0 <= rep["accuracy"] <= 1.0
