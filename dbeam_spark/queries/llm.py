@@ -2002,3 +2002,265 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbeam_spark.operators import quality_model
 
     return quality_model.train_quality_classifier(_docs(spark, sf_dir))
+
+
+@register(
+    "bigram_lm_fluency",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    bg2 AS (SELECT doc_id, pair, split_part(pair, ' ', 1) AS w1 FROM bg),
+    pairs AS (SELECT pair, COUNT(*) AS c_pair FROM bg2 GROUP BY pair),
+    prevs AS (SELECT w1, COUNT(*) AS c_prev FROM bg2 GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id, (p.c_pair * 1000000) // v.c_prev AS pq
+      FROM bg2 b JOIN pairs p USING (pair) JOIN prevs v USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(pq) // COUNT(*) AS BIGINT) AS fluency_q6
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per doc — the CCNet/KenLM
+    "perplexity filter" stage expressed engine-exactly: train a
+    bigram LM on the corpus itself (one explode + two
+    map-side-combinable groupBys; the model is Heaps'-law-bounded, a
+    few million bigram TYPES even at 100 TB), then score every doc by
+    its mean conditional bigram probability. Integer math throughout:
+    each bigram contributes floor(c_pair*1e6 / c_prev) and the doc
+    score is the integer mean of those terms, so the result is
+    summation-order independent and identical across engines — no
+    logs, no float accumulation.
+
+    Shape: the model tables (pairs, prevs) are bounded ⇒ broadcast;
+    the corpus-scaled side is a single linear bigram explode scored
+    map-side and reduced with one groupBy(doc_id). Low scores flag
+    word-salad / boilerplate docs for the quality funnel."""
+    docs = _docs(spark, sf_dir)
+    bg = dedup.shingle_table(docs, "doc_id", "text", n=2, distinct=False)
+    bg2 = bg.withColumn("w1", F.substring_index("shingle", " ", 1))
+    pairs = bg2.groupBy("shingle").agg(F.count(F.lit(1)).alias("c_pair"))
+    prevs = bg2.groupBy("w1").agg(F.count(F.lit(1)).alias("c_prev"))
+    scored = (
+        bg2.join(F.broadcast(pairs), "shingle")
+        .join(F.broadcast(prevs), "w1")
+        .select(
+            F.col("sid").alias("doc_id"),
+            F.expr("c_pair * 1000000 DIV c_prev").alias("pq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("SUM(pq) DIV COUNT(1)").cast("long").alias("fluency_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register("bpe_encode")  # learned-merge apply loop -> rows-only gate
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocab (bpe_vocab's 40 merges) to the
+    whole corpus and report per-source token economics: whitespace
+    tokens vs BPE tokens and the chars-per-BPE-token compression
+    ratio. The encode is an Arrow-batched mapInPandas with the merge
+    ranks shipped in the closure (map-only, per-word memoised); the
+    merge list itself is driver-bounded by construction. Rows-only:
+    the greedy merge-apply loop is not SQL-expressible, but the
+    output is deterministic because training ties break
+    lexicographically. At 100 TB this is the re-tokenization pass a
+    shard-planning step runs before packing."""
+    from dbeam_spark.operators import tokenizer
+
+    docs = _docs(spark, sf_dir)
+    merges = tokenizer.bpe_train(docs, n_merges=40)
+    enc = docs.select("doc_id", "text").mapInPandas(
+        tokenizer.bpe_encode_expr(merges),
+        "doc_id long, n_bpe_tokens long",
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("ws"),
+    ).join(enc, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.expr(
+                "SUM(n_chars) * 10000 DIV SUM(n_bpe_tokens)"
+            ).cast("long").alias("chars_per_bpe_x1e4"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b,
+           CAST((i * 10000) // LEAST(sa.sz, sb.sz) AS BIGINT)
+             AS containment_x1e4
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (i * 10000) // LEAST(sa.sz, sb.sz)
+          >= {int(CONTAINMENT_THRESHOLD * 10000)}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-duplicate pairs: |A∩B| / min(|A|,|B|) ≥ 0.8
+    over word-3-gram shingle sets. Jaccard misses subset duplicates
+    (a doc embedded whole inside a longer one scores low Jaccard but
+    containment ≈ 1) — this is the quote/excerpt/wrapper-page signal
+    a dedup policy needs alongside dedup_ngram_jaccard. Integer-exact:
+    the score is floor((i*10000)/min(sz)) so both engines agree
+    bit-for-bit, threshold applied to the quantized value.
+
+    Shape identical to the Jaccard path (shingle equi-join → per-pair
+    intersection counts → size join-back); at 100 TB the production
+    candidate generator stays MinHash-LSH — this exact form is the
+    spec/oracle twin, sharing the same intersection plan."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("szb"))
+    cq = F.expr("i * 10000 DIV LEAST(sza, szb)")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", cq.cast("long").alias("containment_x1e4"))
+        .filter(
+            F.col("containment_x1e4")
+            >= int(CONTAINMENT_THRESHOLD * 10000)
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'c'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 1) < 'e'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rep
+    ),
+    toks5 AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    g5 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4]))) AS gram
+      FROM toks5 WHERE len(t) >= 5
+    ),
+    gs AS (
+      SELECT g.doc_id, s.split, g.gram
+      FROM g5 g JOIN splits s USING (doc_id)
+    ),
+    train_g AS (SELECT DISTINCT gram FROM gs WHERE split = 'train')
+    SELECT e.split,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_grams,
+           CAST((SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+                 * 10000) // COUNT(*) AS BIGINT) AS leak_x1e4
+    FROM gs e LEFT JOIN train_g t USING (gram)
+    WHERE e.split IN ('val', 'test')
+    GROUP BY e.split ORDER BY e.split
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual train→eval lexical leakage AFTER the leakage-safe
+    split: for each eval split (val/test), the share of its distinct
+    per-doc word-5-grams that also appear in any train doc. The
+    cluster-aware split guarantees no NEAR-DUP straddles the
+    boundary; this measures what remains (shared boilerplate,
+    common phrases) — the number an eval-hygiene report quotes
+    alongside contamination_check's benchmark decontamination.
+
+    Shape at 100 TB: the split map is a projection of dedup_clusters;
+    grams flow through ONE hash join on gram against the train-gram
+    set (hash-partitioned, no broadcast of corpus state) and reduce
+    to a 2-row report. Integer-exact leak ratio (floor x1e4)."""
+    docs = _docs(spark, sf_dir)
+    splits = dataset_split(spark, sf_dir).select("doc_id", "split")
+    g5 = dedup.shingle_table(docs, "doc_id", "text", n=5).select(
+        F.col("sid").alias("doc_id"), F.col("shingle").alias("gram")
+    )
+    gs = g5.join(splits, "doc_id")
+    train_g = (
+        gs.filter(F.col("split") == "train").select("gram").distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    leaked = F.sum(F.coalesce(F.col("in_train"), F.lit(0)))
+    return (
+        gs.filter(F.col("split").isin("val", "test"))
+        .join(train_g, "gram", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            leaked.cast("long").alias("leaked_grams"),
+            F.expr(
+                "SUM(COALESCE(in_train, 0)) * 10000 DIV COUNT(1)"
+            ).cast("long").alias("leak_x1e4"),
+        )
+        .orderBy("split")
+    )
