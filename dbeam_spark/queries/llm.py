@@ -2264,3 +2264,28 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register("embedding_pagerank")  # iterative power method -> rows-only
+def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-centrality PageRank over the k-NN graph: edges are
+    each vector's top-3 cosine neighbors (knn_self_join's graph), 15
+    damped power iterations via one join + one groupBy per round
+    (operators/graph.py). High-rank vectors are the corpus's semantic
+    hubs — the representative-selection / coverage-sampling signal.
+    Rows-only: iterative fixpoint is not SQL-expressible, but the
+    integer-micro-unit formulation makes the output bit-deterministic
+    across partitionings and runs."""
+    from dbeam_spark.operators import graph, similarity
+
+    emb = _emb(spark, sf_dir)
+    edges = similarity.knn_join(emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    pr = graph.pagerank(edges, n_iter=15)
+    w = Window.orderBy(F.col("rank_q6").desc(), F.col("id"))
+    return (
+        pr.orderBy(F.col("rank_q6").desc(), F.col("id"))
+        .limit(20)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
