@@ -999,3 +999,58 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events WHERE user_id % 10 = 0
+    ),
+    x AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM ev
+    ),
+    starts AS (
+      SELECT user_id, event_type AS state, ts AS valid_from
+      FROM x WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from) AS valid_to
+    FROM starts
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history builder: collapse an event stream into
+    validity intervals per (user, state) — rows open when the
+    observed state (event_type) CHANGES and close at the next
+    change's timestamp (NULL valid_to = current). The
+    dimension-history materialization every warehouse keeps for
+    as-of queries; `latest_snapshot` is its SCD1 projection and
+    `asof_join_events` its consumer.
+
+    Shape: one shuffle on user_id shared by both windows (lag to
+    detect changes, lead to close intervals — Catalyst reuses the
+    sort); linear in events, no self-join. The %10 user sample
+    bounds the gate payload only."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changed.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .orderBy("user_id", "valid_from")
+    )
