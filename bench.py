@@ -128,9 +128,9 @@ def main() -> None:
     # consumes the stdout JSON line regardless.
     regressions = []
     if sf == "0.1":
-        if per_query.get("dedup_minhash_lsh", 0) > 3.5:
+        if per_query.get("dedup_minhash_lsh", 0) > 3.2:
             regressions.append(
-                f"dedup_minhash_lsh {per_query['dedup_minhash_lsh']}s > 3.5s"
+                f"dedup_minhash_lsh {per_query['dedup_minhash_lsh']}s > 3.2s"
             )
         if rows_per_minute < 17_000_000:
             regressions.append(

@@ -263,9 +263,14 @@ def minhash_signatures_maponly(
                 out.insert(0, "sid", np.array(sids, dtype=np.int64))
                 yield out
 
-    return docs.select(
-        F.col(id_col).alias(id_col), F.col(text_col)
-    ).mapInPandas(part, schema)
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    # one parquet file -> one input split: rebalance so the signature
+    # compute parallelizes (no-op at scale, where splits abound)
+    sel = rebalance_for_arrow(
+        docs.select(F.col(id_col).alias(id_col), F.col(text_col))
+    )
+    return sel.mapInPandas(part, schema)
 
 
 def minhash_signatures_expr(

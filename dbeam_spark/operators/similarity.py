@@ -127,7 +127,9 @@ def knn_bruteforce(
             )
             yield out[out["query_id"] != out["neighbor_id"]]
 
-    scored = base.mapInPandas(
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    scored = rebalance_for_arrow(base).mapInPandas(
         score, "query_id long, neighbor_id long, sim_raw double"
     ).select(
         "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
@@ -278,7 +280,9 @@ def embedding_dedup_pairs(
                 }
             )
 
-    return d.mapInPandas(
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    return rebalance_for_arrow(d).mapInPandas(
         block_sims, "id_a long, id_b long, sim double"
     ).orderBy("id_a", "id_b")
 
@@ -329,7 +333,11 @@ def rh_lsh_embedding_pairs(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    buckets = d.mapInPandas(bucketize, "pid long, table int, bucket long")
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    buckets = rebalance_for_arrow(d).mapInPandas(
+        bucketize, "pid long, table int, bucket long"
+    )
     a = buckets.select(F.col("pid").alias("id_a"), "table", "bucket")
     b = buckets.select(
         F.col("pid").alias("id_b"),
@@ -404,7 +412,13 @@ def kmeans_fit(
         .collect()
     )
     centroids = np.array([list(r[0]) for r in seeds], dtype=np.float64)
-    vecs = based.select(F.col(vec_col).alias("v"))
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    # rebalanced ONCE outside the loop: every iteration's Arrow pass
+    # then parallelizes even from a single-file local input
+    vecs = rebalance_for_arrow(
+        based.select(F.col(vec_col).alias("v"))
+    ).localCheckpoint(eager=True)
     it = 0
     for it in range(1, max_iter + 1):
         c_list = centroids.tolist()
@@ -570,7 +584,9 @@ def knn_join(
                 }
             )
 
-    scored = d.mapInPandas(
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    scored = rebalance_for_arrow(d).mapInPandas(
         score, "query_id long, neighbor_id long, sim_raw double"
     ).select(
         "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
@@ -603,7 +619,9 @@ def _l2_normalized(
                 {id_col: pdf[id_col].to_numpy(), vec_col: list(X)}
             )
 
-    return d.mapInPandas(
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    return rebalance_for_arrow(d).mapInPandas(
         norm_part, f"{id_col} long, {vec_col} array<double>"
     )
 
@@ -646,6 +664,12 @@ def pq_train(
     books = np.stack(
         [seeds[:, j * sub: (j + 1) * sub].copy() for j in range(m)]
     )
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    # materialized + rebalanced once; every training iteration then
+    # re-reads the checkpoint in parallel instead of re-scanning
+    d = rebalance_for_arrow(d).localCheckpoint(eager=True)
 
     for _ in range(n_iter):
         bc = d.sparkSession.sparkContext.broadcast(books)

@@ -1782,7 +1782,9 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    out = docs.select("doc_id", "text").mapInPandas(
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    out = rebalance_for_arrow(docs.select("doc_id", "text")).mapInPandas(
         part, "doc_id long, raw_len long, comp_len long"
     )
     return out.select(
@@ -2085,7 +2087,9 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     merges = tokenizer.bpe_train(docs, n_merges=40)
-    enc = docs.select("doc_id", "text").mapInPandas(
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    enc = rebalance_for_arrow(docs.select("doc_id", "text")).mapInPandas(
         tokenizer.bpe_encode_expr(merges),
         "doc_id long, n_bpe_tokens long",
     )
