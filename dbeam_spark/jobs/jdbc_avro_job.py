@@ -154,6 +154,18 @@ def run_export(
 
     if not opts.dataOnly:
         metrics.save(str(out))
+        if opts.columnStats:
+            # stats describe what LANDED: computed from the written
+            # files (distributed read-back, A22) — never a second
+            # round-trip to the source database. One scan, one 1-row
+            # reduce (A35).
+            from dbeam_spark.metrics import collect_column_stats
+            from dbeam_spark.sources.avro import read_avro
+
+            stats = collect_column_stats(read_avro(spark, str(out)))
+            (out / "_COLUMN_STATS.json").write_text(
+                json.dumps(stats, indent=2) + "\n"
+            )
 
     if metrics.record_count < opts.minRows:
         # validate BEFORE the success marker so a failed export is

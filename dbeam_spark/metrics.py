@@ -68,3 +68,46 @@ class ExportMetrics:
         out = {"engineVersion": __version__, **self.to_dict()}
         path = Path(output_dir) / "_METRICS.json"
         path.write_text(json.dumps(out, indent=2) + "\n")
+
+
+def collect_column_stats(df) -> dict:
+    """Per-column export statistics in ONE aggregate pass:
+    null_count, min, max, approx distinct (HLL) — the
+    Delta/Iceberg-style file-level metadata that lets consumers
+    validate an export (and planners prune) without re-scanning it.
+    All aggregates are map-side-combinable, so the pass costs one
+    scan + a 1-row reduce at any scale.
+
+    Values are JSON-sanitized: native for bool/int/float, ISO text
+    for timestamps/dates, str() for anything else."""
+    from pyspark.sql import functions as F
+
+    def _j(v):
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        try:
+            return v.isoformat()
+        except AttributeError:
+            return str(v)
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in df.schema.fields:
+        c = f.name
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}\x1fnulls"),
+            F.min(c).alias(f"{c}\x1fmin"),
+            F.max(c).alias(f"{c}\x1fmax"),
+            F.approx_count_distinct(c).alias(f"{c}\x1fdistinct"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = {"row_count": row["__rows"], "columns": {}}
+    for f in df.schema.fields:
+        c = f.name
+        out["columns"][c] = {
+            "type": f.dataType.simpleString(),
+            "null_count": row[f"{c}\x1fnulls"] or 0,
+            "min": _j(row[f"{c}\x1fmin"]),
+            "max": _j(row[f"{c}\x1fmax"]),
+            "approx_distinct": row[f"{c}\x1fdistinct"],
+        }
+    return out

@@ -49,6 +49,8 @@ class JdbcExportOptions:
     useAvroLogicalTypes: bool = False
     arrayMode: str = "typed_first_row"
     nullableArrayItems: bool = False
+    # beyond reference: per-column stats metadata (A35)
+    columnStats: bool = False
 
     def validate(self) -> None:
         if not self.connectionUrl:

@@ -335,3 +335,25 @@ def test_complex_types_export(spark, tmp_path):
     assert r6[4] is not None and "11.94" in str(r6[4])
     assert r0[5] == "const"
     assert bytes(r0[6]) == b"bin_0"
+
+
+def test_column_stats_metadata(spark, derby_db, tmp_path):
+    """--columnStats (A35): per-column null/min/max/approx-distinct
+    metadata computed from the WRITTEN files in one aggregate pass."""
+    out = tmp_path / "colstats"
+    run_export(spark, opts_for(derby_db, out, columnStats=True))
+    stats = json.loads((out / "_COLUMN_STATS.json").read_text())
+    assert stats["row_count"] == 1000
+    cols = stats["columns"]
+    ids = cols["C_ID"]
+    assert ids["null_count"] == 0
+    assert ids["min"] == 0 and ids["max"] == 999
+    # HLL estimate within its documented rsd of the true 1000
+    assert 900 <= ids["approx_distinct"] <= 1100
+    assert cols["NAME"]["min"] == "name_0"
+    # stats are metadata: --dataOnly must not write them
+    out2 = tmp_path / "colstats_dataonly"
+    run_export(
+        spark, opts_for(derby_db, out2, columnStats=True, dataOnly=True)
+    )
+    assert not (out2 / "_COLUMN_STATS.json").exists()
