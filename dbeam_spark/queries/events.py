@@ -1054,3 +1054,92 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("valid_to", F.lead("valid_from").over(w2))
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "funnel_timing",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_s FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, MIN(e.ts) AS t_v
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.t_s
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_p
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_v
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT 'a_signup_to_view' AS transition,
+             epoch_us(v.t_v) - epoch_us(s.t_s) AS delta_us
+      FROM v JOIN s USING (user_id)
+      UNION ALL
+      SELECT 'b_view_to_purchase',
+             epoch_us(p.t_p) - epoch_us(v.t_v)
+      FROM p JOIN v USING (user_id)
+    )
+    SELECT transition, COUNT(*) AS n_users,
+           CAST(MIN(delta_us) AS BIGINT) AS min_us,
+           CAST(quantile_cont(delta_us, 0.5) * 2 AS BIGINT) AS p50_x2_us,
+           CAST(ROUND(quantile_cont(delta_us, 0.9) * 10) AS BIGINT)
+             AS p90_x10_us
+    FROM d GROUP BY transition ORDER BY transition
+    """,
+)
+def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition
+    (events_funnel's timing dimension): per converting user, the gap
+    between their stage timestamps; per transition, count / min /
+    median / p90 in exact integer micros. The median is reported ×2
+    and the p90 ×10 (integer-ROUNDed) so quantile interpolation stays
+    engine-exact — γ for p90 is not binary-representable, so the ×10
+    product gets an integer ROUND in BOTH engines before the cast.
+
+    Shape: the stage chain shuffles on user_id like events_funnel
+    (stage outputs are |users|-sized); deltas are map-side after the
+    user_id joins; the final aggregate has 2 groups."""
+    ev = _events(spark, sf_dir)
+
+    def first_after(etype: str, prev: DataFrame | None, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            pcol = prev.columns[1]
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(pcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s = first_after("signup", None, "t_s")
+    v = first_after("view", s, "t_v")
+    p = first_after("purchase", v, "t_p")
+    d = (
+        v.join(s, "user_id")
+        .select(
+            F.lit("a_signup_to_view").alias("transition"),
+            (F.unix_micros("t_v") - F.unix_micros("t_s")).alias("delta_us"),
+        )
+        .unionAll(
+            p.join(v, "user_id").select(
+                F.lit("b_view_to_purchase").alias("transition"),
+                (F.unix_micros("t_p") - F.unix_micros("t_v")).alias(
+                    "delta_us"
+                ),
+            )
+        )
+    )
+    return (
+        d.groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.min("delta_us").cast("long").alias("min_us"),
+            F.expr("CAST(percentile(delta_us, 0.5) * 2 AS LONG)").alias(
+                "p50_x2_us"
+            ),
+            F.expr(
+                "CAST(ROUND(percentile(delta_us, 0.9) * 10) AS LONG)"
+            ).alias("p90_x10_us"),
+        )
+        .orderBy("transition")
+    )
