@@ -557,3 +557,86 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_stream(enriched, name, "complete")
     return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+@register(
+    "stream_column_stats",
+    oracle="""
+    WITH src AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us
+      FROM events
+    )
+    SELECT 'a_user_id' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(MIN(user_id) AS BIGINT) AS min_v,
+           CAST(MAX(user_id) AS BIGINT) AS max_v
+    FROM src
+    UNION ALL
+    SELECT 'b_value_cents', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(cents) AS BIGINT), CAST(MAX(cents) AS BIGINT)
+    FROM src
+    UNION ALL
+    SELECT 'c_ts_us', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(ts_us) AS BIGINT), CAST(MAX(ts_us) AS BIGINT)
+    FROM src
+    ORDER BY column_name
+    """,
+)
+def stream_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor (the streaming twin of A35
+    --columnStats): each micro-batch contributes per-column partial
+    stats (rows, nulls, min, max) through a foreachBatch ledger; the
+    partials merge associatively (sum/sum/min/max), so the final
+    report is EXACTLY the batch answer — which is what the oracle
+    checks. In production the per-batch rows land in a metrics sink
+    and the merge is a rollup query; state never grows with the
+    stream (3 columns × constant partials per batch)."""
+    ensure_utc(spark)
+    stream = _events_stream(spark, sf_dir)
+    cols = stream.select(
+        F.col("user_id").cast("long").alias("a_user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("b_value_cents"),
+        F.unix_micros("ts").alias("c_ts_us"),
+    )
+    ledger: list[tuple] = []
+
+    def per_batch(bdf, _bid):
+        aggs = []
+        for c in ("a_user_id", "b_value_cents", "c_ts_us"):
+            aggs += [
+                F.count(F.lit(1)).alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__z"),
+                F.min(c).alias(f"{c}__lo"),
+                F.max(c).alias(f"{c}__hi"),
+            ]
+        row = bdf.agg(*aggs).collect()[0].asDict()
+        ledger.append(row)
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_scs_")
+    q = (
+        cols.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = []
+    for c in ("a_user_id", "b_value_cents", "c_ts_us"):
+        parts = [r for r in ledger if r[f"{c}__n"]]
+        n = sum(r[f"{c}__n"] for r in ledger)
+        z = sum(r[f"{c}__z"] or 0 for r in ledger)
+        lo = min((r[f"{c}__lo"] for r in parts if r[f"{c}__lo"] is not None), default=None)
+        hi = max((r[f"{c}__hi"] for r in parts if r[f"{c}__hi"] is not None), default=None)
+        out.append((c, n, z, lo, hi))
+    return spark.createDataFrame(
+        out,
+        "column_name string, n_rows long, n_nulls long, "
+        "min_v long, max_v long",
+    ).orderBy("column_name")
