@@ -1143,3 +1143,57 @@ def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("transition")
     )
+
+
+@register(
+    "event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    cnt AS (
+      SELECT t1, t2, t3, COUNT(*) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT t1, t2, t3, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n DESC, t1, t2, t3) AS rk
+      FROM cnt
+    ) WHERE rk <= 10
+    ORDER BY rk
+    """,
+)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 third-order behavior sequences: consecutive
+    (t1 → t2 → t3) event-type paths per user, ranked by frequency
+    with a deterministic tie-break — the path-discovery step a funnel
+    definition (events_funnel's stages) comes from. Extends
+    event_transitions to trigrams with a double LEAD on the SAME
+    user_id sort (one shuffle, one window pass); the candidate space
+    is |types|³ — bounded — so the final ranking window runs over a
+    reduced aggregate, never the event stream."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return (
+        cnt.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("t1", "t2", "t3", F.col("n").cast("long"), F.col("rk").cast("long"))
+        .orderBy("rk")
+    )

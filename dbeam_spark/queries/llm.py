@@ -2293,3 +2293,94 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+SAMPLE_TARGET_DOCS = 200
+
+
+@register(
+    "sampling_quota_apply",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(n_chars) AS total_chars FROM s),
+    w AS (
+      SELECT source,
+             CAST(FLOOR(pow(n_chars * 1.0 / total_chars, 0.7)
+                        * 1000000000) AS BIGINT) AS wq
+      FROM s, t
+    ),
+    z AS (SELECT SUM(wq) AS wsum FROM w),
+    quota AS (
+      -- CAST before the integer division: DuckDB's // on a DOUBLE
+      -- (FLOOR's return type) is plain division, not floor division
+      SELECT source,
+             CAST(FLOOR(wq * 1000000 / wsum) AS BIGINT)
+               * {SAMPLE_TARGET_DOCS} // 1000000 AS n_take
+      FROM w, z
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rk
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rk <= q.n_take
+    ORDER BY r.source, r.rk
+    """,
+)
+def sampling_quota_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-balanced training mix:
+    sampling_weights' docs-per-million quotas converted to per-source
+    doc counts for a 200-doc budget, filled by each
+    source's md5-ranked docs (deterministic, no RNG — re-runs and
+    engines pick the SAME sample). This is the execution step of the
+    up/down-sampling decision; together with sampling_weights the
+    mix-planning loop is closed.
+
+    Shape: quotas come from the per-source rollup (scalar broadcasts,
+    no data-scaled shuffle); selection is one ranking window
+    PARTITIONED by source over (id, source) projections — never the
+    text — then a broadcast join against the tiny quota table."""
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    t = s.agg(F.sum("n_chars").alias("total_chars"))
+    w = s.crossJoin(F.broadcast(t)).withColumn(
+        "wq",
+        F.floor(
+            F.pow(F.col("n_chars") * 1.0 / F.col("total_chars"), 0.7)
+            * 1000000000
+        ).cast("long"),
+    )
+    z = w.agg(F.sum("wq").alias("wsum"))
+    quota = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.expr(
+                "FLOOR(wq * 1000000 / wsum)"
+                f" * {SAMPLE_TARGET_DOCS} DIV 1000000"
+            ).cast("long").alias("n_take"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(wr).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("n_take"))
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
