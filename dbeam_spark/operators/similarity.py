@@ -856,3 +856,81 @@ def knn_pq(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def covariance_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple:
+    """Exact distributed covariance of an embedding column.
+
+    Each component is quantized to integer units (floor(v·scale)) and
+    the sufficient statistics — Σqqᵀ (dim×dim), Σq (dim), n — are
+    accumulated in int64 per partition, then reduced on the driver as
+    arbitrary-precision Python ints. Integer accumulation makes the
+    result bit-identical regardless of partitioning or row order
+    (a float covariance pass is summation-order dependent), at the
+    cost of scale⁻¹ quantization — noise far below the variance
+    structure PCA reads. Returns (cov ndarray, mean ndarray, n).
+
+    Shape at 100 TB: ONE Arrow map pass over the vectors; partials
+    are dim²+dim+1 longs per partition — the classic sufficient-
+    statistics reduce, no shuffle of the data."""
+    import numpy as np
+
+    d = _as_double(df, vec_col).select(F.col(vec_col).alias("v"))
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    d = rebalance_for_arrow(d)
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        S2 = None
+        S1 = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            if S2 is None:
+                dim = Q.shape[1]
+                S2 = np.zeros((dim, dim), dtype=np.int64)
+                S1 = np.zeros(dim, dtype=np.int64)
+            S2 += Q.T @ Q
+            S1 += Q.sum(axis=0)
+            n += Q.shape[0]
+        if n:
+            dim = len(S1)
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s1": [S1.tolist()],
+                    "s2": [S2.reshape(-1).tolist()],
+                }
+            )
+
+    rows = d.mapInPandas(
+        partial, "n long, s1 array<long>, s2 array<long>"
+    ).collect()
+    if not rows:
+        raise ValueError("covariance over an empty frame")
+    dim = len(rows[0]["s1"])
+    # python-int reduce: immune to int64 overflow across partitions
+    n = sum(r["n"] for r in rows)
+    S1 = [sum(int(r["s1"][i]) for r in rows) for i in range(dim)]
+    S2 = [
+        sum(int(r["s2"][k]) for r in rows) for k in range(dim * dim)
+    ]
+    import numpy as _np
+
+    mean = _np.array(S1, dtype=_np.float64) / (n * scale)
+    E2 = _np.array(S2, dtype=_np.float64).reshape(dim, dim) / (
+        n * scale * scale
+    )
+    cov = E2 - _np.outer(mean, mean)
+    return cov, mean, n

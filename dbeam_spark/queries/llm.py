@@ -2384,3 +2384,35 @@ def sampling_quota_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rk")
         .orderBy("source", "rk")
     )
+
+
+@register("embedding_pca_variance")  # eigendecomposition -> rows-only
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum audit of the embedding space: top-8 principal
+    components' explained-variance shares (and cumulative share) —
+    the whitening/dimensionality decision input before building an
+    ANN index (isotropic spaces hash better; a collapsed spectrum
+    says the embeddings need whitening or a better encoder).
+
+    Distribution: sufficient statistics (Σqqᵀ, Σq, n) accumulate
+    integer-exactly in ONE Arrow map pass
+    (similarity.covariance_exact) — bit-stable across partitionings;
+    only the dim×dim matrix reaches the driver for the
+    eigendecomposition, which is O(dim³) and data-independent.
+    Rows-only: eigensolving is not SQL-expressible."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    cov, _mean, n = similarity.covariance_exact(emb)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    shares = [max(float(v), 0.0) / total for v in evals[:8]]
+    rows, cum = [], 0.0
+    for i, s in enumerate(shares):
+        cum += s
+        rows.append(
+            (i + 1, int(round(s * 1_000_000)), int(round(cum * 1_000_000)))
+        )
+    return spark.createDataFrame(
+        rows, "component long, var_share_x1e6 long, cum_share_x1e6 long"
+    ).orderBy("component")

@@ -45,3 +45,37 @@ def test_deterministic_across_partitionings(spark):
     r1 = {r["id"]: r["rank_q6"] for r in pagerank(e1, n_iter=8).collect()}
     r8 = {r["id"]: r["rank_q6"] for r in pagerank(e8, n_iter=8).collect()}
     assert r1 == r8  # integer math: bit-identical regardless of layout
+
+
+def test_covariance_exact_matches_numpy(spark):
+    import numpy as np
+
+    from dbeam_spark.operators.similarity import covariance_exact
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(200, 6) * 0.3
+    rows = [(i, [float(v) for v in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov, mean, n = covariance_exact(df)
+    assert n == 200
+    # quantization at 1e-6 units: agreement to ~1e-5 absolute
+    Q = np.floor(X * 1_000_000) / 1_000_000
+    ref = np.cov(Q, rowvar=False, bias=True)
+    assert np.abs(cov - ref).max() < 1e-9
+    assert np.abs(mean - Q.mean(axis=0)).max() < 1e-9
+
+
+def test_covariance_partitioning_invariant(spark):
+    import numpy as np
+
+    from dbeam_spark.operators.similarity import covariance_exact
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(100, 4)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(100)]
+    d1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(1)
+    d7 = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<double>").repartition(7)
+    c1, m1, _ = covariance_exact(d1)
+    c7, m7, _ = covariance_exact(d7)
+    # integer sufficient statistics: BIT-identical, any layout/order
+    assert (c1 == c7).all() and (m1 == m7).all()
