@@ -2477,3 +2477,63 @@ def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim long, n long, max_offdiag_x1e6 long, "
         "min_diag_x1e6 long, max_diag_x1e6 long",
     )
+
+
+@register("dedup_lsh_recall")  # LSH path not SQL-expressible -> rows-only
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the production dedup path: MinHash-LSH
+    (candidates + exact verify) scored against the exhaustive
+    shingle-join ground truth at the same threshold — TP/FN/FP pair
+    counts and recall. Precision is 1.0 by construction (candidates
+    are exact-verified); recall is the banding guarantee
+    (32 bands × 4 rows ⇒ P(miss | J≥τ) ≈ 0 at τ=0.5) — this query
+    MEASURES it instead of assuming it, the eval a dedup rollout
+    report quotes. Both sides are deterministic; the exhaustive twin
+    is the cost ceiling, so this runs at audit cadence, not per-batch."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    lsh = dedup.minhash_lsh_pairs(docs, JACCARD_THRESHOLD).select(
+        "id_a", "id_b", F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.when(F.col("in_lsh").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_lsh"),
+        F.sum(F.when(F.col("in_lsh").isNull(), 1).otherwise(0))
+        .cast("long").alias("false_negatives"),
+        F.expr(
+            "SUM(CASE WHEN in_lsh IS NOT NULL THEN 1 ELSE 0 END) * 10000"
+            " DIV COUNT(1)"
+        ).cast("long").alias("recall_x1e4"),
+    )
+
+
+@register("dedup_semantic_clusters")  # LSH recall<1 by design -> rows-only
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) near-dup clusters: random-hyperplane
+    LSH pairs → connected components → cluster roster. The
+    embedding-side twin of dedup_clusters (which clusters LEXICAL
+    near-dups): paraphrases and re-encodings that share no shingles
+    still land in one cluster here. Same scale shape end-to-end —
+    bucketed candidate generation, exact verify, then the
+    O(log n)-round component labeling; the roster string is bounded
+    by the cluster cap, never the corpus."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.rh_lsh_embedding_pairs(emb, COSINE_THRESHOLD)
+    comps = dedup.connected_components(
+        pairs.select(F.col("id_a"), F.col("id_b"))
+    )
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
