@@ -2537,3 +2537,63 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "knn_graph_degrees",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    ),
+    edges AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    ),
+    indeg AS (
+      SELECT n.vec_id, COALESCE(d.c, 0) AS in_degree
+      FROM (SELECT vec_id FROM embeddings) n
+      LEFT JOIN (
+        SELECT neighbor_id, COUNT(*) AS c FROM edges GROUP BY 1
+      ) d ON d.neighbor_id = n.vec_id
+    )
+    SELECT CAST(in_degree AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM indeg GROUP BY in_degree ORDER BY in_degree
+    """,
+)
+def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the k-NN graph (k=3): how many
+    vectors are chosen as a neighbor 0, 1, 2, … times. A heavy right
+    tail means hub vectors (cluster centers / near-dup magnets — the
+    nodes embedding_pagerank ranks highest); a large zero bucket
+    means isolated points. The histogram is the quick skew diagnostic
+    before committing to an ANN index layout, and its oracle COMPOSES
+    the knn_self_join oracle — the graph the degree sequence
+    summarizes is itself hash-verified. Shape: one count aggregation
+    over k·n edges + a left join against the id projection; output is
+    |distinct degrees| rows."""
+    emb = _emb(spark, sf_dir)
+    edges = similarity.knn_join(emb, k=3)
+    indeg = (
+        emb.select("vec_id")
+        .join(
+            edges.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("c")),
+            F.col("vec_id") == F.col("neighbor_id"),
+            "left",
+        )
+        .select(F.coalesce(F.col("c"), F.lit(0)).alias("in_degree"))
+    )
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("in_degree").cast("long"), "n_nodes")
+        .orderBy("in_degree")
+    )
