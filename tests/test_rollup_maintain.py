@@ -1,0 +1,91 @@
+"""Incremental rollup maintenance (A36): touched-days-only rebuild,
+idempotent recomputation, equality with a full recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbeam_spark.avro.schema import spark_schema_to_avro
+from dbeam_spark.avro.writer import write_avro
+from dbeam_spark.jobs.rollup_maintain import maintain_rollup, read_rollup
+
+
+def _mk_run(spark, root, idx, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, cents long"
+    ).coalesce(1)
+    schema = spark_schema_to_avro(df.schema, use_logical_types=True)
+    out = root / f"run_{idx:05d}"
+    out.mkdir(parents=True)
+    write_avro(df, str(out), schema)
+    return df
+
+
+def _rows(day, etype, n, base_id, cents):
+    from datetime import datetime
+
+    return [
+        (base_id + i, datetime(2024, 1, day, 10, i), etype, cents)
+        for i in range(n)
+    ]
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    runs = tmp_path / "runs"
+    roll = tmp_path / "rollup"
+    _mk_run(spark, runs, 0, _rows(1, "view", 3, 0, 10) + _rows(2, "buy", 2, 10, 50))
+    r1 = maintain_rollup(
+        spark, str(runs), str(roll), "ts", ["event_type"], ["cents"]
+    )
+    assert r1["new_runs"] == ["run_00000"]
+    assert r1["rebuilt_days"] == ["2024-01-01", "2024-01-02"]
+
+    # second run appends to day 2 and opens day 3: day 1 untouched
+    _mk_run(spark, runs, 1, _rows(2, "buy", 4, 20, 50) + _rows(3, "view", 1, 30, 7))
+    r2 = maintain_rollup(
+        spark, str(runs), str(roll), "ts", ["event_type"], ["cents"]
+    )
+    assert r2["rebuilt_days"] == ["2024-01-02", "2024-01-03"]
+
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n_rows"], r["sum_cents"])
+        for r in read_rollup(spark, str(roll)).collect()
+    }
+    # full recompute over both runs
+    assert got == {
+        ("2024-01-01", "view"): (3, 30),
+        ("2024-01-02", "buy"): (6, 300),  # 2 + 4 across runs, NOT doubled
+        ("2024-01-03", "view"): (1, 7),
+    }
+
+
+def test_noop_and_crash_replay_idempotent(spark, tmp_path):
+    runs = tmp_path / "runs"
+    roll = tmp_path / "rollup"
+    _mk_run(spark, runs, 0, _rows(1, "view", 2, 0, 5))
+    maintain_rollup(spark, str(runs), str(roll), "ts", ["event_type"], ["cents"])
+    # no new runs -> no-op
+    assert maintain_rollup(
+        spark, str(runs), str(roll), "ts", ["event_type"], ["cents"]
+    ) == {"new_runs": [], "rebuilt_days": []}
+
+    # simulate a crash BEFORE the state write: delete the state file
+    # and re-run — recomputation must converge, not double-count
+    (roll / "_ROLLUP_STATE.json").unlink()
+    maintain_rollup(spark, str(runs), str(roll), "ts", ["event_type"], ["cents"])
+    rows = read_rollup(spark, str(roll)).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 2 and rows[0]["sum_cents"] == 10
+
+
+def test_multi_group_and_sum_columns(spark, tmp_path):
+    runs = tmp_path / "runs"
+    roll = tmp_path / "rollup"
+    _mk_run(
+        spark, runs, 0,
+        _rows(1, "view", 2, 0, 10) + _rows(1, "buy", 1, 5, 99),
+    )
+    maintain_rollup(spark, str(runs), str(roll), "ts", ["event_type"], ["cents", "event_id"])
+    df = read_rollup(spark, str(roll))
+    assert set(df.columns) == {"day", "event_type", "n_rows", "sum_cents", "sum_event_id"}
+    buy = df.filter(F.col("event_type") == "buy").collect()[0]
+    assert buy["n_rows"] == 1 and buy["sum_cents"] == 99
