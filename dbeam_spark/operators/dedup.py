@@ -718,3 +718,126 @@ def connected_components_twophase(
         "cluster_id", F.col("doc_id")
     )
     return members.unionByName(roots).distinct()
+
+
+def incremental_minhash_index(
+    docs_new: DataFrame,
+    index_dir: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection against a persisted signature
+    index — the 100 TB operating mode: yesterday's corpus is NEVER
+    re-shingled, only its 128×int signatures (≤ 1 KB/doc) persist.
+
+    Per batch:
+    1. signatures for the NEW docs only (map-only, zero shuffle);
+    2. band buckets over old ∪ new signatures, keeping only buckets
+       that contain ≥ 1 new doc — candidate volume scales with the
+       BATCH, not the corpus;
+    3. scoring by the MinHash Jaccard estimator (share of equal
+       components; unbiased, σ ≈ √(J(1−J)/128) ≈ 0.04) — the
+       historical text is not re-read. New-vs-new pairs could be
+       exact-verified like `minhash_lsh_pairs`; this operator keeps
+       one uniform estimator path so old and new pairs are
+       comparable.
+    4. the new signatures are APPENDED to the index (parquet),
+       making the call idempotent-per-batch and the index append-only.
+
+    Returns (id_a, id_b, est_jaccard_x1e4, a_is_new, b_is_new) pairs
+    with estimate ≥ threshold.
+    """
+    import os
+
+    spark = docs_new.sparkSession
+    cols = [f"mh{i}" for i in range(_NUM_PERM)]
+    sig_new = minhash_signatures_maponly(docs_new, id_col, text_col, n)
+    sig_new = sig_new.withColumn("is_new", F.lit(True))
+    have_old = os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    )
+    if have_old:
+        sig_old = (
+            spark.read.parquet(index_dir)
+            .withColumn("is_new", F.lit(False))
+        )
+        sigs = sig_old.unionByName(sig_new)
+    else:
+        sigs = sig_new
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[
+                        F.col(f"mh{b * _ROWS_PER_BAND + j}")
+                        for j in range(_ROWS_PER_BAND)
+                    ]
+                ).alias("sig"),
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    buckets = sigs.select(
+        "sid", "is_new", F.explode(bands).alias("bd")
+    ).select("sid", "is_new", F.col("bd.band"), F.col("bd.sig"))
+    grp = (
+        buckets.groupBy("band", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("sid", "is_new"))
+            ).alias("ms"),
+            F.max(F.col("is_new").cast("int")).alias("any_new"),
+        )
+        # only buckets a NEW doc landed in; degenerate buckets capped
+        .filter(
+            (F.col("any_new") == 1)
+            & (F.size("ms") > 1)
+            & (F.size("ms") <= 1000)
+        )
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x.sid AS id_a, y.sid AS id_b, "
+            "x.is_new AS a_is_new, y.is_new AS b_is_new))))"
+        )
+    )
+    cand = (
+        grp.select(pairs.alias("p"))
+        .select("p.id_a", "p.id_b", "p.a_is_new", "p.b_is_new")
+        .filter(F.col("a_is_new") | F.col("b_is_new"))
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("sid").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in cols],
+    )
+    b = sigs.select(
+        F.col("sid").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+    )
+    eq_terms = "+".join(
+        f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_PERM)
+    )
+    est = F.expr(f"({eq_terms}) * 10000 DIV {_NUM_PERM}")
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.cast("long").alias("est_jaccard_x1e4"),
+            "a_is_new",
+            "b_is_new",
+        )
+        .filter(F.col("est_jaccard_x1e4") >= int(threshold * 10000))
+    )
+    out = out.localCheckpoint(eager=True)  # materialize BEFORE append
+    sig_new.drop("is_new").write.mode("append").parquet(index_dir)
+    return out.orderBy("id_a", "id_b")

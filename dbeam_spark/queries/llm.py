@@ -2597,3 +2597,30 @@ def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("in_degree").cast("long"), "n_nodes")
         .orderBy("in_degree")
     )
+
+
+@register("dedup_incremental")  # signature-estimator path -> rows-only
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted signature index — the
+    daily operating mode at 100 TB (the corpus is NEVER re-shingled;
+    only 128×int signatures persist). Replayed here in two batches:
+    even doc_ids are 'yesterday' (indexed first), odd doc_ids are
+    'today'; today's batch is checked against the whole index via
+    band buckets restricted to buckets a new doc landed in —
+    candidate volume scales with the batch, not the corpus — and
+    scored by the MinHash Jaccard estimator (σ≈0.04 at 128 perms).
+    Output: today's near-dup pairs with estimate ≥ 0.5 and their
+    new/old provenance flags. Rows-only: estimator + stateful index,
+    deterministic given the fixed permutation set."""
+    import tempfile
+
+    from dbeam_spark.operators.dedup import incremental_minhash_index
+
+    docs = _docs(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="sig_index_") + "/idx"
+    incremental_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0), index_dir, 0.5
+    ).count()
+    return incremental_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 1), index_dir, 0.5
+    )

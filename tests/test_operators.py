@@ -1037,3 +1037,50 @@ def test_quality_classifier_learns_teacher_signal(spark):
     # features ~generate the teacher signal -> held-out AUC far above chance
     assert rep["auc"] >= 0.8, rep
     assert 0.0 <= rep["accuracy"] <= 1.0
+
+
+def test_incremental_minhash_index(spark, tmp_path):
+    """Incremental dedup vs a persisted signature index: batch 2's
+    near-dup of a batch-1 doc is found WITHOUT re-reading batch 1's
+    text; the index grows append-only; batch-local pairs also found."""
+    from dbeam_spark.operators.dedup import incremental_minhash_index
+
+    base = (
+        "spark shuffle partition broadcast join hash aggregate scan "
+        "filter window sort merge exchange codegen arrow batch column"
+    )
+    idx = str(tmp_path / "sig_index")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally different words about cooking pasta "
+                        "tomato basil olive oil garlic salt pepper pan")],
+        "doc_id long, text string",
+    )
+    out1 = incremental_minhash_index(b1, idx, 0.5).collect()
+    assert out1 == []  # no dups within batch 1
+
+    # batch 2: near-dup of doc 1 (one word changed) + a fresh doc
+    b2 = spark.createDataFrame(
+        [(10, base.replace("codegen", "tungsten")),
+         (11, "unrelated text entirely about astronomy telescope star "
+              "galaxy nebula orbit planet comet meteor dust")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_minhash_index(b2, idx, 0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out2}
+    assert (1, 10) in pairs
+    hit = [r for r in out2 if (r["id_a"], r["id_b"]) == (1, 10)][0]
+    assert hit["est_jaccard_x1e4"] >= 5000
+    assert (not hit["a_is_new"]) and hit["b_is_new"]
+
+    # index now holds all 4 signatures (append-only)
+    assert spark.read.parquet(idx).count() == 4
+
+    # batch 3: exact copy of doc 11 -> estimator ~1.0 against the index
+    b3 = spark.createDataFrame(
+        [(20, "unrelated text entirely about astronomy telescope star "
+              "galaxy nebula orbit planet comet meteor dust")],
+        "doc_id long, text string",
+    )
+    out3 = incremental_minhash_index(b3, idx, 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out3} == {(11, 20)}
+    assert out3[0]["est_jaccard_x1e4"] == 10000
