@@ -2624,3 +2624,100 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_index(
         docs.filter(F.col("doc_id") % 2 == 1), index_dir, 0.5
     )
+
+
+@register(
+    "dedup_longest_span",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    posd AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - 1),
+               i -> {{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' '
+                     || t[i+2]}})) AS pg
+      FROM toks WHERE len(t) >= 3
+    ),
+    ga AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM posd),
+    matched AS (
+      SELECT p.id_a, p.id_b, a.pos
+      FROM pairs p
+      JOIN ga a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.gram
+    ),
+    isl AS (
+      SELECT id_a, id_b, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b ORDER BY pos) AS grp
+      FROM matched
+    ),
+    spans AS (
+      SELECT id_a, id_b, grp, COUNT(*) AS span_len
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT id_a, id_b,
+           CAST(SUM(span_len) AS BIGINT) AS matched_grams,
+           CAST(MAX(span_len) AS BIGINT) AS longest_span,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY id_a, id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span structure of each near-dup pair: positions in doc A whose
+    word-3-gram also occurs in doc B, merged into maximal contiguous
+    runs (gaps-and-islands) — total matched grams, the LONGEST shared
+    span, and the span count. One long span ⇒ block copy (Lee et
+    al.'s exact-substring dedup finding); many short spans ⇒ shared
+    phrasing/template. The policy input for span-level (vs whole-doc)
+    dedup.
+
+    Shape: candidate pairs are the bounded near-dup set (produced by
+    the LSH path at scale); position streams join per pair, and the
+    island window partitions BY PAIR — never a global sort. The
+    islands trick (pos − row_number) stays pure Catalyst."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = docs.select(F.col("doc_id"), toks.alias("t")).filter(
+        F.size("t") >= 3
+    )
+    cnt = F.size("t") - 2
+    zipped = F.arrays_zip(
+        *[F.slice("t", i + 1, cnt).alias(f"w{i}") for i in range(3)]
+    )
+    gram = F.concat_ws(" ", *[F.col(f"z.w{i}") for i in range(3)])
+    ga = base.select(
+        "doc_id", F.posexplode(zipped).alias("pos", "z")
+    ).select("doc_id", "pos", gram.alias("gram"))
+    gb = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    matched = (
+        pairs.join(ga, pairs["id_a"] == ga["doc_id"])
+        .drop("doc_id")
+        .join(
+            gb,
+            (pairs["id_b"] == gb["sid"]) & (F.col("gram") == gb["shingle"]),
+        )
+        .select("id_a", "id_b", "pos")
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("pos")
+    isl = matched.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = isl.groupBy("id_a", "id_b", "grp").agg(
+        F.count(F.lit(1)).alias("span_len")
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("span_len").cast("long").alias("matched_grams"),
+            F.max("span_len").cast("long").alias("longest_span"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .orderBy("id_a", "id_b")
+    )
