@@ -2721,3 +2721,96 @@ def dedup_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tk AS (SELECT tok FROM toks WHERE tok <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM tk),
+    buck AS (
+      SELECT tok, r, substr(md5(CAST(r AS VARCHAR) || tok), 1, 2) AS b
+      FROM tk, range(4) AS t(r)
+    ),
+    counters AS (SELECT r, b, COUNT(*) AS c FROM buck GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT tok, r,
+             substr(md5(CAST(r AS VARCHAR) || tok), 1, 2) AS b
+      FROM tk, range(4) AS t(r)
+    ),
+    est AS (
+      SELECT cand.tok, MIN(c.c) AS est_count
+      FROM cand JOIN counters c ON c.r = cand.r AND c.b = cand.b
+      GROUP BY cand.tok
+    ),
+    exact AS (SELECT tok, COUNT(*) AS exact_count FROM tk GROUP BY tok)
+    SELECT e.tok,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(e.est_count - x.exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x USING (tok), tot
+    WHERE e.est_count * 100 >= tot.n
+    ORDER BY e.tok
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (d=4 rows × 256 md5-prefix
+    buckets) with the exact count joined back: candidates are every
+    token whose sketch ESTIMATE crosses 1% of corpus mass — CM
+    guarantees no false negatives, and the (est − exact) overcount
+    column SHOWS the collision inflation instead of hiding it. The
+    sketch is engine-portable by construction (string md5-prefix
+    bucketing, no numeric hash), so even this approximate structure
+    is hash-gated against the DuckDB oracle — unlike HLL/t-digest
+    whose internals are implementation-defined (approx_distinct,
+    approx_percentile_prices stay rows-only).
+
+    Scale shape: counters are a 1024-row aggregate (map-side
+    combinable, broadcastable); the estimate pass is one join of the
+    bounded vocab×4 against the bounded sketch. The exact join-back
+    is affordable because candidates are few; a pure-sketch
+    deployment drops it."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    tk = docs.select(tok).filter(F.col("tok") != "")
+    rows4 = F.explode(
+        F.array(*[F.lit(r) for r in range(4)])
+    ).alias("r")
+    buck = tk.select("tok", rows4).withColumn(
+        "b",
+        F.substring(
+            F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))), 1, 2
+        ),
+    )
+    counters = buck.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = tk.agg(F.count(F.lit(1)).alias("n"))
+    cand = exact.select("tok").select("tok", rows4).withColumn(
+        "b",
+        F.substring(
+            F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))), 1, 2
+        ),
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.join(exact, "tok")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * 100 >= F.col("n"))
+        .select(
+            "tok",
+            F.col("exact_count").cast("long"),
+            F.col("est_count").cast("long"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("tok")
+    )

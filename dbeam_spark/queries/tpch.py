@@ -3180,3 +3180,56 @@ def domain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("rule")
+
+
+@register(
+    "revenue_trailing_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS day_num,
+             CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2)
+    SELECT day, cents,
+           CAST(SUM(cents) OVER (
+             ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing7_cents
+    FROM daily
+    ORDER BY day
+    """,
+)
+def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True trailing-7-CALENDAR-day revenue via a RANGE window frame
+    over the integer day number — unlike revenue_moving_avg's ROWS
+    frame, missing days shrink the window instead of silently
+    stretching it across gaps (the correctness difference between
+    ROWS and RANGE that bites sparse series). Cent-quantized sums
+    keep the frame inputs integer-exact in both engines; the window
+    runs over |days| rows, never facts."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    ).withColumn(
+        "day_num",
+        F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        .cast("long"),
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "cents",
+            F.sum("cents").over(w).cast("long").alias("trailing7_cents"),
+        )
+        .orderBy("day")
+    )
