@@ -197,3 +197,41 @@ def extract_features(docs_with_payload: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return cols.mapInPandas(featurize, schema)
+
+
+def window_slices(
+    docs_with_payload: DataFrame,
+    window_bytes: int = 512,
+    hop_bytes: int = 256,
+) -> DataFrame:
+    """Audio-style OVERLAPPING windowing: slide a `window_bytes`
+    window over the payload at `hop_bytes` stride and emit one row
+    per window (doc_id, win_idx, win_len) — the STFT/feature-window
+    fan-out a real audio front end performs (librosa frames slot
+    straight into this shape); the final partial window is kept, as
+    feature extractors do with padding.
+
+    Same Arrow-batched 1→N contract as `frame_sample`; with
+    hop < window the fan-out is input_bytes/hop rows, so overlap
+    multiplies output volume by window/hop — size input partitions
+    accordingly at scale."""
+    cols = docs_with_payload.select("doc_id", "payload")
+
+    def slide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_len = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                idx = 0
+                start = 0
+                while start < n:
+                    out_id.append(doc_id)
+                    out_idx.append(idx)
+                    out_len.append(min(window_bytes, n - start))
+                    idx += 1
+                    start += hop_bytes
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame_len": out_len}
+            )
+
+    return cols.mapInPandas(slide, FRAME_SCHEMA)

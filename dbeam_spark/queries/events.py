@@ -1197,3 +1197,79 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t1", "t2", "t3", F.col("n").cast("long"), F.col("rk").cast("long"))
         .orderBy("rk")
     )
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT e.user_id, e.event_id,
+             MAX(CASE WHEN p.ts > e.ts
+                       AND p.ts <= e.ts + INTERVAL 10 MINUTE
+                      THEN 1 ELSE 0 END) AS converted
+      FROM err e LEFT JOIN pur p ON p.user_id = e.user_id
+      GROUP BY e.user_id, e.event_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(SUM(converted) AS BIGINT) AS n_recovered,
+           CAST(SUM(converted) * 10000 // COUNT(*) AS BIGINT)
+             AS recovery_x1e4
+    FROM matched
+    GROUP BY user_id
+    HAVING SUM(converted) > 0
+    ORDER BY user_id
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence pattern: per user, how many 'error' events
+    are followed by a 'purchase' within 10 minutes (the
+    error-then-recovered funnel — A-followed-by-B-within-τ is the
+    canonical complex-event-processing primitive). Users with at
+    least one recovery are reported with the recovery rate.
+
+    Shape: the pattern join is equi-keyed on user_id with the time
+    predicate applied inside — both sides are filtered projections of
+    the same event stream, so at 100 TB this is one co-partitioned
+    join (no bucket-explosion needed at a 10-min bound: the
+    interval_join operator is the general tool when neither side is
+    filter-reduced). Integer-exact recovery ratio."""
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"), "event_id"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    joined = err.join(
+        pur, err["user_id"] == pur["p_uid"], "left"
+    ).withColumn(
+        "hit",
+        F.when(
+            (F.col("p_ts") > F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    matched = joined.groupBy("user_id", "event_id").agg(
+        F.max("hit").alias("converted")
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            F.sum("converted").cast("long").alias("n_recovered"),
+            F.expr("SUM(converted) * 10000 DIV COUNT(1)")
+            .cast("long")
+            .alias("recovery_x1e4"),
+        )
+        .filter(F.col("n_recovered") > 0)
+        .orderBy("user_id")
+    )

@@ -2814,3 +2814,41 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+@register(
+    "multimodal_windows",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, n,
+             unnest(range(0, (n + 255) // 256)) AS win_idx
+      FROM geom
+    )
+    SELECT doc_id,
+           CAST(win_idx AS BIGINT) AS frame_idx,
+           CAST(LEAST(512, n - win_idx * 256) AS BIGINT) AS frame_len
+    FROM wins
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio-style windowing over binary payloads
+    (512-byte windows, 256-byte hop — 2× overlap) via the
+    Arrow-batched `window_slices` operator; a real STFT/feature
+    front end swaps into the same 1→N shape. The oracle recomputes
+    the full window geometry (count, indices, tail clipping) from
+    payload lengths alone, pinning the slide arithmetic exactly —
+    the complement of multimodal_frames' non-overlapping stride."""
+    docs = _docs(spark, sf_dir)
+    out = multimodal.window_slices(
+        multimodal.with_payload(docs), window_bytes=512, hop_bytes=256
+    )
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long"),
+        F.col("frame_len").cast("long"),
+    ).orderBy("doc_id", "frame_idx")
