@@ -3233,3 +3233,92 @@ def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "segment_migration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'h1' ELSE 'h2' END AS half,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    thr AS (
+      SELECT half,
+             CAST(quantile_cont(cents, 0.25) * 2 AS BIGINT) AS q1_x2,
+             CAST(quantile_cont(cents, 0.50) * 2 AS BIGINT) AS q2_x2,
+             CAST(quantile_cont(cents, 0.75) * 2 AS BIGINT) AS q3_x2
+      FROM spend GROUP BY half
+    ),
+    seg AS (
+      SELECT s.o_custkey, s.half,
+             1 + CASE WHEN s.cents * 2 > t.q1_x2 THEN 1 ELSE 0 END
+               + CASE WHEN s.cents * 2 > t.q2_x2 THEN 1 ELSE 0 END
+               + CASE WHEN s.cents * 2 > t.q3_x2 THEN 1 ELSE 0 END
+               AS quartile
+      FROM spend s JOIN thr t USING (half)
+    )
+    SELECT a.quartile AS seg_h1, b.quartile AS seg_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM seg a JOIN seg b
+      ON a.o_custkey = b.o_custkey AND a.half = 'h1' AND b.half = 'h2'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile MIGRATION matrix between the two
+    halves of the order history (pre/post 1998): who moved up, who
+    churned down — the customer-base drift view behind retention
+    spend. Scale-safe quartiling: per-half quartile CUT VALUES come
+    from one 8-row percentile aggregate broadcast back, and bucket
+    assignment is a map-side comparison — no global ranking window
+    over customers (the rewrite pattern customer_quartiles/
+    rfm_segments adopted). Thresholds are ×2-quantized so the
+    interpolated cut compares integer-exactly in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.withColumn(
+            "half",
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+                "h1",
+            ).otherwise("h2"),
+        )
+        .groupBy(F.col("o_custkey"), F.col("half"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    thr = spend.groupBy("half").agg(
+        F.expr("CAST(percentile(cents, 0.25) * 2 AS LONG)").alias("q1_x2"),
+        F.expr("CAST(percentile(cents, 0.50) * 2 AS LONG)").alias("q2_x2"),
+        F.expr("CAST(percentile(cents, 0.75) * 2 AS LONG)").alias("q3_x2"),
+    )
+    seg = spend.join(F.broadcast(thr), "half").select(
+        "o_custkey",
+        "half",
+        (
+            F.lit(1)
+            + (F.col("cents") * 2 > F.col("q1_x2")).cast("int")
+            + (F.col("cents") * 2 > F.col("q2_x2")).cast("int")
+            + (F.col("cents") * 2 > F.col("q3_x2")).cast("int")
+        ).alias("quartile"),
+    )
+    a = seg.filter(F.col("half") == "h1").select(
+        "o_custkey", F.col("quartile").alias("seg_h1")
+    )
+    b = seg.filter(F.col("half") == "h2").select(
+        "o_custkey", F.col("quartile").alias("seg_h2")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("seg_h1", "seg_h2")
+    )
