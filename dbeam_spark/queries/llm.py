@@ -2852,3 +2852,87 @@ def multimodal_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long"),
         F.col("frame_len").cast("long"),
     ).orderBy("doc_id", "frame_idx")
+
+
+SEARCH_TERMS = ("spark", "join", "hash")
+
+
+@register(
+    "keyword_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'join', 'hash')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(t.tf * (n.n_docs - d.df + 1)) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf t JOIN df d USING (tok), nd n
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score DESC, n_terms_hit DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY rk
+    """,
+)
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval: top-10 docs for a fixed term set by
+    tf·idf with a LINEAR idf surrogate (n_docs − df + 1) — linear
+    keeps every score an exact integer, so ranks are engine-stable
+    (doc_top_terms set the precedent; log-idf reorders only within
+    float noise). The search-index shape without the index: term
+    postings come from one filtered token aggregation (the IN
+    predicate prunes the token stream before the shuffle), doc
+    frequencies are a tok-grain rollup of the same frame, and the
+    ranking window runs over matched docs only. At 100 TB the same
+    plan serves with a pre-materialized (tok, doc, tf) posting table
+    bucketed by tok."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    tf = (
+        docs.select("doc_id", tok)
+        .filter(F.col("tok").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * (F.col("n_docs") - F.col("df") + F.lit(1))
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("score").desc(), F.col("n_terms_hit").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "doc_id",
+            F.col("score").cast("long"),
+            F.col("n_terms_hit").cast("long"),
+            F.col("rk").cast("long"),
+        )
+        .orderBy("rk")
+    )
