@@ -3322,3 +3322,68 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_h1", "seg_h2")
     )
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT c_mktsegment, c_nationkey,
+             COUNT(*) AS sz,
+             COUNT(DISTINCT o_orderpriority) AS l_div
+      FROM j GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l_div) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(SUM(CASE WHEN l_div < 3 THEN sz ELSE 0 END) AS BIGINT)
+             AS exposed_rows
+    FROM g
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement: a
+    quasi-identifier group can be large (k-safe) yet leak the
+    sensitive attribute if every member shares one value. Per
+    segment: groups whose sensitive attribute (order priority) shows
+    fewer than l=3 distinct values, and the rows they expose to
+    homogeneity attacks. Together with k_anonymity_audit this is the
+    standard pre-release pair.
+
+    Shape: the fact-dim join broadcasts customer's projection only at
+    small SF (AQE-sized); the distinct count runs per bounded
+    (segment, nation) group — no countDistinct expansion at the
+    segment rollup, which aggregates the tiny group table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    j = o.select("o_custkey", "o_orderpriority").join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    g = j.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("o_orderpriority").alias("l_div"),
+    )
+    return (
+        g.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("l_div").cast("long").alias("min_l"),
+            F.sum(F.when(F.col("l_div") < 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_diversity"),
+            F.sum(F.when(F.col("l_div") < 3, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("exposed_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
