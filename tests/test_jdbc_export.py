@@ -357,3 +357,45 @@ def test_column_stats_metadata(spark, derby_db, tmp_path):
         spark, opts_for(derby_db, out2, columnStats=True, dataOnly=True)
     )
     assert not (out2 / "_COLUMN_STATS.json").exists()
+
+
+def test_validate_export_job(spark, derby_db, tmp_path):
+    """A37: the standalone validator re-verifies a real export and
+    catches each tamper class with the right check + exit code."""
+    import shutil
+
+    from dbeam_spark.jobs.validate_export import main, validate_export
+
+    out = tmp_path / "val"
+    run_export(spark, opts_for(derby_db, out))
+    rep = validate_export(str(out))
+    assert rep.ok and rep.row_count == 1000
+    assert main([str(out), "--minRows", "500"]) == 0
+    assert main([str(out), "--minRows", "5000"]) == 50  # floor fails
+
+    # tamper: recordCount lie in _METRICS.json
+    m = json.loads((out / "_METRICS.json").read_text())
+    m["recordCount"] = 999
+    (out / "_METRICS.json").write_text(json.dumps(m))
+    rep = validate_export(str(out))
+    assert not rep.ok
+    assert any(
+        c["check"] == "row_count_matches_metrics" and not c["ok"]
+        for c in rep.checks
+    )
+
+    # tamper: corrupt a data file mid-stream
+    part = sorted(glob.glob(str(out / "part-*.avro")))[0]
+    data = open(part, "rb").read()
+    open(part, "wb").write(data[: len(data) // 2])
+    assert not validate_export(str(out)).ok
+
+    # incomplete export: no _SUCCESS -> first check fails
+    out2 = tmp_path / "val2"
+    shutil.copytree(out, out2)
+    (out2 / "_SUCCESS").unlink()
+    rep = validate_export(str(out2))
+    assert not rep.ok and rep.checks[0]["check"] == "success_marker"
+
+    # missing dir -> IO exit code
+    assert main([str(tmp_path / "nope")]) == 41
