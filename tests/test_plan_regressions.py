@@ -121,3 +121,20 @@ def test_audits_are_aggregation_only(spark):
     for name in ("uniqueness_audit", "domain_audit"):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, name
+
+
+def test_minhash_signatures_parallelize_small_inputs(spark):
+    # single-file local inputs must be round-robin rebalanced before
+    # the Arrow signature stage (operators/util.rebalance_for_arrow):
+    # without it the whole MinHash compute runs as ONE task. (The
+    # registered query's returned frame only contains the verify leg
+    # — candidates are materialized eagerly — so assert on the
+    # signature operator's own plan.)
+    from dbeam_spark.operators.dedup import minhash_signatures_maponly
+    from dbeam_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = minhash_signatures_maponly(docs)
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert "MapInPandas" in plan
