@@ -1273,3 +1273,64 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_recovered") > 0)
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_throttle",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type,
+             CASE WHEN LAG(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) IS NULL
+                   OR ts - LAG(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS kept
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_suppressed,
+           CAST(SUM(kept) * 10000 // COUNT(*) AS BIGINT)
+             AS kept_share_x1e4
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-throttle simulation: within each (user, event type)
+    stream, an event is DELIVERED only if the previous same-type
+    event for that user is more than 1 hour older (the
+    dedup-window/rate-limit every alerting pipeline applies);
+    per-type delivered vs suppressed counts. The batch twin of
+    `stream_dedup`'s watermark window, with the suppression rate
+    made visible. One shuffle on (user_id, event_type) for the lag
+    window, then a map-side-combinable type rollup — integer-exact
+    share."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag("ts").over(w)
+    kept = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 1 HOUR")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("event_type", kept.alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept"))
+            .cast("long")
+            .alias("n_suppressed"),
+            F.expr("SUM(kept) * 10000 DIV COUNT(1)")
+            .cast("long")
+            .alias("kept_share_x1e4"),
+        )
+        .orderBy("event_type")
+    )
