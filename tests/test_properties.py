@@ -132,3 +132,70 @@ def test_vectorized_encoder_matches_scalar(rows):
         pdf2 = pdf.assign(a=np.array(cols[0], dtype=np.int64))
         fast2 = b"".join(enc.encode_pdf(pdf2, {"d": mask}))
         assert fast2 == scalar
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab c",  # tiny alphabet forces merges + ties
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_bpe_merge_apply_consistency(texts):
+    """Property: applying learned merges never yields more tokens
+    than characters(+word marks), at least one token per word, and
+    the encoder is deterministic across invocations (the tie-break
+    contract that makes re-tokenizing shards reproducible)."""
+    import re
+
+    from dbeam_spark.operators.tokenizer import bpe_encode_expr
+
+    # train on a local histogram (pure-python path of bpe_train)
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    if not words:
+        return
+    hist = [(list(w) + ["</w>"], n) for w, n in sorted(words.items())]
+    merges = []
+    for _ in range(10):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in hist:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for syms, _ in hist:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i: i + 2] = [a + b]
+                else:
+                    i += 1
+
+    part = bpe_encode_expr(merges)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    out1 = pd.concat(list(part(iter([pdf]))), ignore_index=True)
+    out2 = pd.concat(list(part(iter([pdf]))), ignore_index=True)
+    assert out1.equals(out2)  # deterministic
+    for txt, n_tok in zip(texts, out1["n_bpe_tokens"]):
+        ws = [w for w in re.split(r"\s+", txt.lower()) if w]
+        assert n_tok >= len(ws) or not ws  # >= one token per word
+        assert n_tok <= sum(len(w) + 1 for w in ws)  # <= chars + marks

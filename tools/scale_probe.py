@@ -49,6 +49,14 @@ PROBES = [
     "text_tokens",
     "knn_bruteforce",
     "lexical_diversity",
+    # round-3 additions: LM scoring, sketch, retrieval, history,
+    # throttle — each a distinct shuffle/window shape to bound
+    "bigram_lm_fluency",
+    "heavy_hitters_cms",
+    "keyword_search",
+    "scd2_history",
+    "events_throttle",
+    "segment_migration",
 ]
 
 
