@@ -89,3 +89,71 @@ def test_multi_group_and_sum_columns(spark, tmp_path):
     assert set(df.columns) == {"day", "event_type", "n_rows", "sum_cents", "sum_event_id"}
     buy = df.filter(F.col("event_type") == "buy").collect()[0]
     assert buy["n_rows"] == 1 and buy["sum_cents"] == 99
+
+
+def test_rollup_over_real_incremental_export(spark, tmp_path):
+    """A26 → A36 composition: the rollup maintained over ACTUAL
+    incremental_export run dirs (Derby → watermark deltas → avro
+    runs → day rollup), incremental result == full recompute."""
+    import tempfile as _tf
+
+    from dbeam_spark.jobs.incremental_export import run_incremental
+    from dbeam_spark.options import JdbcExportOptions
+
+    dbdir = _tf.mkdtemp(prefix="derby_roll_") + "/db"
+    url = f"jdbc:derby:{dbdir};create=true"
+
+    def append(start, n, mode="append"):
+        df = spark.range(start, start + n).selectExpr(
+            "id AS C_ID",
+            # two calendar days: ids < 50 on day 1, rest on day 2
+            "timestamp_millis(1704067200000 + CAST(id >= 50 AS LONG)"
+            " * 86400000 + id * 1000) AS CREATED_AT",
+            "CAST(id % 3 AS INT) AS KIND",
+            "id * 10 AS CENTS",
+        )
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("user", "dbeam")
+            .option("dbtable", "LEDGER")
+            .mode(mode)
+            .save()
+        )
+
+    append(0, 60, mode="overwrite")
+    out = tmp_path / "runs"
+    opts = JdbcExportOptions(
+        connectionUrl=f"jdbc:derby:{dbdir}",
+        table="LEDGER",
+        output=str(out),
+        username="dbeam",
+        skipPartitionCheck=True,
+        useAvroLogicalTypes=True,  # CREATED_AT round-trips as timestamp
+    )
+    run_incremental(spark, opts, "C_ID")
+    roll = tmp_path / "rollup"
+    r1 = maintain_rollup(
+        spark, str(out), str(roll), "CREATED_AT", ["KIND"], ["CENTS"]
+    )
+    assert r1["rebuilt_days"] == ["2024-01-01", "2024-01-02"]
+
+    append(60, 40)  # all land on day 2
+    run_incremental(spark, opts, "C_ID")
+    r2 = maintain_rollup(
+        spark, str(out), str(roll), "CREATED_AT", ["KIND"], ["CENTS"]
+    )
+    assert r2["rebuilt_days"] == ["2024-01-02"]  # day 1 untouched
+
+    got = {
+        (str(r["day"]), r["KIND"]): (r["n_rows"], r["sum_CENTS"])
+        for r in read_rollup(spark, str(roll)).collect()
+    }
+    # ground truth: full recompute over all 100 rows
+    expect: dict = {}
+    for i in range(100):
+        d = "2024-01-01" if i < 50 else "2024-01-02"
+        k = i % 3
+        n, s = expect.get((d, k), (0, 0))
+        expect[(d, k)] = (n + 1, s + i * 10)
+    assert got == expect
