@@ -2936,3 +2936,49 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "crossmodal_profile",
+    oracle="""
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(lower(d.text), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_en
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+)
+def crossmodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side profile of each embedding cluster label: the
+    text⋈embedding pairing every RAG / embedding-training pipeline
+    performs (doc_id = vec_id is the pairing key), rolled up per
+    label — docs, char/token volume, English share. Reveals whether
+    embedding clusters align with text properties (a label whose
+    docs are all short or all one language flags encoder bias).
+
+    Shape: ONE equi-join on the pairing key — both sides are
+    id-partitioned, so at 100 TB this co-partitions without a
+    broadcast (embeddings scale WITH docs; neither side is a dim) —
+    then a map-side-combinable label rollup."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"])
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+        )
+        .orderBy("label")
+    )
