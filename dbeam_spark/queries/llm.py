@@ -2982,3 +2982,54 @@ def crossmodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT (i * 10) // (sa.sz + sb.sz - i) AS jaccard_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i * 10 >= sa.sz + sb.sz - i
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy tuning curve: candidate-pair volume per Jaccard
+    band (0.1-wide, pairs >= 0.1) from ONE shingle-join pass — the
+    sweep an operator runs before committing to a threshold (how
+    many pairs does 0.5 vs 0.7 vs 0.9 actually remove?). A separate
+    pipeline run per candidate threshold would re-pay the join
+    N times; banding the single exact pass answers every threshold
+    at once. Bands are computed with INTEGER floor division of the
+    intersection/union counts ((i*10) div union), so band edges are
+    engine-exact — no float rounding anywhere. At 100 TB the same
+    sweep runs over the MinHash ESTIMATOR's bands
+    (dedup_incremental's scoring) on the signature table."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("un", F.col("sza") + F.col("szb") - F.col("i"))
+        .filter(F.col("i") * 10 >= F.col("un"))
+        .select(F.expr("i * 10 DIV un").alias("jaccard_band"))
+        .groupBy("jaccard_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("jaccard_band")
+    )
