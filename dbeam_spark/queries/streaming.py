@@ -640,3 +640,93 @@ def stream_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name string, n_rows long, n_nulls long, "
         "min_v long, max_v long",
     ).orderBy("column_name")
+
+
+@register(
+    "stream_throttle",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type,
+             CASE WHEN LAG(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) IS NULL
+                   OR ts - LAG(ts) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS kept
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(kept) AS BIGINT) AS n_delivered,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_suppressed
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming rate limiter: per (user, event type) key,
+    deliver an event only if the last DELIVERED one is more than 1
+    hour older — state is one timestamp per active key, held in
+    applyInPandasWithState (the arbitrary-state escape hatch; the
+    built-in dropDuplicatesWithinWatermark can't express "per-key
+    cooldown since last DELIVERY"). The oracle is the batch lag
+    formulation (events_throttle's), which the stream reproduces
+    exactly: within a batch the group's rows are processed in
+    (ts, event_id) order, and the cooldown chain — greedy earliest-
+    first — yields the same delivered set the batch window computes.
+    State is O(active keys) and a production deployment adds a
+    timeout to evict idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    one_hour_us = 3_600_000_000
+
+    def throttle(key, pdfs, state: GroupState):
+        last_us = state.get[0] if state.exists else None
+        delivered = suppressed = 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for t in rows["ts"]:
+            t_us = int(t.value // 1000)  # pandas ns -> us
+            if last_us is None or t_us - last_us > one_hour_us:
+                delivered += 1
+                last_us = t_us
+            else:
+                suppressed += 1
+        state.update((last_us,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_delivered": [delivered],
+                "n_suppressed": [suppressed],
+            }
+        )
+
+    name = f"sth_{uuid.uuid4().hex[:8]}"
+    ensure_utc(spark)
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            throttle,
+            outputStructType=(
+                "user_id long, event_type string, "
+                "n_delivered long, n_suppressed long"
+            ),
+            stateStructType="last_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_stream(out, name, "update")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_delivered").cast("long").alias("n_delivered"),
+            F.sum("n_suppressed").cast("long").alias("n_suppressed"),
+        )
+        .orderBy("event_type")
+    )
