@@ -665,18 +665,19 @@ def stream_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming rate limiter: per (user, event type) key,
-    deliver an event only if the last DELIVERED one is more than 1
-    hour older — state is one timestamp per active key, held in
-    applyInPandasWithState (the arbitrary-state escape hatch; the
-    built-in dropDuplicatesWithinWatermark can't express "per-key
-    cooldown since last DELIVERY"). The oracle is the batch lag
-    formulation (events_throttle's), which the stream reproduces
-    exactly: within a batch the group's rows are processed in
-    (ts, event_id) order, and the cooldown chain — greedy earliest-
-    first — yields the same delivered set the batch window computes.
-    State is O(active keys) and a production deployment adds a
-    timeout to evict idle keys."""
+    """Stateful streaming quiet-period alerting: per (user, event
+    type) key, deliver an event only when it is preceded by more
+    than 1 hour of SILENCE on that key (a burst's first event
+    alerts; the rest suppress) — state is one timestamp per active
+    key in applyInPandasWithState, carried ACROSS micro-batches (the
+    built-in dropDuplicatesWithinWatermark can't see the previous
+    batch's last event). Exactly events_throttle's batch lag
+    semantics, so the finite replay is oracle-gated against the same
+    SQL. (A cooldown-since-last-DELIVERY variant is a one-line state
+    change but is NOT window-expressible — its greedy chain resets
+    from the delivered anchor, which is why this operator keeps the
+    silence-gap contract the oracle can pin.) State is O(active
+    keys); production adds a timeout to evict idle keys."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -691,9 +692,9 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             t_us = int(t.value // 1000)  # pandas ns -> us
             if last_us is None or t_us - last_us > one_hour_us:
                 delivered += 1
-                last_us = t_us
             else:
                 suppressed += 1
+            last_us = t_us  # silence gap measures from ANY event
         state.update((last_us,))
         yield pd.DataFrame(
             {
