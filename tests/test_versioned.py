@@ -1,0 +1,95 @@
+"""Versioned parquet table (A38): time travel, snapshot isolation,
+partition-scoped upserts by reference, conflict detection, vacuum."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from dbeam_spark.operators.versioned import (
+    SnapshotConflictError,
+    commit_snapshot,
+    commit_upsert,
+    history,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, day string")
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = commit_snapshot(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]), t, "day")
+    v2 = commit_upsert(
+        spark, t, _df(spark, [(2, "B", "d2"), (3, "c", "d2")]), "k", "day"
+    )
+    assert (v1, v2) == (1, 2)
+    latest = {
+        (r["k"], r["v"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert latest == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel: v1 still exactly as committed
+    old = {(r["k"], r["v"]) for r in read_snapshot(spark, t, version=1).collect()}
+    assert old == {(1, "a"), (2, "b")}
+    h = history(t)
+    assert [x["version"] for x in h] == [2, 1]
+    assert h[0]["op"] == "upsert"
+
+
+def test_upsert_carries_untouched_partitions_by_reference(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]), t, "day")
+    commit_upsert(spark, t, _df(spark, [(9, "z", "d2")]), "k", "day")
+    m1 = json.loads((Path(t) / "_manifests" / "v00001.json").read_text())
+    m2 = json.loads((Path(t) / "_manifests" / "v00002.json").read_text())
+    d1_v1 = {f["path"] for f in m1["files"] if f["partition"] == "d1"}
+    d1_v2 = {f["path"] for f in m2["files"] if f["partition"] == "d1"}
+    assert d1_v1 == d1_v2 and d1_v1  # same physical files, no rewrite
+    d2_v2 = {f["path"] for f in m2["files"] if f["partition"] == "d2"}
+    assert d2_v2.isdisjoint({f["path"] for f in m1["files"]})
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a", "d1")]), t, "day")
+    reader_v = 1
+    before = read_snapshot(spark, t, version=reader_v)
+    commit_upsert(spark, t, _df(spark, [(1, "MUTATED", "d1")]), "k", "day")
+    # the in-flight reader's snapshot is untouched by the new commit
+    assert [r["v"] for r in before.collect()] == ["a"]
+
+
+def test_conflicting_writers_detected(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a", "d1")]), t, "day")
+    # simulate a racing writer that already created v2's manifest
+    (Path(t) / "_manifests" / "v00002.json").write_text("{}")
+    with pytest.raises(SnapshotConflictError):
+        commit_upsert(spark, t, _df(spark, [(2, "b", "d1")]), "k", "day")
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a", "d1")]), t, "day")
+    commit_upsert(spark, t, _df(spark, [(1, "b", "d1")]), "k", "day")
+    commit_upsert(spark, t, _df(spark, [(1, "c", "d1")]), "k", "day")
+    removed = vacuum(t, keep_versions=2)
+    assert removed  # v1's d1 file is referenced by no retained version
+    # retained versions still read
+    assert [r["v"] for r in read_snapshot(spark, t, version=3).collect()] == ["c"]
+    assert [r["v"] for r in read_snapshot(spark, t, version=2).collect()] == ["b"]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=1)
+
+
+def test_unpartitioned_table(spark, tmp_path):
+    t = str(tmp_path / "flat")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    commit_snapshot(df, t)
+    got = {(r["k"], r["v"]) for r in read_snapshot(spark, t).collect()}
+    assert got == {(1, "x"), (2, "y")}
