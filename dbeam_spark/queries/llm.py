@@ -3033,3 +3033,41 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("jaccard_band")
     )
+
+
+@register("versioned_table_demo")  # stateful dir + manifest op -> rows-only
+def versioned_table_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table (A38) end-to-end on real data: commit the
+    even-doc_id half of documents as snapshot v1 (partitioned by
+    lang), upsert the odd half as v2 — untouched language partitions
+    carry into v2 by file REFERENCE — then report, per version, the
+    visible row count, the distinct languages, and the op from the
+    commit log, plus a time-travel proof (v1 re-read AFTER v2's
+    commit). Rows-only: the manifest log is filesystem state, not
+    SQL. Deterministic: per-language single-file layout and exact
+    doc counts."""
+    import tempfile
+
+    from dbeam_spark.operators import versioned
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    t = tempfile.mkdtemp(prefix="vtab_") + "/docs"
+    h1 = docs.filter(F.col("doc_id") % 2 == 0).repartition(1)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1).repartition(1)
+    versioned.commit_snapshot(h1, t, partition_col="lang")
+    versioned.commit_upsert(spark, t, h2, "doc_id", "lang")
+    hist = {h["version"]: h for h in versioned.history(t)}
+    rows = []
+    for v in (1, 2):
+        snap = versioned.read_snapshot(spark, t, version=v)
+        rows.append(
+            (
+                v,
+                hist[v]["op"],
+                snap.count(),
+                snap.select("lang").distinct().count(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version long, op string, n_rows long, n_langs long"
+    ).orderBy("version")
