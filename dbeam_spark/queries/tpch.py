@@ -3387,3 +3387,97 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "basket_rules",
+    oracle="""
+    WITH ot AS (
+      SELECT DISTINCT l_orderkey, p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ot),
+    s AS (SELECT p_type, COUNT(*) AS s_t FROM ot GROUP BY p_type),
+    ab AS (
+      SELECT a.p_type AS ante, b.p_type AS cons, COUNT(*) AS s_ab
+      FROM ot a JOIN ot b
+        ON a.l_orderkey = b.l_orderkey AND a.p_type <> b.p_type
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT ante, cons,
+             CAST(s_ab AS BIGINT) AS s_ab,
+             CAST(s_ab * 10000 // sa.s_t AS BIGINT) AS conf_x1e4,
+             CAST(s_ab * n.n_orders * 10000 // (sa.s_t * sb.s_t)
+                  AS BIGINT) AS lift_x1e4
+      FROM ab
+      JOIN s sa ON sa.p_type = ante
+      JOIN s sb ON sb.p_type = cons
+      CROSS JOIN n
+      WHERE s_ab * 100 >= n.n_orders
+    )
+    SELECT ante, cons, s_ab, conf_x1e4, lift_x1e4, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY lift_x1e4 DESC, conf_x1e4 DESC, ante, cons) AS rk
+      FROM rules
+    ) WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over part-type baskets: directed A→B rules
+    with integer-exact support, confidence (s_AB/s_A ×1e4, floor)
+    and lift (s_AB·N / (s_A·s_B) ×1e4, floor), min-support 1% of
+    orders, top-20 by lift with a full deterministic tie-break —
+    market_basket_types' counts taken through to the actual
+    recommendation metrics. All ratios are integer floor divisions,
+    so both engines agree bit-for-bit.
+
+    Shape: the basket self-join is width-bounded (≤K types per
+    order); per-type supports and the 1-row total broadcast back onto
+    the |types|² rule table, and the ranking window runs over the
+    min-support survivors only."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ot = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n = ot.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    s = ot.groupBy("p_type").agg(F.count(F.lit(1)).alias("s_t"))
+    a = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("ante"))
+    b = ot.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("cons"))
+    ab = (
+        a.join(b, "k")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    sa = s.select(F.col("p_type").alias("ante"), F.col("s_t").alias("sa"))
+    sb = s.select(F.col("p_type").alias("cons"), F.col("s_t").alias("sb"))
+    rules = (
+        ab.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("s_ab") * 100 >= F.col("n_orders"))
+        .select(
+            "ante",
+            "cons",
+            F.col("s_ab").cast("long"),
+            F.expr("s_ab * 10000 DIV sa").cast("long").alias("conf_x1e4"),
+            F.expr("s_ab * n_orders * 10000 DIV (sa * sb)")
+            .cast("long")
+            .alias("lift_x1e4"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("lift_x1e4").desc(), F.col("conf_x1e4").desc(), "ante", "cons"
+    )
+    return (
+        rules.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("rk")
+    )
