@@ -766,6 +766,10 @@ def incremental_minhash_index(
         sigs = sig_old.unionByName(sig_new)
     else:
         sigs = sig_new
+    # materialize ONCE: the signature frame feeds the band buckets
+    # AND both sides of the estimator join — uncheckpointed it would
+    # recompute the Arrow signature pass three times
+    sigs = sigs.localCheckpoint(eager=True)
 
     bands = F.array(
         *[
@@ -839,5 +843,8 @@ def incremental_minhash_index(
         .filter(F.col("est_jaccard_x1e4") >= int(threshold * 10000))
     )
     out = out.localCheckpoint(eager=True)  # materialize BEFORE append
-    sig_new.drop("is_new").write.mode("append").parquet(index_dir)
+    # append from the checkpointed frame (no signature recompute)
+    sigs.filter(F.col("is_new")).drop("is_new").coalesce(4).write.mode(
+        "append"
+    ).parquet(index_dir)
     return out.orderBy("id_a", "id_b")
