@@ -2898,9 +2898,12 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings come from one filtered token aggregation (the IN
     predicate prunes the token stream before the shuffle), doc
     frequencies are a tok-grain rollup of the same frame, and the
-    ranking window runs over matched docs only. At 100 TB the same
-    plan serves with a pre-materialized (tok, doc, tf) posting table
-    bucketed by tok."""
+    top-10 comes from a distributed TakeOrderedAndProject (per-
+    partition heads merged on the driver), never a single-partition
+    ranking sort over the matched set — matched docs scale with the
+    corpus, so the rank window runs only over the 10 survivors. At
+    100 TB the same plan serves with a pre-materialized
+    (tok, doc, tf) posting table bucketed by tok."""
     docs = _docs(spark, sf_dir)
     tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     tf = (
@@ -2922,12 +2925,11 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
-    w = Window.orderBy(
-        F.col("score").desc(), F.col("n_terms_hit").desc(), "doc_id"
-    )
+    order = [F.col("score").desc(), F.col("n_terms_hit").desc(), F.col("doc_id")]
+    top = scored.orderBy(*order).limit(10)  # TakeOrderedAndProject
+    w = Window.orderBy(*order)  # bounded: runs over <= 10 rows
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        top.withColumn("rk", F.row_number().over(w))
         .select(
             "doc_id",
             F.col("score").cast("long"),
