@@ -87,6 +87,73 @@ def global_ranked(
     return ranked, total
 
 
+def global_prefix_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out_col: str = "_pmax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach, to each row, the MAX of ``value`` over all rows strictly
+    BEFORE it in the global ``order_by`` order (NULL for the first row)
+    — the running-max primitive behind sweep-line algorithms (skyline,
+    envelope, high-water-mark audits), computed WITHOUT the
+    single-partition global window:
+
+    1. ``repartitionByRange`` on the order key (partition i sorts
+       strictly before partition i+1),
+    2. per-partition prefix max (a PARTITIONED window — bounded sorts),
+    3. per-partition totals (|partitions| rows) folded back as a
+       carry-in literal map: partition i's carry is the max over all
+       partitions < i.
+
+    Same contract as ``global_ranked``: the partitioned frame is
+    persisted so sampled range boundaries stay pinned between the
+    carry pass and the output pass.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    parted = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn("_pm_pid", F.spark_partition_id())
+        .withColumn("_pm_val", value)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    maxes = {
+        r["_pm_pid"]: r["mx"]
+        for r in parted.groupBy("_pm_pid").agg(F.max("_pm_val").alias("mx")).collect()
+    }
+    carry: dict[int, object] = {}
+    acc = None
+    for pid in sorted(maxes):
+        carry[pid] = acc
+        if maxes[pid] is not None and (acc is None or maxes[pid] > acc):
+            acc = maxes[pid]
+    pairs = [
+        v
+        for pid in sorted(carry)
+        if carry[pid] is not None
+        for v in (F.lit(pid), F.lit(carry[pid]))
+    ]
+    w = (
+        Window.partitionBy("_pm_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max("_pm_val").over(w)
+    if pairs:
+        carried = F.create_map(*pairs)[F.col("_pm_pid")]
+        out = F.greatest(local, carried)  # greatest skips NULLs
+    else:
+        out = local
+    return parted.withColumn(out_col, out).drop("_pm_pid", "_pm_val")
+
+
 def ntile_from_rank(rank: Column, total: int, n_buckets: int) -> Column:
     """ntile(n_buckets) recomputed from an exact global rank.
 

@@ -1334,3 +1334,90 @@ def events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                  AS BIGINT) AS session_cents
+      FROM ranked GROUP BY user_id, sid
+    )
+    SELECT first_touch, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(session_cents) AS BIGINT) AS attributed_cents
+    FROM per_session GROUP BY first_touch ORDER BY first_touch
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every 30-min-gap session's total value
+    is credited to the session's FIRST event type — the
+    marketing-analytics report behind "which entry point drives
+    revenue". Composes the sessionize primitive (lag → flag → running
+    session id, all windows PARTITIONED by user) with a per-session
+    rollup and a tiny per-type final group. One shuffle on user_id
+    feeds every window AND the (user, session) rollup — the sort
+    order is reused, no second data-scaled exchange; the final
+    by-type aggregate is a handful of groups. Values are
+    cent-quantized per event before summing, so attribution totals
+    are summation-order exact across engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "sid", F.sum("new_session").over(cum)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    )
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    per_session = (
+        sess.withColumn("rn", rn)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "first_touch"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("session_cents"),
+        )
+    )
+    return (
+        per_session.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("session_cents").cast("long").alias("attributed_cents"),
+        )
+        .orderBy("first_touch")
+    )

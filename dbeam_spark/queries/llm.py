@@ -3073,3 +3073,104 @@ def versioned_table_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version long, op string, n_rows long, n_langs long"
     ).orderBy("version")
+
+
+@register(
+    "knn_triangles",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 3
+    ),
+    u AS (
+      SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+                      GREATEST(query_id, neighbor_id) AS b
+      FROM knn
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM u e1 JOIN u e2 ON e2.a = e1.b
+                JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges
+      FROM deg
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           (SELECT COUNT(*) FROM u) AS n_edges,
+           CAST(n_tri AS BIGINT) AS n_triangles,
+           wedges,
+           CAST(3 * n_tri * 1000000 // wedges AS BIGINT) AS gcc_x1e6
+    FROM agg, tri
+    """,
+)
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the k-NN similarity graph (k=3): triangle
+    count, wedge count, and the global clustering coefficient
+    3·triangles/wedges — the standard cohesion diagnostic for an
+    embedding space (high clustering ⇒ tight semantic clusters ⇒
+    dedup/cluster sampling will bite; near-random ⇒ embeddings are
+    noise). Graph ops at scale live or die on join order: edges are
+    ORIENTED low-id→high-id so each triangle is counted exactly once
+    as a<b<c, via the canonical two-join plan (wedge build on the
+    middle vertex, then a closing-edge semi-check). The edge list is
+    |V|·k rows — the joins shuffle the SMALL oriented edge frame
+    (broadcast here; sort-merge on (a,b) at cluster scale), never the
+    vector table. Wedge counts are a map-side degree rollup. All
+    integer outputs; the coefficient is floor-scaled integer division
+    — engine-exact."""
+    ensure_utc(spark)
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_join(emb, k=3).select("query_id", "neighbor_id")
+    u = knn.select(
+        F.least("query_id", "neighbor_id").alias("a"),
+        F.greatest("query_id", "neighbor_id").alias("b"),
+    ).distinct()
+    deg = (
+        u.select(F.col("a").alias("node"))
+        .unionAll(u.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # wedges a-b-c with a<b<c close iff (a,c) is also an edge
+    e1 = u.select(F.col("a"), F.col("b"))
+    e2 = u.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges_abc = e1.join(F.broadcast(e2), "b").select("a", "b", "c")
+    closing = u.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges_abc.join(F.broadcast(closing), ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("wedges"),
+    )
+    n_edges = u.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("long"),
+            "wedges",
+            F.expr("3 * n_triangles * 1000000 DIV wedges")
+            .cast("long")
+            .alias("gcc_x1e6"),
+        )
+    )

@@ -3481,3 +3481,108 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+@register(
+    "part_skyline",
+    oracle="""
+    WITH p AS (SELECT p_partkey,
+                      CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+                      CAST(p_size AS BIGINT) AS size
+               FROM part)
+    SELECT a.p_partkey, a.cents, a.size FROM p a
+    WHERE NOT EXISTS (SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.size >= a.size
+        AND (b.cents < a.cents OR b.size > a.size))
+    ORDER BY p_partkey
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal set): parts not dominated on
+    (price low, size high) — the multi-criteria shortlist primitive
+    (cheapest-for-its-size). The oracle is the O(n^2) NOT EXISTS
+    spec; the Spark plan is the sweep-line form: per-price max size
+    (one map-side-combined groupBy whose output is DOMAIN-bounded —
+    distinct price points, not rows), a scale-safe global prefix-max
+    over the price order (operators/ranking.global_prefix_max: range
+    partition + per-partition window + carry-in map, never a
+    single-partition global window), and a broadcast semi-join of the
+    surviving (price, size) pairs back onto the part table. Skyline
+    output is mutually non-dominating, so the survivor set is tiny by
+    construction — safe to broadcast."""
+    ensure_utc(spark)
+    from dbeam_spark.operators.ranking import global_prefix_max
+
+    part = _t(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    m = p.groupBy("cents").agg(F.max("size").alias("msize"))
+    s = global_prefix_max(m, [F.col("cents")], F.col("msize"), "prevmax")
+    sky_pairs = s.filter(
+        F.col("prevmax").isNull() | (F.col("msize") > F.col("prevmax"))
+    ).select("cents", F.col("msize").alias("size"))
+    return (
+        p.join(F.broadcast(sky_pairs), ["cents", "size"])
+        .select("p_partkey", "cents", "size")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "histogram_equidepth",
+    oracle="""
+    WITH cuts AS (SELECT quantile_cont(o_totalprice,
+      [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM orders)
+    SELECT bucket, COUNT(*) AS n_orders,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS lo_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS hi_cents
+    FROM (
+      SELECT o_totalprice,
+             CAST(1 + (o_totalprice > c[1])::INT + (o_totalprice > c[2])::INT
+                + (o_totalprice > c[3])::INT + (o_totalprice > c[4])::INT
+                + (o_totalprice > c[5])::INT + (o_totalprice > c[6])::INT
+                + (o_totalprice > c[7])::INT AS BIGINT) AS bucket
+      FROM orders, cuts)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 buckets of ~equal row count) of order
+    value — the optimizer's-eye view of a column, complementing
+    histogram_prices' equi-width bins. NEVER a global ntile window:
+    the seven cut values come from one exact-percentile aggregate
+    (1 row, broadcast back), and bucket assignment is a map-side sum
+    of strict comparisons — identical arithmetic in both engines
+    (Spark `percentile` interpolates exactly like DuckDB
+    quantile_cont), so boundary assignment is bit-stable. Scan →
+    scalar agg → map-side bucket → one 8-group shuffle."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    qs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    cuts = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array({}))".format(
+                ", ".join(str(q) for q in qs)
+            )
+        ).alias("c")
+    )
+    bucket = F.lit(1)
+    for i in range(7):
+        bucket = bucket + (F.col("o_totalprice") > F.col("c")[i]).cast("int")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.join(F.broadcast(cuts))
+        .select(bucket.cast("long").alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
