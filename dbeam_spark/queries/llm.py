@@ -3174,3 +3174,85 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gcc_x1e6"),
         )
     )
+
+
+@register(
+    "doc_similarity_sparse",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    p AS (
+      SELECT t.doc_id, t.tok, t.tf,
+             (SELECT n_docs FROM nd) - d.df + 1 AS w
+      FROM tf t JOIN df d USING (tok)
+      WHERE d.df * 20 <= (SELECT n_docs FROM nd)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(a.tf * b.tf * a.w) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM pairs ORDER BY dot DESC, id_a, id_b LIMIT 20
+    """,
+)
+def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse document similarity via the POSTING-LIST join
+    (the prefix-filtering / AllPairs family): docs never compare
+    directly — each rare term's posting list self-joins (id_a < id_b
+    comes free from the join condition), idf-weighted products sum
+    per pair, and the top-20 pairs emerge from a distributed
+    TakeOrderedAndProject. Document-frequency pruning (df ≤ 5% of the
+    corpus) is the LSH-bucket-cap analog: it bounds every posting
+    list, hence the per-term pair expansion — common terms carry no
+    similarity signal and would dominate the join quadratically.
+    Integer weights (n_docs − df + 1, keyword_search's linear-idf
+    precedent) keep every dot product exact across engines."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    tf = (
+        docs.select("doc_id", tok)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    p = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 20 <= F.col("n_docs"))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (F.col("n_docs") - F.col("df") + 1).alias("w"),
+        )
+    )
+    a = p.select(
+        "tok",
+        F.col("doc_id").alias("id_a"),
+        F.col("tf").alias("tf_a"),
+        F.col("w"),
+    )
+    b = p.select("tok", F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b") * F.col("w"))
+            .cast("long")
+            .alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+        )
+    )
+    return pairs.orderBy(
+        F.col("dot").desc(), "id_a", "id_b"
+    ).limit(20)

@@ -3634,3 +3634,80 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "brand_trend_slope",
+    oracle="""
+    WITH m0 AS (SELECT MIN(date_trunc('month', l_shipdate)) AS m
+                FROM lineitem),
+    monthly AS (
+      SELECT p.p_brand,
+             date_diff('month', m0.m, date_trunc('month', l.l_shipdate))
+               AS x,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, m0
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      FROM monthly GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_months,
+           CAST((n*sxy - sx*sy) * 10000 // (n*sxx - sx*sx) AS BIGINT)
+             AS slope_cents_x1e4
+    FROM s ORDER BY p_brand
+    """,
+)
+def brand_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue trend: the OLS slope of monthly revenue over
+    a month index, computed ENTIRELY in integer sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) so both engines agree bit-for-bit — float
+    regr_slope would be summation-order dependent. The month index is
+    centered on the global minimum month (a 1-row broadcast scalar):
+    centering keeps n·Σxy within int64 at warehouse scale (raw epoch
+    months would overflow the 1e4-scaled numerator ~1000× sooner).
+    Plan: fact scan → broadcast part dim → one (brand, month) rollup
+    (map-side combined) → 25-row stats rollup. Slope is emitted as a
+    floor-scaled integer (cents/month × 1e4)."""
+    ensure_utc(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    m0 = lineitem.agg(
+        F.min(F.date_trunc("month", F.col("l_shipdate"))).alias("m")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .crossJoin(F.broadcast(m0))
+        .groupBy(
+            "p_brand",
+            F.months_between(
+                F.date_trunc("month", F.col("l_shipdate")), F.col("m")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents).alias("y"))
+    )
+    s = monthly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_months"),
+        F.expr("(n*sxy - sx*sy) * 10000 DIV (n*sxx - sx*sx)")
+        .cast("long")
+        .alias("slope_cents_x1e4"),
+    ).orderBy("p_brand")
