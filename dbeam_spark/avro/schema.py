@@ -75,13 +75,28 @@ def spark_schema_to_avro(
     use_logical_types: bool = False,
     array_mode: str = "typed_first_row",
     nullable_array_items: bool = False,
+    logical_type_hints: dict[str, str] | None = None,
 ) -> dict:
-    """Build the Avro record schema (as a JSON-able dict)."""
+    """Build the Avro record schema (as a JSON-able dict).
+
+    ``logical_type_hints`` maps column name -> source SQL type name for
+    types Spark's JDBC reader erases (e.g. Postgres ``uuid`` arrives as
+    StringType): with ``use_logical_types``, a ``uuid`` hint annotates
+    the string field with ``logicalType: uuid``, mirroring reference
+    JdbcAvroSchema.java:304-305 / :349-351.
+    """
     fields = []
+    hints = logical_type_hints or {}
     for f in schema.fields:
         avro_type = _field_type(
             f.dataType, use_logical_types, array_mode, nullable_array_items
         )
+        if (
+            use_logical_types
+            and hints.get(f.name) == "uuid"
+            and avro_type == "string"
+        ):
+            avro_type = {"type": "string", "logicalType": "uuid"}
         fields.append(
             {
                 "name": _normalize_for_avro(f.name),

@@ -218,3 +218,31 @@ def test_read_avro_roundtrip_source(spark, tmp_path):
     a = sorted(tuple(r) for r in df.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_uuid_logical_type_hint(spark):
+    """Reference parity (JdbcAvroSchema.java:304-305): an OTHER/uuid
+    column exported with --useAvroLogicalTypes carries logicalType
+    uuid on its string field; without the flag it is a plain string."""
+    from pyspark.sql import types as T
+
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("token", T.StringType()),
+        ]
+    )
+    hinted = spark_schema_to_avro(
+        schema, "t", use_logical_types=True,
+        logical_type_hints={"token": "uuid"},
+    )
+    fld = [f for f in hinted["fields"] if f["name"] == "token"][0]
+    assert fld["type"][1] == {"type": "string", "logicalType": "uuid"}
+    plain = spark_schema_to_avro(
+        schema, "t", use_logical_types=False,
+        logical_type_hints={"token": "uuid"},
+    )
+    fld = [f for f in plain["fields"] if f["name"] == "token"][0]
+    assert fld["type"][1] == "string"

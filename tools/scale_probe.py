@@ -57,6 +57,16 @@ PROBES = [
     "scd2_history",
     "events_throttle",
     "segment_migration",
+    # round-3 continuation: sweep-line skyline, cut-value histogram,
+    # sessionized attribution, bloom-pruned join, posting-list
+    # similarity, integer OLS, knn triangle census
+    "part_skyline",
+    "histogram_equidepth",
+    "events_attribution",
+    "bloom_pruned_revenue",
+    "doc_similarity_sparse",
+    "brand_trend_slope",
+    "knn_triangles",
 ]
 
 
