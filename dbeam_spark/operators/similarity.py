@@ -146,7 +146,7 @@ def knn_ivf(
     base: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 10,
+    n_cells: int | None = None,
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -155,60 +155,145 @@ def knn_ivf(
     (deterministic seed vectors as centroids), probe the `n_probe`
     closest cells per query, exact top-k within the probed subset.
 
+    `n_cells` defaults to ~√n (floored at 10, the historical default
+    for small bases): a FIXED cell count keeps the probed fraction
+    constant, so a self-join stays O(n²/c) — √n cells make it
+    O(n^1.5) (assignment n·√n + scoring n·n_probe·√n), the standard
+    IVF sizing rule.
+
+    All vector math runs as Arrow-batched numpy (assignment is a
+    map-only matmul against the broadcast centroid matrix; scoring is
+    a per-cell cogrouped blocked matmul emitting only each query's
+    in-cell top-k) — the Catalyst 64-term cosine chain falls out of
+    whole-stage codegen inside joins and evaluates interpreted per
+    pair (the measured cliff in CLAUDE.md). The only JVM shuffle is
+    the (cell) cogroup plus a final top-k window over n_probe·k
+    candidate rows per query.
+
     At scale the cell assignment is a one-pass map with broadcast
     centroids and the base table can be *stored* partitioned by cell,
     making each query touch only nprobe/ncells of the data.
     """
-    dim = _dim_of(base, vec_col)
+    import numpy as np
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    dim = _dim_of(base, vec_col)  # noqa: F841 — kept for API symmetry
     based = _as_double(base, vec_col)
-    # Deterministic coarse centroids: first row of every id-stride.
-    centroids = (
+    if n_cells is None:
+        n_cells = max(10, int(based.count() ** 0.5))
+
+    # Deterministic coarse centroids: min-id row of every id-stride —
+    # a map-side-combinable min_by aggregate (the previous window
+    # formulation shuffled the whole table by cell). The centroid
+    # matrix is c×dim ≈ √n×dim: 16 MB at a BILLION rows — safe to
+    # hold on the driver and broadcast, same residency as k-means
+    # centroids everywhere.
+    cent_rows = (
         based.withColumn(
             "cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("cell").orderBy(F.col(id_col))
-            ),
+        .groupBy("cell")
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("centroid"))
+        .orderBy("cell")
+        .collect()
+    )
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    bc = based.sparkSession.sparkContext.broadcast((cell_ids, Cn))
+
+    def _assign(top: int):
+        """Map-only nearest-centroid assignment (numpy matmul against
+        the broadcast centroid matrix — the 64-term cosine chain falls
+        out of whole-stage codegen inside joins, the measured cliff in
+        CLAUDE.md, so vector math stays in Arrow-batched numpy)."""
+
+        def fn(batches):
+            import pandas as pd
+
+            cells_, Cn_ = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                An = A / np.maximum(
+                    np.linalg.norm(A, axis=1, keepdims=True), 1e-300
+                )
+                S = An @ Cn_.T
+                if top == 1:
+                    # ties: argmax takes the first (lowest cell id),
+                    # matching the old orderBy(desc(csim), cell)
+                    idx = np.argmax(S, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "rid": pdf["rid"].to_numpy(),
+                            "v": pdf["v"],
+                            "cell": cells_[idx],
+                        }
+                    )
+                else:
+                    t = min(top, S.shape[1])
+                    idx = np.argsort(-S, axis=1, kind="stable")[:, :t]
+                    n_rows = len(pdf)
+                    yield pd.DataFrame(
+                        {
+                            "rid": np.repeat(pdf["rid"].to_numpy(), t),
+                            "v": pdf["v"].iloc[
+                                np.repeat(np.arange(n_rows), t)
+                            ].to_numpy(),
+                            "cell": cells_[idx].ravel(),
+                        }
+                    )
+
+        return fn
+
+    schema = "rid long, v array<double>, cell int"
+    assigned = rebalance_for_arrow(
+        based.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))
+    ).mapInPandas(_assign(1), schema)
+    probed = rebalance_for_arrow(
+        _as_double(queries, vec_col).select(
+            F.col(id_col).alias("rid"), F.col(vec_col).alias("v")
         )
-        .filter(F.col("rn") == 1)
-        .select("cell", F.col(vec_col).alias("centroid"))
-    )
-    # Assign every base row to its nearest centroid (map-only).
-    assigned = (
-        based.join(F.broadcast(centroids))
-        .withColumn("csim", cosine(F.col(vec_col), F.col("centroid"), dim))
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("csim"), "cell")
-            ),
+    ).mapInPandas(_assign(n_probe), schema)
+
+    def _score(key, a_pdf, q_pdf):
+        """Per-cell blocked matmul: cell base rows × this cell's
+        probing queries, per-query top-k WITHIN the cell (k rows per
+        query per cell reach the global rank — n_probe·k candidates
+        per query, never the cell contents)."""
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "sim": []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        if not len(a_pdf) or not len(q_pdf):
+            return empty
+        B = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        b_ids = a_pdf["rid"].to_numpy(dtype=np.int64)
+        Q = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+        q_ids = q_pdf["rid"].to_numpy(dtype=np.int64)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        S = Qn @ Bn.T
+        S[q_ids[:, None] == b_ids[None, :]] = -np.inf  # self-match
+        t = min(k, S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :t]
+        sims = np.take_along_axis(S, idx, axis=1).ravel()
+        keep = sims > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, t)[keep],
+                "neighbor_id": b_ids[idx.ravel()][keep],
+                "sim": np.round(sims[keep], 6),
+            }
         )
-        .filter(F.col("crn") == 1)
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_base"), "cell")
-    )
-    # Each query probes its n_probe nearest cells.
-    qd = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_q")
-    )
-    probed = (
-        qd.join(F.broadcast(centroids))
-        .withColumn("csim", cosine(F.col("v_q"), F.col("centroid"), dim))
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("csim"), "cell")
-            ),
-        )
-        .filter(F.col("crn") <= n_probe)
-        .select("query_id", "v_q", "cell")
-    )
-    sim = F.round(cosine(F.col("v_q"), F.col("v_base"), dim), 6)
+
     scored = (
-        assigned.join(F.broadcast(probed), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+        assigned.groupBy("cell")
+        .cogroup(probed.groupBy("cell"))
+        .applyInPandas(_score, "query_id long, neighbor_id long, sim double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

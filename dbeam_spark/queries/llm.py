@@ -3134,10 +3134,19 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast here; sort-merge on (a,b) at cluster scale), never the
     vector table. Wedge counts are a map-side degree rollup. All
     integer outputs; the coefficient is floor-scaled integer division
-    — engine-exact."""
+    — engine-exact.
+
+    The census is a DIAGNOSTIC, robust to approximate neighbors, so
+    its graph source drops to the IVF approximate join far earlier
+    (10k vectors) than exact consumers would: the exact closure path
+    is O(n²) by definition, and a cohesion statistic does not justify
+    quadratic growth — the oracle scales (≤5k vectors) stay on the
+    exact path, so the hash gate still pins the arithmetic."""
     ensure_utc(spark)
     emb = _emb(spark, sf_dir)
-    knn = similarity.knn_join(emb, k=3).select("query_id", "neighbor_id")
+    knn = similarity.knn_join(emb, k=3, max_broadcast_rows=10_000).select(
+        "query_id", "neighbor_id"
+    )
     u = knn.select(
         F.least("query_id", "neighbor_id").alias("a"),
         F.greatest("query_id", "neighbor_id").alias("b"),

@@ -3711,3 +3711,132 @@ def brand_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_cents_x1e4"),
     ).orderBy("p_brand")
+
+
+@register(
+    "join_cardinality_profile",
+    oracle="""
+    WITH lk AS (SELECT l_orderkey AS k, COUNT(*) AS n
+                FROM lineitem GROUP BY 1),
+    ok AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+    j AS (SELECT lk.k, lk.n AS nl, ok.n AS nr FROM lk JOIN ok USING (k))
+    SELECT (SELECT COUNT(*) FROM lk) AS keys_left,
+           (SELECT COUNT(*) FROM ok) AS keys_right,
+           COUNT(*) AS keys_shared,
+           CAST(SUM(nl * nr) AS BIGINT) AS join_rows,
+           CAST(MAX(nl * nr) AS BIGINT) AS max_key_rows,
+           CAST(SUM(CASE WHEN nl * nr > 4 THEN nl * nr ELSE 0 END)
+                AS BIGINT) AS rows_from_heavy_keys
+    FROM j
+    """,
+)
+def join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion audit BEFORE the join: per-key multiplicities of
+    both sides joined on the key (two map-side-combined rollups whose
+    join carries one row per key, never the fact rows), predicting the
+    exact output cardinality Σ nl·nr, the worst single key, and the
+    mass concentrated in heavy keys (nl·nr > 4). At 100 TB this is
+    the cheap dry-run that decides salting / AQE-skew settings before
+    committing to a fact-fact shuffle — the profile costs two
+    aggregations, the mistake it prevents costs the cluster."""
+    ensure_utc(spark)
+    lk = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    ok = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("nr"))
+    )
+    nlk = lk.agg(F.count(F.lit(1)).cast("long").alias("keys_left"))
+    nok = ok.agg(F.count(F.lit(1)).cast("long").alias("keys_right"))
+    j = lk.join(ok, "k").select("nl", "nr")
+    prof = j.agg(
+        F.count(F.lit(1)).cast("long").alias("keys_shared"),
+        F.sum(F.col("nl") * F.col("nr")).cast("long").alias("join_rows"),
+        F.max(F.col("nl") * F.col("nr")).cast("long").alias("max_key_rows"),
+        F.sum(
+            F.when(F.col("nl") * F.col("nr") > 4, F.col("nl") * F.col("nr"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rows_from_heavy_keys"),
+    )
+    return (
+        nlk.crossJoin(F.broadcast(nok))
+        .crossJoin(F.broadcast(prof))
+        .select(
+            "keys_left",
+            "keys_right",
+            "keys_shared",
+            "join_rows",
+            "max_key_rows",
+            "rows_from_heavy_keys",
+        )
+    )
+
+
+@register(
+    "revenue_islands",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    flagged AS (
+      SELECT day, cents,
+             CAST(date_diff('day', TIMESTAMP '1990-01-01', day) AS BIGINT)
+               - ROW_NUMBER() OVER (ORDER BY day) AS grp
+      FROM daily WHERE cents >= 700000 * 100
+    ),
+    islands AS (
+      SELECT MIN(day) AS start_day, MAX(day) AS end_day,
+             COUNT(*) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM flagged GROUP BY grp
+    )
+    SELECT * FROM islands ORDER BY n_days DESC, start_day LIMIT 10
+    """,
+)
+def revenue_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE days with daily
+    revenue ≥ 700k, via the classic day_number − row_number grouping
+    key (consecutive qualifying days share a constant difference).
+    The window runs over the DAILY rollup — bounded by the calendar,
+    not the fact count (same class as revenue_moving_avg) — and the
+    top-10 longest streaks come from a distributed
+    TakeOrderedAndProject. The streak-detection primitive behind
+    uptime/SLA reporting and demand-surge analysis."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    flagged = daily.filter(F.col("cents") >= 700000 * 100).withColumn(
+        "grp",
+        F.datediff(
+            F.col("day"), F.lit("1990-01-01").cast("timestamp")
+        ).cast("long")
+        - F.row_number().over(Window.orderBy("day")),
+    )
+    islands = flagged.groupBy("grp").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return (
+        islands.select("start_day", "end_day", "n_days", "total_cents")
+        .orderBy(F.col("n_days").desc(), "start_day")
+        .limit(10)
+    )
