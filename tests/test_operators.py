@@ -1112,3 +1112,32 @@ def test_bloom_semi_join_no_false_negatives_tiny_filter(spark):
     right = spark.createDataFrame([(7,), (999,), (1500,)], ["k"])
     out = bloom_semi_join(left, right, on="k", num_bits=64, num_hashes=2)
     assert sorted(r["k"] for r in out.collect()) == [7, 999, 1500]
+
+
+def test_global_prefix_max_matches_cummax(spark):
+    import random
+
+    from dbeam_spark.operators.ranking import global_prefix_max
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(-50, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["key", "val"])
+    out = global_prefix_max(
+        df, [F.col("key")], F.col("val"), "pmax", num_partitions=7
+    ).collect()
+    got = {r["key"]: r["pmax"] for r in out}
+    expect = {}
+    best = None
+    for k, v in sorted(rows):
+        expect[k] = best
+        if best is None or v > best:
+            best = v
+    assert got == expect
+
+
+def test_global_prefix_max_empty(spark):
+    from dbeam_spark.operators.ranking import global_prefix_max
+
+    df = spark.createDataFrame([], "key long, val long")
+    assert global_prefix_max(df, [F.col("key")], F.col("val")).count() == 0
