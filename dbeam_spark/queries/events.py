@@ -1421,3 +1421,123 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch")
     )
+
+
+@register(
+    "user_balance_floor",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+                  ELSE -CAST(ROUND(COALESCE(value, 0) * 50) AS BIGINT)
+             END AS d
+      FROM events
+    ),
+    folded AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list(d ORDER BY ts, event_id)),
+               (acc, x) -> GREATEST(acc + x, 0)) AS balance,
+             COUNT(*) AS n_events
+      FROM deltas GROUP BY user_id
+    )
+    SELECT user_id, CAST(balance AS BIGINT) AS balance_cents,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM folded ORDER BY user_id
+    """,
+)
+def user_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped at zero (credits for purchases, debits
+    for everything else; a debit can never take the account negative)
+    — the canonical 'inherently sequential' fold that plain windows
+    cannot express... except via the Skorokhod reflection identity:
+
+        B_n = S_n − min(0, min_k S_k)
+
+    (final clamped balance = plain prefix-sum total minus the most
+    negative prefix). The ORACLE executes the literal sequential fold
+    (DuckDB list_reduce over each user's ordered deltas); the Spark
+    plan computes the closed form with ONE user_id shuffle feeding a
+    running-sum window and a per-user rollup — fully parallel, pure
+    Catalyst, no per-row state. The hash gate proving both agree on
+    every user is the identity's proof-on-real-data. Cent-quantized
+    deltas keep the fold integer-exact."""
+    ev = _events(spark, sf_dir)
+    d = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"),
+    ).otherwise(
+        -F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 50).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        ev.withColumn("d", d)
+        .withColumn("s", F.sum("d").over(w))
+    )
+    return (
+        running.groupBy("user_id")
+        .agg(
+            (F.sum("d") - F.least(F.min("s"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("balance_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_dwell_time",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dwell_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_dwells,
+           CAST(SUM(dwell_us) // COUNT(*) // 1000 AS BIGINT)
+             AS avg_dwell_ms,
+           CAST(MAX(dwell_us) // 1000 AS BIGINT) AS max_dwell_ms
+    FROM nxt
+    WHERE dwell_us IS NOT NULL AND dwell_us <= 30 * 60 * 1000000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event type: microseconds until the same user's
+    NEXT event (lead over the per-user order), gaps above 30 min
+    excluded as session breaks — the engagement metric behind
+    'which screen holds users'. One user_id shuffle for the lead
+    window, then a tiny per-type rollup; integer microsecond sums
+    (never unix_timestamp's second truncation) with floor division
+    to milliseconds keep both engines exact."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dwell = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).alias("dwell_us")
+    return (
+        ev.select("event_type", dwell)
+        .filter(
+            F.col("dwell_us").isNotNull()
+            & (F.col("dwell_us") <= 30 * 60 * 1_000_000)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dwells"),
+            F.expr("SUM(dwell_us) DIV COUNT(*) DIV 1000")
+            .cast("long")
+            .alias("avg_dwell_ms"),
+            F.expr("MAX(dwell_us) DIV 1000").cast("long").alias("max_dwell_ms"),
+        )
+        .orderBy("event_type")
+    )

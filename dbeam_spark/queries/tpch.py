@@ -3840,3 +3840,66 @@ def revenue_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_days").desc(), "start_day")
         .limit(10)
     )
+
+
+@register(
+    "return_rate_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT o.o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(r AS BIGINT) AS n_returned,
+           CAST(FLOOR((r/n + 1.9208/n - 1.96*sqrt((r/n*(1 - r/n)
+                + 0.9604/n)/n)) / (1 + 3.8416/n) * 1000000) AS BIGINT)
+             AS wilson_lo_x1e6,
+           CAST(FLOOR((r/n + 1.9208/n + 1.96*sqrt((r/n*(1 - r/n)
+                + 0.9604/n)/n)) / (1 + 3.8416/n) * 1000000) AS BIGINT)
+             AS wilson_hi_x1e6
+    FROM s ORDER BY o_orderpriority
+    """,
+)
+def return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate per order priority with the Wilson 95% score
+    interval — the statistically honest proportion bound (a 3-of-10
+    rate and a 3000-of-10000 rate stop looking alike). Float math IS
+    engine-exact here because +,−,×,/,sqrt are all IEEE
+    exactly-rounded: both engines evaluate the SAME expression tree
+    with the SAME decimal literals (1.9208, 0.9604, 3.8416 — spelled,
+    not computed as 1.96², which could differ by an ulp from the
+    literal), so every intermediate double is bit-identical and the
+    1e6-scaled FLOOR cannot straddle engines. One fact-fact join and
+    a 5-group rollup."""
+    ensure_utc(spark)
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    s = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("r"),
+        )
+    )
+    lo = (
+        "CAST(FLOOR((r/n + 1.9208/n - 1.96*sqrt((r/n*(1 - r/n)"
+        " + 0.9604/n)/n)) / (1 + 3.8416/n) * 1000000) AS BIGINT)"
+    )
+    hi = lo.replace("/n - 1.96*", "/n + 1.96*")
+    return s.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_lines"),
+        F.col("r").cast("long").alias("n_returned"),
+        F.expr(lo).alias("wilson_lo_x1e6"),
+        F.expr(hi).alias("wilson_hi_x1e6"),
+    ).orderBy("o_orderpriority")
