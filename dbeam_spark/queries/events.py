@@ -1541,3 +1541,57 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "daily_forecast_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             list_reduce(
+               list(n ORDER BY day),
+               (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(FLOOR(ewma * 1000000) AS BIGINT) AS ewma_x1e6
+    FROM folded ORDER BY event_type
+    """,
+)
+def daily_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day volume forecast per event type: exponentially weighted
+    moving average (α = 0.3) folded over the day-ordered daily counts
+    — the one-line baseline every capacity forecast starts from. The
+    fold is sequential BY DEFINITION, but its input is the daily
+    rollup — CALENDAR-bounded, not data-scaled — so each type's
+    series folds in one JVM-side higher-order aggregate (interpreted
+    per element, irrelevant at a few thousand elements; the
+    data-scaled work is the one map-side-combined (type, day)
+    rollup). Both engines fold `0.3·x + 0.7·acc` left-to-right over
+    identical doubles with exactly-rounded IEEE ops, seeded with the
+    first element (DuckDB list_reduce semantics) — bit-identical, so
+    even this float recursion is hash-gated."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("vals")
+    )
+    return series.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(FLOOR(aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+            " (acc, x) -> 0.3 * x + 0.7 * acc) * 1000000) AS BIGINT)"
+        ).alias("ewma_x1e6"),
+    ).orderBy("event_type")

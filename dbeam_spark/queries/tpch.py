@@ -3903,3 +3903,57 @@ def return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lo).alias("wilson_lo_x1e6"),
         F.expr(hi).alias("wilson_hi_x1e6"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "orders_benford",
+    oracle="""
+    WITH d AS (
+      SELECT SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    t AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit, COUNT(*) AS n_orders,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM t) AS BIGINT)
+             AS share_x1e6,
+           CAST(FLOOR(log10(1.0 + 1.0/CAST(digit AS BIGINT)) * 1000000)
+                AS BIGINT) AS benford_x1e6
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/fabrication screen: observed first-digit shares next to the
+    Benford expectation log₁₀(1 + 1/d). Map-side digit extraction,
+    one 9-group rollup, scalar total broadcast back. The only float
+    is log₁₀ of nine fixed constants, each ≥ 0.01 away from its
+    1e6-scaled floor boundary — libm-vs-Math.log10 ulp differences
+    cannot flip the floor. The testdata's uniform price range shows
+    the expected NON-Benford overweight of leading 1-4: the audit
+    flags synthetic data as synthetic."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n_orders").cast("long"),
+            F.expr("n_orders * 1000000 DIV n").cast("long").alias(
+                "share_x1e6"
+            ),
+            F.expr(
+                "CAST(FLOOR(log10(1.0 + 1.0/CAST(digit AS BIGINT))"
+                " * 1000000) AS BIGINT)"
+            ).alias("benford_x1e6"),
+        )
+        .orderBy("digit")
+    )
