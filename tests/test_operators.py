@@ -1141,3 +1141,43 @@ def test_global_prefix_max_empty(spark):
 
     df = spark.createDataFrame([], "key long, val long")
     assert global_prefix_max(df, [F.col("key")], F.col("val")).count() == 0
+
+
+def test_skyline_sweep_matches_bruteforce(spark):
+    """part_skyline's sweep (per-price max + global prefix-max) must
+    equal the O(n²) dominance definition on random micro-data,
+    including duplicate (price, size) points."""
+    import random
+
+    from dbeam_spark.operators.ranking import global_prefix_max
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randint(0, 30), rng.randint(1, 15)) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["pid", "cents", "size"])
+        m = df.groupBy("cents").agg(F.max("size").alias("msize"))
+        s = global_prefix_max(m, [F.col("cents")], F.col("msize"), "prevmax")
+        pairs = {
+            (r["cents"], r["msize"])
+            for r in s.filter(
+                F.col("prevmax").isNull()
+                | (F.col("msize") > F.col("prevmax"))
+            ).collect()
+        }
+        got = {pid for pid, c, z in rows if (c, z) in pairs}
+
+        def dominates(b, a):
+            return (
+                b[1] <= a[1]
+                and b[2] >= a[2]
+                and (b[1] < a[1] or b[2] > a[2])
+            )
+
+        expect = {
+            a[0]
+            for a in rows
+            if not any(dominates(b, a) for b in rows)
+        }
+        assert got == expect, seed
