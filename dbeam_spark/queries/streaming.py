@@ -731,3 +731,87 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_balance_floor",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+                  ELSE -CAST(ROUND(COALESCE(value, 0) * 50) AS BIGINT)
+             END AS d
+      FROM events
+    ),
+    pre AS (
+      SELECT user_id, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM deltas
+    )
+    SELECT user_id,
+           CAST(SUM(d) - LEAST(MIN(s), 0) AS BIGINT) AS balance_cents,
+           COUNT(*) AS n_events
+    FROM pre GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of user_balance_floor: the zero-clamped balance
+    folded ROW BY ROW in per-user state (applyInPandasWithState) as
+    events stream in — the sequential semantics the batch query
+    expresses via the Skorokhod closed form. The oracle IS that
+    closed form (prefix-sum window), so the hash gate proves the
+    stateful stream fold and the reflection identity agree on every
+    user — a full SQL oracle on a custom stateful operator, where
+    most stateful streams settle for rows-only. Deltas are
+    cent-quantized by the SAME Spark ROUND expression as the batch
+    twin BEFORE entering Python state, so no pandas rounding-mode
+    drift can creep in. State is one long per active user; a
+    watermark timeout would evict idle keys on an infinite stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long"),
+    ).otherwise(
+        -F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 50).cast("long")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        bal, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in pdf["d"]:
+                bal = max(bal + int(x), 0)
+            n += len(pdf)
+        state.update((bal, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "balance_cents": [bal], "n_events": [n]}
+        )
+
+    name = f"sbf_{uuid.uuid4().hex[:8]}"
+    out = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", d.alias("d"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, balance_cents long, n_events long",
+            stateStructType="balance long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_stream(out, name, "update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("balance_cents", "n_events").alias("balance_cents"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
