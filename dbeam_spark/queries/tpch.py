@@ -3957,3 +3957,115 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "customer_survival_km",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cut
+                    FROM orders),
+    span AS (
+      SELECT c.c_mktsegment AS seg,
+             date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate))
+               AS life,
+             MAX(o.o_orderdate) <= (SELECT cut FROM cutoff) AS churned
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    ev AS (
+      SELECT seg, life,
+             SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS d,
+             COUNT(*) AS c
+      FROM span GROUP BY seg, life
+    ),
+    risk AS (
+      SELECT seg, life, d,
+             SUM(c) OVER (PARTITION BY seg ORDER BY life DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n
+      FROM ev
+    ),
+    h AS (SELECT UNNEST([1095, 1825, 2190, 2555]) AS horizon),
+    km AS (
+      SELECT r.seg, h.horizon,
+             list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                 list(1 - CAST(d AS DOUBLE)/n ORDER BY life)
+                   FILTER (life <= horizon AND d > 0)),
+               (acc, x) -> acc * x) AS s
+      FROM risk r, h
+      GROUP BY r.seg, h.horizon
+    )
+    SELECT seg, CAST(horizon AS BIGINT) AS horizon,
+           CAST(FLOOR(s * 1000000) AS BIGINT) AS survival_x1e6
+    FROM km ORDER BY seg, horizon
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival per market segment: S(t) = ∏(1 − dᵢ/nᵢ)
+    over churn-event times ≤ t, right-censoring customers still
+    active within 90 days of the dataset edge — real survival
+    analysis (the retention curve with censoring done honestly),
+    sampled at four horizons. Shape: per-customer span rollup FIRST
+    (so the segment join moves one row per customer, not per order),
+    a (segment, lifetime) event table bounded by the DAY DOMAIN, a
+    reverse-cumulative risk-set window over that bounded table, and
+    the KM product as an ordered JVM fold per (segment, horizon) —
+    both engines multiply the identical (1 − d/n) doubles in
+    identical lifetime order with exactly-rounded IEEE ops, so even
+    this float product chain is hash-gated."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("cut")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(cutoff))
+    )
+    span = per_cust.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        per_cust["o_custkey"] == customer["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(F.col("last_d"), F.col("first_d")).alias("life"),
+        (F.col("last_d") <= F.col("cut")).alias("churned"),
+    )
+    ev = span.groupBy("seg", "life").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("life").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = ev.withColumn("n", F.sum("c").over(w))
+    series = risk.groupBy("seg").agg(
+        F.sort_array(F.collect_list(F.struct("life", "d", "n"))).alias("evs")
+    )
+    horizons = F.explode(
+        F.array(*[F.lit(h) for h in (1095, 1825, 2190, 2555)])
+    ).alias("horizon")
+    return (
+        series.select("seg", "evs")
+        .select("seg", "evs", horizons)
+        .select(
+            "seg",
+            F.col("horizon").cast("long"),
+            F.expr(
+                "CAST(FLOOR(aggregate(filter(evs, s -> s.life <= horizon"
+                " AND s.d > 0), CAST(1.0 AS DOUBLE),"
+                " (acc, s) -> acc * (1 - CAST(s.d AS DOUBLE)/s.n))"
+                " * 1000000) AS BIGINT)"
+            ).alias("survival_x1e6"),
+        )
+        .orderBy("seg", "horizon")
+    )
