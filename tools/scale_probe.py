@@ -67,6 +67,14 @@ PROBES = [
     "doc_similarity_sparse",
     "brand_trend_slope",
     "knn_triangles",
+    "join_cardinality_profile",
+    "revenue_islands",
+    "user_balance_floor",
+    "events_dwell_time",
+    "return_rate_wilson",
+    "daily_forecast_ewma",
+    "orders_benford",
+    "customer_survival_km",
 ]
 
 
