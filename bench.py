@@ -36,6 +36,18 @@ HEADLINE = [
     "events_retention",
 ]
 
+# round-3 flagship additions — reported under "extended_queries" so
+# the headline total stays key-for-key comparable across rounds
+EXTENDED = [
+    "part_skyline",
+    "bloom_pruned_revenue",
+    "doc_similarity_sparse",
+    "knn_triangles",
+    "events_attribution",
+    "user_balance_floor",
+    "customer_survival_km",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -117,6 +129,17 @@ def main() -> None:
             export_rows = sum(s["rows"] for s in stats)
     per_query["avro_export_lineitem"] = round(export_sec, 3)
 
+    # round-3 flagship additions, timed best-of-2 but reported in a
+    # SEPARATE dict: the headline total stays key-for-key comparable
+    # with BENCH_r1/r2
+    extended: dict[str, float] = {}
+    for _ in range(2):
+        for name in EXTENDED:
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf_dir).collect()
+            el = round(time.monotonic() - t0, 3)
+            extended[name] = min(extended.get(name, el), el)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     rows_per_minute = int(export_rows * 60 / export_sec)
@@ -148,6 +171,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extended_queries": extended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "export_rows_per_minute": rows_per_minute,
                 **({"regressions": regressions} if regressions else {}),
