@@ -125,7 +125,8 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: rows={len(spdf)} hash match ({el:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passing")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failures)}/{n_run} passing")
     return 1 if failures else 0
 
 
