@@ -6,6 +6,12 @@ depend on session defaults (`ensure_utc` inside each query fn is what
 keeps this green).
 
 Usage: python tools/check_hostile_session.py [sf_dir]
+
+Set SPARK_GRAFT_HOSTILE_PARTITIONS (default 16) to stress a different
+shuffle-partition count — hash-gated queries must be partitioning-
+invariant (a prime like 7 shakes out range-partition boundary
+assumptions in global_ranked / global_prefix_max and float-sum
+ordering leaks).
 """
 
 from __future__ import annotations
@@ -29,7 +35,10 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.session.timeZone", "America/New_York")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_HOSTILE_PARTITIONS", "16"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
