@@ -2270,16 +2270,194 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pagerank")  # iterative power method -> rows-only
+_PAGERANK_ORACLE = """
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e0 q JOIN e0 b ON b.vec_id <> q.vec_id
+    ),
+    e AS (
+      SELECT query_id AS src, neighbor_id AS dst FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 3
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    pr1 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr0 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr2 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr1 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr3 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr2 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr4 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr3 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr5 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr4 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr6 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr5 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr7 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr6 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr8 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr7 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr9 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr8 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr10 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr9 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr11 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr10 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr12 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr11 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr13 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr12 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr14 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr13 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    ),
+    pr15 AS (
+      SELECT n.id,
+             CAST(150000 + COALESCE(f.inflow, 0) * 850000 // 1000000
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS inflow
+        FROM pr14 p JOIN deg d ON d.src = p.id JOIN e ON e.src = p.id
+        GROUP BY e.dst
+      ) f ON f.id = n.id
+    )
+    SELECT id, r AS rank_q6,
+           ROW_NUMBER() OVER (ORDER BY r DESC, id) AS pos
+    FROM pr15 ORDER BY r DESC, id LIMIT 20
+    """
+
+
+@register("embedding_pagerank", oracle=_PAGERANK_ORACLE)
 def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-centrality PageRank over the k-NN graph: edges are
     each vector's top-3 cosine neighbors (knn_self_join's graph), 15
     damped power iterations via one join + one groupBy per round
     (operators/graph.py). High-rank vectors are the corpus's semantic
     hubs — the representative-selection / coverage-sampling signal.
-    Rows-only: iterative fixpoint is not SQL-expressible, but the
-    integer-micro-unit formulation makes the output bit-deterministic
-    across partitionings and runs."""
+    The integer-micro-unit formulation (operators/graph.py: rank mass
+    in 1e-6 units, every transfer a floor division) makes the output
+    bit-deterministic across partitionings and runs — deterministic
+    enough that even this ITERATIVE algorithm carries a full hash
+    oracle: the DuckDB side unrolls the same 15 integer power
+    iterations as chained CTEs over the same k-NN edge CTE. Iterative
+    ≠ unverifiable when the arithmetic is associative-exact."""
     from dbeam_spark.operators import graph, similarity
 
     emb = _emb(spark, sf_dir)
