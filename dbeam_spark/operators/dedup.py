@@ -488,24 +488,44 @@ def _pairwise_text_jaccard(
     )
 
 
+SIMHASH_PORTABLE_BITS = 60  # 15 md5 hex chars; 64 would overflow
+# DuckDB's signed-BIGINT hex cast, and the oracle must parse the
+# identical integer
+
+
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per doc: per-bit vote sums over shingle hashes,
-    folded into one long — all Catalyst expressions, one shuffle."""
+    """SimHash per doc: per-bit vote sums over shingle hashes, folded
+    into one long — all Catalyst expressions, one shuffle.
+
+    Default hash is xxhash64 (64 bits, fastest, Spark-specific).
+    ``portable=True`` derives a 60-bit hash from the first 15 hex
+    chars of md5 — reproducible in ANY engine with md5 (the
+    heavy_hitters_cms precedent), which is what lets dedup_simhash
+    carry a full DuckDB hash oracle instead of a rows-only gate."""
     sh = shingle_table(docs, id_col, text_col, n)
-    h = F.xxhash64("shingle")
+    if portable:
+        bits = SIMHASH_PORTABLE_BITS
+        h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    else:
+        bits = 64
+        h = F.xxhash64("shingle")
     votes = [
         F.sum(
             F.when(
                 h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1
             ).otherwise(-1)
         ).alias(f"v{j}")
-        for j in range(64)
+        for j in range(bits)
     ]
     voted = sh.groupBy(F.col("sid")).agg(*votes)
     fp = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(bits):
         bit = F.when(
             F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
         ).otherwise(F.lit(0).cast("long"))
@@ -518,21 +538,23 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: the 64-bit fingerprint splits into
+    Pigeonhole banding: the fingerprint splits into
     max_hamming+1 chunks, so any pair within max_hamming differing
     bits matches on at least one chunk — candidates come from the
     chunk-equality joins, then the exact bit_count(xor) filter.
     """
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    fps = simhash_fingerprints(docs, id_col, text_col, portable=portable)
+    bits = SIMHASH_PORTABLE_BITS if portable else 64
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    width = bits // n_chunks
     chunk_structs = []
     for c in range(n_chunks):
         start = c * width
-        w = 64 - start if c == n_chunks - 1 else width
+        w = bits - start if c == n_chunks - 1 else width
         mask = (1 << w) - 1
         chunk_structs.append(
             F.struct(

@@ -93,11 +93,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash")  # fingerprint depends on our hash fn → rows-only gate
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ),
+    hv AS (
+      SELECT sid,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv
+      FROM sh
+    ),
+    votes AS (
+      SELECT sid,
+             SUM(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+             SUM(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+             SUM(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+             SUM(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+             SUM(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+             SUM(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+             SUM(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+             SUM(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+             SUM(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+             SUM(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+             SUM(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+             SUM(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+             SUM(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+             SUM(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+             SUM(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+             SUM(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+             SUM(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+             SUM(CASE WHEN (hv >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+             SUM(CASE WHEN (hv >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+             SUM(CASE WHEN (hv >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+             SUM(CASE WHEN (hv >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+             SUM(CASE WHEN (hv >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+             SUM(CASE WHEN (hv >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+             SUM(CASE WHEN (hv >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+             SUM(CASE WHEN (hv >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+             SUM(CASE WHEN (hv >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+             SUM(CASE WHEN (hv >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+             SUM(CASE WHEN (hv >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+             SUM(CASE WHEN (hv >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+             SUM(CASE WHEN (hv >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+             SUM(CASE WHEN (hv >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+             SUM(CASE WHEN (hv >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+             SUM(CASE WHEN (hv >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+             SUM(CASE WHEN (hv >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+             SUM(CASE WHEN (hv >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+             SUM(CASE WHEN (hv >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+             SUM(CASE WHEN (hv >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+             SUM(CASE WHEN (hv >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+             SUM(CASE WHEN (hv >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+             SUM(CASE WHEN (hv >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+             SUM(CASE WHEN (hv >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+             SUM(CASE WHEN (hv >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+             SUM(CASE WHEN (hv >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+             SUM(CASE WHEN (hv >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+             SUM(CASE WHEN (hv >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+             SUM(CASE WHEN (hv >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+             SUM(CASE WHEN (hv >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+             SUM(CASE WHEN (hv >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+             SUM(CASE WHEN (hv >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+             SUM(CASE WHEN (hv >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+             SUM(CASE WHEN (hv >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+             SUM(CASE WHEN (hv >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+             SUM(CASE WHEN (hv >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+             SUM(CASE WHEN (hv >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+             SUM(CASE WHEN (hv >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+             SUM(CASE WHEN (hv >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+             SUM(CASE WHEN (hv >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+             SUM(CASE WHEN (hv >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+             SUM(CASE WHEN (hv >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+             SUM(CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+      FROM hv GROUP BY sid
+    ),
+    fp AS (SELECT sid, (CASE WHEN v0 > 0 THEN (1::BIGINT << 0) ELSE 0 END) | (CASE WHEN v1 > 0 THEN (1::BIGINT << 1) ELSE 0 END) | (CASE WHEN v2 > 0 THEN (1::BIGINT << 2) ELSE 0 END) | (CASE WHEN v3 > 0 THEN (1::BIGINT << 3) ELSE 0 END) | (CASE WHEN v4 > 0 THEN (1::BIGINT << 4) ELSE 0 END) | (CASE WHEN v5 > 0 THEN (1::BIGINT << 5) ELSE 0 END) | (CASE WHEN v6 > 0 THEN (1::BIGINT << 6) ELSE 0 END) | (CASE WHEN v7 > 0 THEN (1::BIGINT << 7) ELSE 0 END) | (CASE WHEN v8 > 0 THEN (1::BIGINT << 8) ELSE 0 END) | (CASE WHEN v9 > 0 THEN (1::BIGINT << 9) ELSE 0 END) | (CASE WHEN v10 > 0 THEN (1::BIGINT << 10) ELSE 0 END) | (CASE WHEN v11 > 0 THEN (1::BIGINT << 11) ELSE 0 END) | (CASE WHEN v12 > 0 THEN (1::BIGINT << 12) ELSE 0 END) | (CASE WHEN v13 > 0 THEN (1::BIGINT << 13) ELSE 0 END) | (CASE WHEN v14 > 0 THEN (1::BIGINT << 14) ELSE 0 END) | (CASE WHEN v15 > 0 THEN (1::BIGINT << 15) ELSE 0 END) | (CASE WHEN v16 > 0 THEN (1::BIGINT << 16) ELSE 0 END) | (CASE WHEN v17 > 0 THEN (1::BIGINT << 17) ELSE 0 END) | (CASE WHEN v18 > 0 THEN (1::BIGINT << 18) ELSE 0 END) | (CASE WHEN v19 > 0 THEN (1::BIGINT << 19) ELSE 0 END) | (CASE WHEN v20 > 0 THEN (1::BIGINT << 20) ELSE 0 END) | (CASE WHEN v21 > 0 THEN (1::BIGINT << 21) ELSE 0 END) | (CASE WHEN v22 > 0 THEN (1::BIGINT << 22) ELSE 0 END) | (CASE WHEN v23 > 0 THEN (1::BIGINT << 23) ELSE 0 END) | (CASE WHEN v24 > 0 THEN (1::BIGINT << 24) ELSE 0 END) | (CASE WHEN v25 > 0 THEN (1::BIGINT << 25) ELSE 0 END) | (CASE WHEN v26 > 0 THEN (1::BIGINT << 26) ELSE 0 END) | (CASE WHEN v27 > 0 THEN (1::BIGINT << 27) ELSE 0 END) | (CASE WHEN v28 > 0 THEN (1::BIGINT << 28) ELSE 0 END) | (CASE WHEN v29 > 0 THEN (1::BIGINT << 29) ELSE 0 END) | (CASE WHEN v30 > 0 THEN (1::BIGINT << 30) ELSE 0 END) | (CASE WHEN v31 > 0 THEN (1::BIGINT << 31) ELSE 0 END) | (CASE WHEN v32 > 0 THEN (1::BIGINT << 32) ELSE 0 END) | (CASE WHEN v33 > 0 THEN (1::BIGINT << 33) ELSE 0 END) | (CASE WHEN v34 > 0 THEN (1::BIGINT << 34) ELSE 0 END) | (CASE WHEN v35 > 0 THEN (1::BIGINT << 35) ELSE 0 END) | (CASE WHEN v36 > 0 THEN (1::BIGINT << 36) ELSE 0 END) | (CASE WHEN v37 > 0 THEN (1::BIGINT << 37) ELSE 0 END) | (CASE WHEN v38 > 0 THEN (1::BIGINT << 38) ELSE 0 END) | (CASE WHEN v39 > 0 THEN (1::BIGINT << 39) ELSE 0 END) | (CASE WHEN v40 > 0 THEN (1::BIGINT << 40) ELSE 0 END) | (CASE WHEN v41 > 0 THEN (1::BIGINT << 41) ELSE 0 END) | (CASE WHEN v42 > 0 THEN (1::BIGINT << 42) ELSE 0 END) | (CASE WHEN v43 > 0 THEN (1::BIGINT << 43) ELSE 0 END) | (CASE WHEN v44 > 0 THEN (1::BIGINT << 44) ELSE 0 END) | (CASE WHEN v45 > 0 THEN (1::BIGINT << 45) ELSE 0 END) | (CASE WHEN v46 > 0 THEN (1::BIGINT << 46) ELSE 0 END) | (CASE WHEN v47 > 0 THEN (1::BIGINT << 47) ELSE 0 END) | (CASE WHEN v48 > 0 THEN (1::BIGINT << 48) ELSE 0 END) | (CASE WHEN v49 > 0 THEN (1::BIGINT << 49) ELSE 0 END) | (CASE WHEN v50 > 0 THEN (1::BIGINT << 50) ELSE 0 END) | (CASE WHEN v51 > 0 THEN (1::BIGINT << 51) ELSE 0 END) | (CASE WHEN v52 > 0 THEN (1::BIGINT << 52) ELSE 0 END) | (CASE WHEN v53 > 0 THEN (1::BIGINT << 53) ELSE 0 END) | (CASE WHEN v54 > 0 THEN (1::BIGINT << 54) ELSE 0 END) | (CASE WHEN v55 > 0 THEN (1::BIGINT << 55) ELSE 0 END) | (CASE WHEN v56 > 0 THEN (1::BIGINT << 56) ELSE 0 END) | (CASE WHEN v57 > 0 THEN (1::BIGINT << 57) ELSE 0 END) | (CASE WHEN v58 > 0 THEN (1::BIGINT << 58) ELSE 0 END) | (CASE WHEN v59 > 0 THEN (1::BIGINT << 59) ELSE 0 END) AS simhash FROM votes)
+    SELECT a.sid AS id_a, b.sid AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.sid < b.sid
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
-        "id_a", "id_b"
+    """SimHash near-dup pairs (hamming <= 3) on the PORTABLE 60-bit
+    md5-derived fingerprint, so even this sketch is hash-gated: the
+    oracle recomputes the identical per-bit votes in DuckDB and
+    brute-forces the pair filter, while the Spark side uses the
+    pigeonhole banding join (operators/dedup.simhash_pairs) — which
+    is EXACT for hamming <= max_hamming, so the two formulations must
+    agree pair-for-pair. The xxhash64 variant stays the fast default
+    for non-oracle use."""
+    out = dedup.simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=3, portable=True
     )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 @register(
