@@ -815,3 +815,86 @@ def stream_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_drift_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, SUM(n) AS t FROM daily GROUP BY day),
+    share AS (
+      SELECT d.day, d.event_type,
+             CAST(d.n * 1000000 // t.t AS BIGINT) AS share_x1e6
+      FROM daily d JOIN tot t USING (day)
+    ),
+    drift AS (
+      SELECT a.day,
+             CAST(SUM(ABS(a.share_x1e6 -
+               COALESCE(b.share_x1e6, 0))) AS BIGINT) AS l1_x1e6
+      FROM share a LEFT JOIN share b
+        ON b.event_type = a.event_type
+       AND b.day = a.day - INTERVAL 1 DAY
+      GROUP BY a.day
+    )
+    SELECT day, l1_x1e6 FROM drift
+    WHERE day > (SELECT MIN(day) FROM share)
+    ORDER BY l1_x1e6 DESC, day LIMIT 10
+    """,
+)
+def stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: daily event-type counts
+    accumulate in a watermarked tumbling window as events stream in;
+    the day-over-day L1 distance between type-share vectors (the
+    drift score an ingest pipeline alerts on) is computed over the
+    tiny windowed result — day×type grain, calendar-bounded. Shares
+    are 1e6-scaled integer floor divisions and the L1 sum is integer,
+    so the streaming computation hash-matches the batch SQL spec
+    exactly; top-10 drift days via TakeOrderedAndProject. The first
+    day is excluded (no predecessor to drift from)."""
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_stream(agg, name, "complete")
+    daily = spark.table(name).select(
+        F.col("window.start").alias("day"), "event_type", "n"
+    )
+    tot = daily.groupBy("day").agg(F.sum("n").alias("t"))
+    share = daily.join(tot, "day").select(
+        "day",
+        "event_type",
+        F.expr("n * 1000000 DIV t").cast("long").alias("share_x1e6"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = share.select(
+        "day",
+        "share_x1e6",
+        F.when(
+            F.lag("day").over(w) == F.col("day") - F.expr("INTERVAL 1 DAY"),
+            F.lag("share_x1e6").over(w),
+        )
+        .otherwise(F.lit(0))
+        .alias("prev_share"),
+    )
+    min_day = share.agg(F.min("day").alias("m"))
+    drift = lagged.groupBy("day").agg(
+        F.sum(F.abs(F.col("share_x1e6") - F.col("prev_share")))
+        .cast("long")
+        .alias("l1_x1e6")
+    )
+    return (
+        drift.crossJoin(F.broadcast(min_day))
+        .filter(F.col("day") > F.col("m"))
+        .select("day", "l1_x1e6")
+        .orderBy(F.col("l1_x1e6").desc(), "day")
+        .limit(10)
+    )
