@@ -1181,3 +1181,40 @@ def test_skyline_sweep_matches_bruteforce(spark):
             if not any(dominates(b, a) for b in rows)
         }
         assert got == expect, seed
+
+
+def test_bloom_semi_join_empty_right_and_null_keys(spark):
+    from pyspark.sql import types as T
+
+    from dbeam_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame(
+        [(1,), (2,), (None,)], T.StructType([T.StructField("k", T.LongType())])
+    )
+    empty_right = spark.createDataFrame(
+        [], T.StructType([T.StructField("k", T.LongType())])
+    )
+    # empty build side -> all-zero bitmap -> everything pruned
+    assert bloom_semi_join(left, empty_right, on="k").count() == 0
+    # NULL keys never match a semi join, bloom or not
+    right = spark.createDataFrame(
+        [(2,)], T.StructType([T.StructField("k", T.LongType())])
+    )
+    got = [r["k"] for r in bloom_semi_join(left, right, on="k").collect()]
+    assert got == [2]
+
+
+def test_global_prefix_max_constant_and_single(spark):
+    from dbeam_spark.operators.ranking import global_prefix_max
+
+    one = spark.createDataFrame([(5, 9)], ["key", "val"])
+    assert global_prefix_max(one, [F.col("key")], F.col("val"), "p").collect()[
+        0
+    ]["p"] is None
+    const = spark.createDataFrame([(i, 7) for i in range(50)], ["key", "val"])
+    rows = global_prefix_max(
+        const, [F.col("key")], F.col("val"), "p", num_partitions=5
+    ).collect()
+    by_key = {r["key"]: r["p"] for r in rows}
+    assert by_key[0] is None
+    assert all(by_key[k] == 7 for k in range(1, 50))
