@@ -4069,3 +4069,79 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "horizon")
     )
+
+
+@register(
+    "join_view_demo",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_view_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view (jobs/join_view_maintain,
+    A39) proven equal to the one-shot join: lineitem arrives in two
+    delta batches and orders in three, five maintenance calls apply
+    the three-term delta join d(L⋈R) = dL⋈R ∪ L⋈dR ∪ dL⋈dR, and the
+    final view aggregates to EXACTLY what joining the full tables
+    yields — the oracle is that one-shot join, so the hash gate
+    proves the IVM algebra end-to-end (no row lost, duplicated, or
+    joined twice across batch boundaries)."""
+    import shutil
+    import tempfile
+
+    from dbeam_spark.jobs.join_view_maintain import (
+        maintain_join_view,
+        read_join_view,
+    )
+
+    ensure_utc(spark)
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    view_dir = tempfile.mkdtemp(prefix="join_view_demo_")
+    shutil.rmtree(view_dir, ignore_errors=True)
+    l_batches = [
+        lineitem.filter(F.pmod("l_orderkey", F.lit(2)) == i) for i in range(2)
+    ]
+    o_batches = [
+        orders.filter(F.pmod("o_orderkey", F.lit(3)) == i) for i in range(3)
+    ]
+    maintain_join_view(
+        spark, view_dir, "l_orderkey", "o_orderkey",
+        left_delta=l_batches[0], right_delta=o_batches[0],
+    )
+    maintain_join_view(
+        spark, view_dir, "l_orderkey", "o_orderkey",
+        right_delta=o_batches[1],
+    )
+    maintain_join_view(
+        spark, view_dir, "l_orderkey", "o_orderkey",
+        left_delta=l_batches[1],
+    )
+    maintain_join_view(
+        spark, view_dir, "l_orderkey", "o_orderkey",
+        right_delta=o_batches[2],
+    )
+    view = read_join_view(spark, view_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    out = (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    rows = out.collect()
+    shutil.rmtree(view_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

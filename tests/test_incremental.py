@@ -290,3 +290,54 @@ def test_export_diff_classifies_keys(spark, tmp_path):
     dels = {r["id"] for r in spark.read.parquet(f"{out}/deletes").collect()}
     assert ups == {2, 7, 11} and dels == {3}
     assert stats2.changed == 2
+
+
+def test_join_view_maintenance_idempotent_replay(spark, tmp_path):
+    """Re-running a completed maintenance index (the crash-recovery
+    path) must be a byte-identical no-op: the numbered-overwrite
+    design converges instead of double-counting."""
+    import json
+
+    from dbeam_spark.jobs.join_view_maintain import (
+        STATE_FILE,
+        maintain_join_view,
+        read_join_view,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, 10), (2, 20)], ["rk", "rv"])
+    vd = str(tmp_path / "view")
+    maintain_join_view(spark, vd, "k", "rk", left_delta=left,
+                       right_delta=right.limit(1))
+    maintain_join_view(spark, vd, "k", "rk",
+                       right_delta=right.filter("rk = 2"))
+    full = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in read_join_view(spark, vd).collect()
+    )
+    assert full == [(1, "a", 10), (2, "b", 20), (2, "c", 20)]
+
+    # simulate a crash AFTER data writes but BEFORE the state advance:
+    # roll the state back one step and re-apply the same call
+    st = json.loads((tmp_path / "view" / STATE_FILE).read_text())
+    st["next_idx"] -= 1
+    (tmp_path / "view" / STATE_FILE).write_text(json.dumps(st))
+    maintain_join_view(spark, vd, "k", "rk",
+                       right_delta=right.filter("rk = 2"))
+    replay = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in read_join_view(spark, vd).collect()
+    )
+    assert replay == full  # no double-count
+
+
+def test_join_view_requires_both_schemas_first(spark, tmp_path):
+    import pytest
+
+    from dbeam_spark.jobs.join_view_maintain import maintain_join_view
+
+    left = spark.createDataFrame([(1, "a")], ["k", "lv"])
+    with pytest.raises(ValueError):
+        maintain_join_view(
+            spark, str(tmp_path / "v2"), "k", "rk", left_delta=left
+        )
