@@ -246,3 +246,37 @@ def test_uuid_logical_type_hint(spark):
     )
     fld = [f for f in plain["fields"] if f["name"] == "token"][0]
     assert fld["type"][1] == "string"
+
+
+def test_avro_to_parquet_roundtrip(spark, tmp_path):
+    """Export → Avro → parquet conversion preserves every row and
+    honors hive partitioning (A40)."""
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.jobs.avro_to_parquet import run_convert
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        (F.col("id") * 2.5).alias("x"),
+    )
+    export_dir = str(tmp_path / "export")
+    write_avro(df, export_dir, spark_schema_to_avro(df.schema, "t"))
+
+    out_dir = str(tmp_path / "lake")
+    stats = run_convert(spark, export_dir, out_dir, partition_by="bucket")
+    assert stats["rows"] == 500
+    back = spark.read.parquet(out_dir)
+    assert sorted(back.columns) == ["bucket", "id", "x"]
+    assert back.filter("bucket = '1'").count() == df.filter(
+        "bucket = '1'"
+    ).count()
+    got = sorted((r["id"], r["x"]) for r in back.collect())
+    assert got == [(i, i * 2.5) for i in range(500)]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        run_convert(spark, export_dir, out_dir, partition_by="nope")
