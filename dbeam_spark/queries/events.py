@@ -1595,3 +1595,70 @@ def daily_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> 0.3 * x + 0.7 * acc) * 1000000) AS BIGINT)"
         ).alias("ewma_x1e6"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS sx,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sxx
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 20
+    ),
+    scored AS (
+      SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+             CAST(sx // n AS BIGINT) AS mean_gap_s,
+             CAST((n * sxx - sx * sx)
+                  // (n * (sx // n) * (sx // n) + 1) AS BIGINT)
+               AS regularity
+      FROM s
+    )
+    SELECT * FROM scored ORDER BY regularity, user_id LIMIT 20
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screen: users whose inter-event gaps are
+    suspiciously REGULAR — a scale-free relative-variance score
+    (n·Σx² − (Σx)²) / (n·mean²), scripted clients score near zero
+    while humans are bursty. All integer arithmetic on whole-second
+    gaps (epoch-microsecond floor division, identical in both
+    engines; the +1 in the denominator guards zero means without a
+    CASE): one user_id lag window, a per-user rollup with map-side
+    partials, and a distributed top-20 of the most-regular accounts.
+    The n ≥ 20 support floor keeps one-off coincidences out."""
+    ev = _events(spark, sf_dir)
+    gap = F.expr(
+        "(unix_micros(ts) - unix_micros(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id))) DIV 1000000"
+    )
+    gaps = ev.select("user_id", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").alias("sx"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    scored = s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("sx DIV n").cast("long").alias("mean_gap_s"),
+        F.expr(
+            "(n * sxx - sx * sx) DIV (n * (sx DIV n) * (sx DIV n) + 1)"
+        )
+        .cast("long")
+        .alias("regularity"),
+    )
+    return scored.orderBy("regularity", "user_id").limit(20)
