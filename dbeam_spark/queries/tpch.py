@@ -4145,3 +4145,97 @@ def join_view_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(view_dir, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "nation_rank_stability",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, n.n_name,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT yr, n_name,
+             CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                  ORDER BY cents DESC, n_name) AS BIGINT) AS rk
+      FROM yearly
+    ),
+    pairs AS (
+      SELECT a.yr AS yr_from, COUNT(*) AS n,
+             CAST(SUM((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT) AS sd2
+      FROM ranked a JOIN ranked b
+        ON b.n_name = a.n_name AND b.yr = a.yr + 1
+      GROUP BY a.yr
+    )
+    SELECT yr_from, CAST(n AS BIGINT) AS n_nations, sd2,
+           CAST((n*(n*n-1)*3000000 - 6000000*sd2) // (n*(n*n-1))
+                - 2000000 AS BIGINT) AS spearman_x1e6
+    FROM pairs WHERE n >= 2 ORDER BY yr_from
+    """,
+)
+def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year Spearman rank correlation of nation revenue
+    ranks — 'does the league table reshuffle?' as one number per year
+    pair. ρ = 1 − 6Σd²/(n(n²−1)) is an exact rational of integer
+    ranks, so the 1e6-scaled value is pure integer floor division —
+    with a +2·D offset keeping the numerator positive, because Spark
+    DIV truncates toward zero while DuckDB // floors (they differ
+    exactly on negatives, the CLAUDE.md hazard). All grains are
+    bounded (nation × year), the only data-scaled work is the yearly
+    rollup with broadcast dims."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    yearly = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"), "n_name"
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("yr").orderBy(F.col("cents").desc(), "n_name")
+    )
+    ranked = yearly.select("yr", "n_name", rk.cast("long").alias("rk"))
+    nxt = ranked.select(
+        (F.col("yr") - 1).alias("yr"),
+        F.col("n_name"),
+        F.col("rk").alias("rk_next"),
+    )
+    pairs = (
+        ranked.join(nxt, ["yr", "n_name"])
+        .groupBy(F.col("yr").alias("yr_from"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("rk") - F.col("rk_next"))
+                * (F.col("rk") - F.col("rk_next"))
+            ).alias("sd2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    return pairs.select(
+        "yr_from",
+        F.col("n").cast("long").alias("n_nations"),
+        F.col("sd2").cast("long"),
+        F.expr(
+            "(n*(n*n-1)*3000000 - 6000000*sd2) DIV (n*(n*n-1)) - 2000000"
+        )
+        .cast("long")
+        .alias("spearman_x1e6"),
+    ).orderBy("yr_from")
