@@ -32,7 +32,7 @@ from dbeam_spark.metrics import ExportMetrics
 from dbeam_spark.options import JdbcExportOptions, parse_args
 from dbeam_spark.partitions import parse_instant, parse_period, validate_partition
 from dbeam_spark.passwords import read_password
-from dbeam_spark.sources.jdbc import read_jdbc
+from dbeam_spark.sources.jdbc import collect_source_type_names, read_jdbc
 
 
 def job_name(catalog: str | None, table: str | None) -> str:
@@ -115,6 +115,18 @@ def run_export(
     t0 = time.monotonic_ns()
     plan = read_jdbc(spark, opts, password)
     schema_name = opts.avroSchemaName or opts.table or "no_table_name"
+    hints: dict[str, str] | None = None
+    if opts.useAvroLogicalTypes:
+        # source SQL type names (ResultSetMetaData over a zero-row
+        # probe) so DB types Spark erases — e.g. Postgres uuid →
+        # StringType — keep their logicalType annotation, like the
+        # reference's JdbcAvroSchema does automatically.
+        try:
+            hints = collect_source_type_names(
+                spark, opts, password, plan.base_query
+            )
+        except Exception:
+            hints = None  # metadata probe is best-effort
     generated = spark_schema_to_avro(
         plan.df.schema,
         schema_name=schema_name,
@@ -125,6 +137,7 @@ def run_export(
         use_logical_types=opts.useAvroLogicalTypes,
         array_mode=opts.arrayMode,
         nullable_array_items=opts.nullableArrayItems,
+        logical_type_hints=hints,
     )
     if opts.avroSchemaFilePath and input_avro_schema is None:
         input_avro_schema = json.loads(Path(opts.avroSchemaFilePath).read_text())

@@ -765,8 +765,14 @@ def incremental_minhash_index(
        exact-verified like `minhash_lsh_pairs`; this operator keeps
        one uniform estimator path so old and new pairs are
        comparable.
-    4. the new signatures are APPENDED to the index (parquet),
-       making the call idempotent-per-batch and the index append-only.
+    4. the new signatures land under a content-derived
+       `batch=<id>` subdirectory with OVERWRITE semantics — the id is
+       a hash of the batch's sid set, so re-running the same batch
+       (crash between write and consume, orchestrator retry) rewrites
+       the same subdirectory instead of appending duplicate rows that
+       would inflate later batches' buckets. This makes the call
+       truly idempotent-per-batch while keeping the index append-only
+       across DISTINCT batches.
 
     Returns (id_a, id_b, est_jaccard_x1e4, a_is_new, b_is_new) pairs
     with estimate ≥ threshold.
@@ -775,14 +781,28 @@ def incremental_minhash_index(
 
     spark = docs_new.sparkSession
     cols = [f"mh{i}" for i in range(_NUM_PERM)]
+    # Deterministic batch id from the id SET (order-free aggregates
+    # over a column-pruned scan): names the index subdirectory, and
+    # lets a RETRY of the same batch recognize its own crashed
+    # write in the index and exclude it from the "old" side.
+    agg = docs_new.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col(id_col).cast("string"))).alias("s"),
+        F.expr(f"bit_xor(hash(cast({id_col} AS STRING)))").alias("x"),
+    ).collect()[0]
+    batch_id = f"{agg['n'] or 0:x}-{(agg['s'] or 0) & 0xFFFFFFFFFF:x}-{(agg['x'] or 0) & 0xFFFFFFFF:x}"
     sig_new = minhash_signatures_maponly(docs_new, id_col, text_col, n)
     sig_new = sig_new.withColumn("is_new", F.lit(True))
     have_old = os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(index_dir)
+        for f in fs
     )
     if have_old:
         sig_old = (
-            spark.read.parquet(index_dir)
+            spark.read.option("basePath", index_dir).parquet(index_dir)
+            .filter(F.col("batch") != batch_id)
+            .drop("batch")
             .withColumn("is_new", F.lit(False))
         )
         sigs = sig_old.unionByName(sig_new)
@@ -864,9 +884,10 @@ def incremental_minhash_index(
         )
         .filter(F.col("est_jaccard_x1e4") >= int(threshold * 10000))
     )
-    out = out.localCheckpoint(eager=True)  # materialize BEFORE append
-    # append from the checkpointed frame (no signature recompute)
+    out = out.localCheckpoint(eager=True)  # materialize BEFORE write
+    # idempotent landing: overwrite THIS batch's subdirectory only
+    # (from the checkpointed frame — no signature recompute)
     sigs.filter(F.col("is_new")).drop("is_new").coalesce(4).write.mode(
-        "append"
-    ).parquet(index_dir)
+        "overwrite"
+    ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
     return out.orderBy("id_a", "id_b")

@@ -952,8 +952,11 @@ def covariance_exact(
 
     Each component is quantized to integer units (floor(v·scale)) and
     the sufficient statistics — Σqqᵀ (dim×dim), Σq (dim), n — are
-    accumulated in int64 per partition, then reduced on the driver as
-    arbitrary-precision Python ints. Integer accumulation makes the
+    accumulated per partition as exact Python big ints (per-batch
+    matmuls in int64, folded into object-dtype running sums; partials
+    ship as decimal strings), then reduced on the driver as
+    arbitrary-precision Python ints — no silent int64 wrap at any
+    partition size. Integer accumulation makes the
     result bit-identical regardless of partitioning or row order
     (a float covariance pass is summation-order dependent), at the
     cost of scale⁻¹ quantization — noise far below the variance
@@ -984,23 +987,30 @@ def covariance_exact(
             Q = np.floor(X * scale).astype(np.int64)
             if S2 is None:
                 dim = Q.shape[1]
-                S2 = np.zeros((dim, dim), dtype=np.int64)
-                S1 = np.zeros(dim, dtype=np.int64)
+                # object dtype = Python big ints: the PER-BATCH
+                # Q.T @ Q is int64-safe (|q|≤scale ⇒ ≤1e12/term,
+                # ≲1e16 per ~10k-row Arrow batch), but accumulating
+                # many batches within one partition would silently
+                # wrap int64 — so the running sums hold exact ints.
+                S2 = np.zeros((dim, dim), dtype=object)
+                S1 = np.zeros(dim, dtype=object)
             S2 += Q.T @ Q
             S1 += Q.sum(axis=0)
             n += Q.shape[0]
         if n:
-            dim = len(S1)
+            # partials ship as DECIMAL STRINGS: a partition's exact
+            # total can exceed int64 (the whole point of the object
+            # accumulator), so an array<long> yield would re-truncate
             yield pd.DataFrame(
                 {
                     "n": [n],
-                    "s1": [S1.tolist()],
-                    "s2": [S2.reshape(-1).tolist()],
+                    "s1": [[str(x) for x in S1.tolist()]],
+                    "s2": [[str(x) for x in S2.reshape(-1).tolist()]],
                 }
             )
 
     rows = d.mapInPandas(
-        partial, "n long, s1 array<long>, s2 array<long>"
+        partial, "n long, s1 array<string>, s2 array<string>"
     ).collect()
     if not rows:
         raise ValueError("covariance over an empty frame")

@@ -32,11 +32,33 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Spark/Hive writes NULL partition values under this directory name.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_partition(raw: str) -> str | None:
+    """Decode a Hive-style partition directory value: Spark percent-
+    escapes special characters (space, ':', '/', '%', ...) as %XX in
+    `col=val` directory names, and spells NULL as
+    __HIVE_DEFAULT_PARTITION__. The manifest stores the DECODED value
+    so it compares equal to `CAST(col AS STRING)` on the DataFrame
+    side."""
+    if raw == _HIVE_NULL:
+        return None
+    return urllib.parse.unquote(raw)
+
+
+def _partition_type(df: DataFrame, partition_col: str | None) -> str | None:
+    if partition_col is None:
+        return None
+    return df.schema[partition_col].dataType.simpleString()
 
 
 class SnapshotConflictError(RuntimeError):
@@ -74,7 +96,7 @@ def _write_data(df: DataFrame, table: Path, partition_col: str | None) -> list[d
     else:
         df.write.mode("overwrite").partitionBy(partition_col).parquet(str(out))
         for pdir in sorted(out.glob(f"{partition_col}=*")):
-            pval = pdir.name.split("=", 1)[1]
+            pval = _unescape_partition(pdir.name.split("=", 1)[1])
             for f in sorted(pdir.glob("*.parquet")):
                 entries.append(
                     {"path": str(f.relative_to(table)), "partition": pval}
@@ -83,7 +105,12 @@ def _write_data(df: DataFrame, table: Path, partition_col: str | None) -> list[d
 
 
 def _commit(
-    table: Path, parent: int, files: list[dict], op: str, partition_col: str | None
+    table: Path,
+    parent: int,
+    files: list[dict],
+    op: str,
+    partition_col: str | None,
+    partition_type: str | None = None,
 ) -> int:
     version = parent + 1
     _manifest_dir(table).mkdir(parents=True, exist_ok=True)
@@ -92,6 +119,7 @@ def _commit(
         "parent": parent,
         "op": op,
         "partition_col": partition_col,
+        "partition_type": partition_type,
         "committed_at": int(time.time()),
         "files": files,
     }
@@ -123,7 +151,10 @@ def commit_snapshot(
     table.mkdir(parents=True, exist_ok=True)
     parent = _latest_version(table)
     files = _write_data(df, table, partition_col)
-    return _commit(table, parent, files, op, partition_col)
+    return _commit(
+        table, parent, files, op, partition_col,
+        _partition_type(df, partition_col),
+    )
 
 
 def commit_upsert(
@@ -147,13 +178,19 @@ def commit_upsert(
             f"table is partitioned by {man['partition_col']!r}, "
             f"not {partition_col!r}"
         )
+    # Compare against the DataFrame's own string rendering — the
+    # manifest stores unescaped values, which match CAST(col AS STRING)
+    # for every partitionable type (int, date, string-with-specials).
     touched = {
-        str(r[0]) for r in updates.select(partition_col).distinct().collect()
+        r[0]
+        for r in updates.select(
+            F.col(partition_col).cast("string")
+        ).distinct().collect()
     }
     carried = [f for f in man["files"] if f["partition"] not in touched]
     existing = _read_files(
         spark, table, [f for f in man["files"] if f["partition"] in touched],
-        partition_col,
+        partition_col, man.get("partition_type"),
     )
     if existing is not None:
         merged = updates.unionByName(
@@ -164,7 +201,10 @@ def commit_upsert(
     else:
         merged = updates
     new_files = _write_data(merged, table, partition_col)
-    return _commit(table, parent, carried + new_files, "upsert", partition_col)
+    return _commit(
+        table, parent, carried + new_files, "upsert", partition_col,
+        man.get("partition_type") or _partition_type(updates, partition_col),
+    )
 
 
 def _read_files(
@@ -172,6 +212,7 @@ def _read_files(
     table: Path,
     files: list[dict],
     partition_col: str | None,
+    partition_type: str | None = None,
 ) -> DataFrame | None:
     """Assemble a DataFrame from manifest entries. Partition values
     come from the MANIFEST (attached as literals per group), never
@@ -183,14 +224,17 @@ def _read_files(
         return None
     if partition_col is None:
         return spark.read.parquet(*[str(table / f["path"]) for f in files])
-    groups: dict[str, list[str]] = {}
+    groups: dict[str | None, list[str]] = {}
     for f in files:
         groups.setdefault(f["partition"], []).append(str(table / f["path"]))
     df = None
-    for pval in sorted(groups):
-        part = spark.read.parquet(*groups[pval]).withColumn(
-            partition_col, F.lit(pval)
-        )
+    # Re-attach the partition value as a literal CAST BACK to the
+    # column's original type (recorded in the manifest) — a bare
+    # string literal would silently retype int/date partition columns.
+    ptype = partition_type or "string"
+    for pval in sorted(groups, key=lambda v: (v is None, v)):
+        lit = F.lit(pval).cast(ptype)
+        part = spark.read.parquet(*groups[pval]).withColumn(partition_col, lit)
         df = part if df is None else df.unionByName(part)
     return df
 
@@ -206,7 +250,10 @@ def read_snapshot(
     if v == 0:
         raise FileNotFoundError(f"table {table_dir} has no snapshots")
     man = _read_manifest(table, v)
-    df = _read_files(spark, table, man["files"], man["partition_col"])
+    df = _read_files(
+        spark, table, man["files"], man["partition_col"],
+        man.get("partition_type"),
+    )
     if df is None:
         raise FileNotFoundError(f"snapshot v{v} lists no files")
     return df

@@ -613,7 +613,29 @@ def user_mode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_rolling_users")  # sketch estimates → rows-only gate
+@register(
+    "hll_rolling_users",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    rolling AS (
+      SELECT d.day,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_7d
+      FROM daily d
+      JOIN events e
+        ON CAST(date_trunc('day', e.ts) AS TIMESTAMP)
+           BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT d.day, d.n_events, r.exact_7d AS rolling_7d_users,
+           TRUE AS sketch_within_5pct
+    FROM daily d JOIN rolling r USING (day)
+    ORDER BY d.day
+    """,
+)
 def hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users from MERGED daily HLL sketches —
     the continuous-aggregate pattern for COUNT DISTINCT at 100 TB:
@@ -621,23 +643,42 @@ def hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial, Datasketches HLL), and ANY window's distinct count is a
     sketch union over the stored dailies, never a rescan of raw data.
     The window union runs over |days| rows regardless of event volume.
-    Rows-only gate: estimates depend on the HLL implementation, so
-    DuckDB's approx sketch would not match bit-for-bit; the exact
-    twin of the final column is events_retention-style COUNT(DISTINCT
-    ...) and the estimate error is bounded (<2% at lgk=12)."""
+    Gate contract: the sketch estimate is implementation-specific, so
+    the hashed columns are the EXACT rolling distinct (computed here
+    from per-day user sets — bounded, gate-scale instrumentation the
+    oracle can state in SQL) plus a 5% tolerance flag for the sketch
+    (3σ at lgk=12's 1.6% rsd; below the sparse-mode cutoff the
+    estimate is exact). The sketch value itself stays out of the
+    hash. Day-grain window: calendar-bounded (≤366 rows/yr), so the
+    single-partition WindowExec is safe at any SF."""
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
+        F.collect_set("user_id").alias("users"),
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return (
         daily.select(
             "day",
             F.col("n_events"),
+            F.size(
+                F.array_distinct(
+                    F.flatten(F.collect_list("users").over(w))
+                )
+            ).cast("long").alias("rolling_7d_users"),
             F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
             .cast("long")
-            .alias("rolling_7d_users"),
+            .alias("est"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "rolling_7d_users",
+            (
+                F.abs(F.col("est") - F.col("rolling_7d_users")) * 100
+                <= F.col("rolling_7d_users") * 5
+            ).alias("sketch_within_5pct"),
         )
         .orderBy("day")
     )

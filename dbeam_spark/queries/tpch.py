@@ -549,14 +549,40 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct")  # HLL sketch values are engine-specific → rows-only gate
+@register(
+    "approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS sketch_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB path for
-    high-cardinality distincts — no exact distinct shuffle."""
+    high-cardinality distincts — no exact distinct shuffle. The HLL
+    estimate itself is engine-specific, so the gate contract is the
+    invariant form: the exact count (SQL-checkable) plus a flag that
+    the sketch landed within 5% of it — rsd is 0.01, so 5% is a 5σ
+    bound that holds for any regenerated testdata; the estimate's
+    exact value stays out of the hash."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers")) * 100
+                <= F.col("exact_customers") * 5
+            ).alias("sketch_within_5pct"),
+        )
         .orderBy("o_orderpriority")
     )
 
@@ -697,22 +723,49 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_prices")  # t-digest sketch ≠ DuckDB's → rows-only
+@register(
+    "approx_percentile_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p95_within_rank_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the 100 TB path (mergeable state,
-    no full sort/collect per group)."""
+    no full sort/collect per group). The sketch's picked element is
+    engine-specific, so the gate contract is the invariant form: the
+    approx p50/p95 must land between the EXACT percentiles at
+    rank ± 0.02 (accuracy=1000 guarantees rank error ≤ 0.001, so the
+    20× margin holds on any regenerated data); the oracle states the
+    group counts and the always-true flags."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.expr(
                 "approx_percentile(o_totalprice, array(0.5, 0.95), 1000)"
-            ).alias("p50_p95")
+            ).alias("ap"),
+            F.expr(
+                "percentile(o_totalprice, array(0.48, 0.52, 0.93, 0.97))"
+            ).alias("ex"),
         )
         .select(
             "o_orderpriority",
-            F.element_at("p50_p95", 1).alias("p50"),
-            F.element_at("p50_p95", 2).alias("p95"),
+            "n_orders",
+            (
+                (F.element_at("ap", 1) >= F.element_at("ex", 1))
+                & (F.element_at("ap", 1) <= F.element_at("ex", 2))
+            ).alias("p50_within_rank_tol"),
+            (
+                (F.element_at("ap", 2) >= F.element_at("ex", 3))
+                & (F.element_at("ap", 2) <= F.element_at("ex", 4))
+            ).alias("p95_within_rank_tol"),
         )
         .orderBy("o_orderpriority")
     )
@@ -3248,16 +3301,16 @@ def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     thr AS (
       SELECT half,
-             CAST(quantile_cont(cents, 0.25) * 2 AS BIGINT) AS q1_x2,
-             CAST(quantile_cont(cents, 0.50) * 2 AS BIGINT) AS q2_x2,
-             CAST(quantile_cont(cents, 0.75) * 2 AS BIGINT) AS q3_x2
+             CAST(quantile_cont(cents, 0.25) * 4 AS BIGINT) AS q1_x4,
+             CAST(quantile_cont(cents, 0.50) * 4 AS BIGINT) AS q2_x4,
+             CAST(quantile_cont(cents, 0.75) * 4 AS BIGINT) AS q3_x4
       FROM spend GROUP BY half
     ),
     seg AS (
       SELECT s.o_custkey, s.half,
-             1 + CASE WHEN s.cents * 2 > t.q1_x2 THEN 1 ELSE 0 END
-               + CASE WHEN s.cents * 2 > t.q2_x2 THEN 1 ELSE 0 END
-               + CASE WHEN s.cents * 2 > t.q3_x2 THEN 1 ELSE 0 END
+             1 + CASE WHEN s.cents * 4 > t.q1_x4 THEN 1 ELSE 0 END
+               + CASE WHEN s.cents * 4 > t.q2_x4 THEN 1 ELSE 0 END
+               + CASE WHEN s.cents * 4 > t.q3_x4 THEN 1 ELSE 0 END
                AS quartile
       FROM spend s JOIN thr t USING (half)
     )
@@ -3277,8 +3330,10 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one 8-row percentile aggregate broadcast back, and bucket
     assignment is a map-side comparison — no global ranking window
     over customers (the rewrite pattern customer_quartiles/
-    rfm_segments adopted). Thresholds are ×2-quantized so the
-    interpolated cut compares integer-exactly in both engines."""
+    rfm_segments adopted). Thresholds are ×4-quantized: quartile
+    interpolation fractions are k/4, so 4*(a + (k/4)*(b-a)) is an
+    exact integer — the ×2 variant could land on a half-integer
+    where Spark CAST truncates but DuckDB CAST rounds."""
     orders = _t(spark, sf_dir, "orders")
     spend = (
         orders.withColumn(
@@ -3296,18 +3351,18 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     thr = spend.groupBy("half").agg(
-        F.expr("CAST(percentile(cents, 0.25) * 2 AS LONG)").alias("q1_x2"),
-        F.expr("CAST(percentile(cents, 0.50) * 2 AS LONG)").alias("q2_x2"),
-        F.expr("CAST(percentile(cents, 0.75) * 2 AS LONG)").alias("q3_x2"),
+        F.expr("CAST(percentile(cents, 0.25) * 4 AS LONG)").alias("q1_x4"),
+        F.expr("CAST(percentile(cents, 0.50) * 4 AS LONG)").alias("q2_x4"),
+        F.expr("CAST(percentile(cents, 0.75) * 4 AS LONG)").alias("q3_x4"),
     )
     seg = spend.join(F.broadcast(thr), "half").select(
         "o_custkey",
         "half",
         (
             F.lit(1)
-            + (F.col("cents") * 2 > F.col("q1_x2")).cast("int")
-            + (F.col("cents") * 2 > F.col("q2_x2")).cast("int")
-            + (F.col("cents") * 2 > F.col("q3_x2")).cast("int")
+            + (F.col("cents") * 4 > F.col("q1_x4")).cast("int")
+            + (F.col("cents") * 4 > F.col("q2_x4")).cast("int")
+            + (F.col("cents") * 4 > F.col("q3_x4")).cast("int")
         ).alias("quartile"),
     )
     a = seg.filter(F.col("half") == "h1").select(

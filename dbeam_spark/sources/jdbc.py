@@ -74,6 +74,7 @@ def query_builder_args(opts: JdbcExportOptions, sql_text: str | None = None) -> 
 class JdbcSourcePlan:
     df: DataFrame
     queries: list[str]  # dbeam-parity SQL strings for _queries/ metadata
+    base_query: str = ""  # the pushed-down dbtable subquery text
 
 
 def _base_reader(spark: SparkSession, opts: JdbcExportOptions, password: str | None):
@@ -110,6 +111,40 @@ def find_input_bounds(
     if not row or row[0][0] is None:
         raise ValueError("Result Set for Min/Max returned zero records")
     return int(row[0][0]), int(row[0][1])
+
+
+def collect_source_type_names(
+    spark: SparkSession,
+    opts: JdbcExportOptions,
+    password: str | None,
+    base_sql: str,
+) -> dict[str, str]:
+    """Column label -> SOURCE SQL type name (lowercased), read from
+    java.sql ResultSetMetaData over a zero-row probe — the same
+    metadata the reference's JdbcAvroSchema.getColumnTypeName reads.
+    Spark's JDBC reader erases DB-specific types (Postgres ``uuid``
+    arrives as StringType); these names feed
+    ``spark_schema_to_avro(logical_type_hints=...)`` so logical types
+    survive into the exported schema."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    if opts.username:
+        props.setProperty("user", opts.username)
+    if password is not None:
+        props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(opts.connectionUrl, props)
+    try:
+        stmt = conn.createStatement()
+        rs = stmt.executeQuery(
+            f"SELECT * FROM ({base_sql}) md_probe WHERE 1=0"
+        )
+        md = rs.getMetaData()
+        return {
+            md.getColumnLabel(i): md.getColumnTypeName(i).lower()
+            for i in range(1, md.getColumnCount() + 1)
+        }
+    finally:
+        conn.close()
 
 
 def read_jdbc(
@@ -162,4 +197,6 @@ def read_jdbc(
         # LIMIT syntax is dialect-specific (Derby lacks it); dbeam bakes
         # it into SQL, we apply it engine-side for portability.
         df = df.limit(qargs.limit)
-    return JdbcSourcePlan(df=df, queries=queries)
+    return JdbcSourcePlan(
+        df=df, queries=queries, base_query=partitioned_qb.build()
+    )

@@ -399,3 +399,42 @@ def test_validate_export_job(spark, derby_db, tmp_path):
 
     # missing dir -> IO exit code
     assert main([str(tmp_path / "nope")]) == 41
+
+
+def test_source_type_names_collected(spark, derby_db):
+    """The zero-row metadata probe returns the SOURCE SQL type names
+    (ResultSetMetaData), the input for logicalType hints."""
+    from dbeam_spark.sources.jdbc import collect_source_type_names
+
+    opts = JdbcExportOptions(
+        connectionUrl=derby_db, table="COFFEES", output="/tmp/unused",
+        username="dbeam", skipPartitionCheck=True,
+    )
+    names = collect_source_type_names(
+        spark, opts, None, "SELECT * FROM COFFEES WHERE 1=1"
+    )
+    assert names["C_ID"] == "bigint"
+    assert names["NAME"] == "clob"  # Spark writes StringType as CLOB on Derby
+    assert names["CREATED_AT"] == "timestamp"
+
+
+def test_uuid_hint_wired_into_export(spark, derby_db, tmp_path, monkeypatch):
+    """run_export threads ResultSetMetaData type names into the Avro
+    schema when --useAvroLogicalTypes is set: a source uuid column is
+    annotated logicalType uuid without any caller-provided hints
+    (Derby has no uuid type, so the probe is stubbed to report one —
+    the wiring under test is run_export's, not Derby's)."""
+    import dbeam_spark.jobs.jdbc_avro_job as job
+
+    monkeypatch.setattr(
+        job,
+        "collect_source_type_names",
+        lambda spark_, opts_, pw_, sql_: {"NAME": "uuid"},
+    )
+    out = tmp_path / "uuid_hint"
+    run_export(spark, opts_for(derby_db, out, useAvroLogicalTypes=True))
+    schema = json.loads((out / "_AVRO_SCHEMA.avsc").read_text())
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    assert by_name["NAME"][1] == {"type": "string", "logicalType": "uuid"}
+    # non-hinted string columns stay plain
+    assert by_name["C_ID"][1] == "long"

@@ -1075,6 +1075,14 @@ def test_incremental_minhash_index(spark, tmp_path):
     # index now holds all 4 signatures (append-only)
     assert spark.read.parquet(idx).count() == 4
 
+    # RETRY of the same batch (crash-and-rerun): overwrites its own
+    # batch subdirectory instead of appending — index unchanged, same
+    # pairs, no self-pairs against the crashed write
+    out2b = incremental_minhash_index(b2, idx, 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out2b} == pairs
+    assert spark.read.parquet(idx).count() == 4
+    assert all(r["id_a"] != r["id_b"] for r in out2b)
+
     # batch 3: exact copy of doc 11 -> estimator ~1.0 against the index
     b3 = spark.createDataFrame(
         [(20, "unrelated text entirely about astronomy telescope star "

@@ -87,6 +87,44 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
         read_snapshot(spark, t, version=1)
 
 
+def test_upsert_with_escaped_partition_values(spark, tmp_path):
+    """Spark percent-escapes special chars (space, ':') in partition
+    directory names; the manifest must store the DECODED value so a
+    later upsert recognizes the partition as touched instead of
+    carrying its old files AND adding the rewrite (row duplication)."""
+    t = str(tmp_path / "tbl")
+    rows = [(1, "a", "2024-01-01 10:00"), (2, "b", "plain")]
+    commit_snapshot(_df(spark, rows), t, "day")
+    m1 = json.loads((Path(t) / "_manifests" / "v00001.json").read_text())
+    assert {f["partition"] for f in m1["files"]} == {"2024-01-01 10:00", "plain"}
+    commit_upsert(
+        spark, t, _df(spark, [(1, "A", "2024-01-01 10:00")]), "k", "day"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["day"]) for r in read_snapshot(spark, t).collect()
+    )
+    assert got == [(1, "A", "2024-01-01 10:00"), (2, "b", "plain")]
+
+
+def test_upsert_with_integer_partition_column(spark, tmp_path):
+    """Non-string partition columns must come back with their original
+    type (the manifest records it), not as a string literal."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, bucket int"
+    )
+    commit_snapshot(df, t, "bucket")
+    commit_upsert(
+        spark, t,
+        spark.createDataFrame([(2, "B", 20)], "k long, v string, bucket int"),
+        "k", "bucket",
+    )
+    snap = read_snapshot(spark, t)
+    assert dict(snap.dtypes)["bucket"] == "int"
+    got = sorted((r["k"], r["v"], r["bucket"]) for r in snap.collect())
+    assert got == [(1, "a", 10), (2, "B", 20)]
+
+
 def test_unpartitioned_table(spark, tmp_path):
     t = str(tmp_path / "flat")
     df = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
