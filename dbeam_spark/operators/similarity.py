@@ -943,12 +943,18 @@ def knn_pq(
     )
 
 
-def covariance_exact(
+def covariance_sufficient_stats(
     df: DataFrame,
     vec_col: str = "embedding",
     scale: int = 1_000_000,
 ) -> tuple:
     """Exact distributed covariance of an embedding column.
+    Returns (cov ndarray, mean ndarray, n, S1, S2) where S1 (dim
+    Python ints, Σq per component) and S2 (dim² Python ints, Σqqᵀ
+    flattened row-major) are the EXACT integer sufficient statistics
+    — callers needing cross-engine integer-exact derived values
+    (e.g. the quantized trace an SQL oracle can restate) work from
+    S1/S2 directly instead of re-rounding the float cov.
 
     Each component is quantized to integer units (floor(v·scale)) and
     the sufficient statistics — Σqqᵀ (dim×dim), Σq (dim), n — are
@@ -960,7 +966,7 @@ def covariance_exact(
     result bit-identical regardless of partitioning or row order
     (a float covariance pass is summation-order dependent), at the
     cost of scale⁻¹ quantization — noise far below the variance
-    structure PCA reads. Returns (cov ndarray, mean ndarray, n).
+    structure PCA reads.
 
     Shape at 100 TB: ONE Arrow map pass over the vectors; partials
     are dim²+dim+1 longs per partition — the classic sufficient-
@@ -1028,4 +1034,15 @@ def covariance_exact(
         n * scale * scale
     )
     cov = E2 - _np.outer(mean, mean)
+    return cov, mean, n, S1, S2
+
+
+def covariance_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> tuple:
+    """Exact distributed covariance — see covariance_sufficient_stats
+    (this is its (cov, mean, n) projection)."""
+    cov, mean, n, _s1, _s2 = covariance_sufficient_stats(df, vec_col, scale)
     return cov, mean, n

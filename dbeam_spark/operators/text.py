@@ -82,3 +82,40 @@ def fingerprint(text: Column) -> Column:
     order-insensitive, whitespace-normalization-insensitive."""
     vocab = F.array_sort(F.array_distinct(tokens(text)))
     return F.md5(F.concat_ws(" ", vocab))
+
+
+def zlib_compress_stats(df):
+    """Per-doc zlib(level 6) compression stats: (doc_id, raw_len,
+    comp_len, ratio_x1e4). Map-only Arrow pass, bytes-in/ints-out per
+    batch — the Gopher-style "compression filter" signal. Exposed as
+    an operator so callers get the raw ratio; the registered query
+    wraps it in the gate's invariant form (DuckDB has no deflate)."""
+    import pandas as pd  # noqa: F401  (mapInPandas worker import)
+
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    def part(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw.map(len),
+                    "comp_len": comp,
+                }
+            )
+
+    out = rebalance_for_arrow(df.select("doc_id", "text")).mapInPandas(
+        part, "doc_id long, raw_len long, comp_len long"
+    )
+    return out.withColumn(
+        "ratio_x1e4",
+        F.round(F.col("comp_len") * 10000.0 / F.col("raw_len")).cast("long"),
+    )

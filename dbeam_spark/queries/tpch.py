@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbeam_spark.operators.util import bounded_grain_window
 from dbeam_spark.queries.registry import register
 from dbeam_spark.session import ensure_utc
 from dbeam_spark.sources.files import load_table
@@ -1747,7 +1748,7 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).alias("day")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = bounded_grain_window("day").rowsBetween(-6, 0)
     return daily.select(
         "day", "rev", F.round(F.avg("rev").over(w), 2).alias("ma7")
     ).orderBy("day")
@@ -1779,7 +1780,7 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = orders.groupBy(
         F.year("o_orderdate").cast("long").alias("yr")
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
-    w = Window.orderBy("yr")
+    w = bounded_grain_window("yr")
     prev = F.lag("rev").over(w)
     return yearly.select(
         "yr",
@@ -3277,7 +3278,7 @@ def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
         .cast("long"),
     )
-    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    w = bounded_grain_window("day_num").rangeBetween(-6, 0)
     return (
         daily.select(
             "day",
@@ -3528,7 +3529,8 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(
+    # enumeration-bounded: rules over type pairs, not fact rows
+    w = bounded_grain_window(
         F.col("lift_x1e4").desc(), F.col("conf_x1e4").desc(), "ante", "cons"
     )
     return (
@@ -3882,7 +3884,7 @@ def revenue_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("day"), F.lit("1990-01-01").cast("timestamp")
         ).cast("long")
-        - F.row_number().over(Window.orderBy("day")),
+        - F.row_number().over(bounded_grain_window("day")),
     )
     islands = flagged.groupBy("grp").agg(
         F.min("day").alias("start_day"),

@@ -939,15 +939,12 @@ def test_merge_into_removes_fully_emptied_partition(spark, tmp_path):
 def test_text_compress_ratio_matches_python_zlib(spark):
     import zlib
 
+    from dbeam_spark.operators.text import zlib_compress_stats
     from dbeam_spark.queries.llm import text_compress_ratio
 
-    rows = text_compress_ratio(spark, "/root/testdata/sf0.001").collect()
-    docs = {
-        r["doc_id"]: r["text"]
-        for r in spark.read.parquet(
-            "/root/testdata/sf0.001/documents.parquet"
-        ).collect()
-    }
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = zlib_compress_stats(docs_df).collect()
+    docs = {r["doc_id"]: r["text"] for r in docs_df.collect()}
     assert len(rows) == len(docs)
     for r in rows[:50]:
         raw = docs[r["doc_id"]].encode("utf-8")
@@ -956,6 +953,10 @@ def test_text_compress_ratio_matches_python_zlib(spark):
         assert r["ratio_x1e4"] == round(
             len(zlib.compress(raw, 6)) * 10000.0 / len(raw)
         )
+    # the registered query's gate form: exact byte lengths + bounds flag
+    q = text_compress_ratio(spark, "/root/testdata/sf0.001").collect()
+    assert len(q) == len(docs)
+    assert all(r["comp_within_bounds"] for r in q)
 
 
 def test_pq_codebooks_deterministic_and_useful(spark):
@@ -1226,3 +1227,40 @@ def test_global_prefix_max_constant_and_single(spark):
     by_key = {r["key"]: r["p"] for r in rows}
     assert by_key[0] is None
     assert all(by_key[k] == 7 for k in range(1, 50))
+
+
+def test_dedup_exact_substring_finds_planted_spans(spark, tmp_path):
+    """Lee et al. exact-substring dedup: a planted 60-token verbatim
+    block shared by two docs is reported with exact span geometry;
+    docs without ≥K-token shared runs are absent."""
+    import shutil
+
+    from dbeam_spark.queries.llm import EXACT_SUBSTR_K, dedup_exact_substring
+
+    K = EXACT_SUBSTR_K
+    block = " ".join(f"tok{i}" for i in range(60))  # the planted span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {block}", "en", "s", 0),
+            (2, f"{block} {uniq_b}", "en", "s", 0),
+            (3, uniq_c, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["doc_id"]: r for r in dedup_exact_substring(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: block occupies positions 11..70 -> one 60-token span
+    assert out[1]["n_spans"] == 1 and out[1]["max_span_tokens"] == 60
+    assert out[1]["covered_tokens"] == 60
+    # doc 2: block at position 1..60 -> same geometry
+    assert out[2]["n_spans"] == 1 and out[2]["max_span_tokens"] == 60
+    assert out[2]["covered_tokens"] == 60
+    assert out[1]["n_tokens"] == 70 and out[2]["n_tokens"] == 70
