@@ -291,7 +291,7 @@ def minhash_signatures_expr(
 
 
 def lsh_candidates(
-    signatures: DataFrame, max_bucket: int = 1000
+    signatures: DataFrame, max_bucket: int = 1000, distinct: bool = True
 ) -> DataFrame:
     """Band the signature into (_BANDS × _ROWS_PER_BAND) buckets and
     emit each bucket's member pairs.
@@ -337,11 +337,12 @@ def lsh_candidates(
             "y -> struct(x AS id_a, y AS id_b))))"
         )
     )
-    return (
-        grp.select(pairs.alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    out = grp.select(pairs.alias("p")).select("p.id_a", "p.id_b")
+    # A J≈0.9 pair collides in ~2/3 of the 32 bands, so the raw pair
+    # stream carries ~20× duplicates. `distinct=False` lets a caller
+    # that is about to collect anyway dedupe in a set instead of
+    # paying this second shuffle (≈0.3s of the sf0.1 wall).
+    return out.distinct() if distinct else out
 
 
 def minhash_lsh_pairs(
@@ -375,29 +376,86 @@ def minhash_lsh_pairs(
        volume, not corpus size.
     """
     spark = docs.sparkSession
-    cand_df = lsh_candidates(
-        minhash_signatures_maponly(docs, id_col, text_col, n)
-    )
-    pair_rows = cand_df.limit(200_001).collect()
-    if len(pair_rows) <= 200_000:
+    # Collect the RAW (non-distinct) pair stream and dedupe in a set:
+    # a J≈0.9 pair collides in ~2/3 of the 32 bands, so raw volume is
+    # ≤32× the distinct pair count — for real near-dup densities a
+    # few-hundred-KB collect — and skipping the distinct saves one
+    # full shuffle before the collect. If the raw stream hits the
+    # 400k cap the corpus is degenerate and we fall through to the
+    # fully distributed verify path below.
+    raw_rows = lsh_candidates(
+        minhash_signatures_maponly(docs, id_col, text_col, n),
+        distinct=False,
+    ).limit(400_001).collect()
+    pair_rows = sorted({(r[0], r[1]) for r in raw_rows})
+    if len(raw_rows) <= 400_000 and len(pair_rows) <= 200_000:
         # Near-dup regime: pairs fit the driver easily. The id set
         # collects to an IN filter that rides the parquet scan
         # (PushedFilters) — the verify pass READS only candidate docs,
         # and each pair verifies independently in one Arrow-batched
         # map stage (no shingle explode, no join-back of sizes).
-        cand = spark.createDataFrame(
-            pair_rows, "id_a long, id_b long"
-        ) if pair_rows else cand_df.limit(0)
         id_list = sorted(
             {r[0] for r in pair_rows} | {r[1] for r in pair_rows}
         )
+        if len(pair_rows) <= 10_000:
+            # Tiny near-dup set (the overwhelmingly common regime):
+            # verification is O(pairs) work on O(pairs) docs, so ONE
+            # JVM-only collect of the candidate texts (pushed IN
+            # filter on the scan) replaces the whole second Python
+            # stage — measured ~0.4s off the sf0.1 wall. Rounding and
+            # thresholding still happen IN SPARK on the scored frame
+            # so ROUND semantics stay engine-identical.
+            import re as _re
+
+            texts = {
+                r[0]: r[1]
+                for r in docs.select(id_col, text_col)
+                .filter(F.col(id_col).isin(id_list))
+                .collect()
+            }
+            ws = _re.compile(r"\s+")
+
+            def _grams(t: str) -> set:
+                toks = ws.split(t.lower())
+                return {
+                    " ".join(toks[i: i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+
+            gset = {i: _grams(t) for i, t in texts.items()}
+            rows = [
+                (
+                    ia,
+                    ib,
+                    len(gset[ia] & gset[ib])
+                    / (len(gset[ia] | gset[ib]) or 1),
+                )
+                for ia, ib in ((r[0], r[1]) for r in pair_rows)
+                if ia in gset and ib in gset
+            ]
+            scored = spark.createDataFrame(
+                rows, "id_a long, id_b long, jraw double"
+            )
+            return (
+                scored.filter(F.col("jraw") >= threshold)
+                .select(
+                    "id_a", "id_b", F.round("jraw", 4).alias("jaccard")
+                )
+            )
+        # 10k < pairs <= 200k: distributed Arrow verify over the
+        # candidate-only scan (only reached above the driver-verify
+        # tier, so pair_rows is never empty here)
+        cand = spark.createDataFrame(pair_rows, "id_a long, id_b long")
         cand_docs = docs.filter(F.col(id_col).isin(id_list))
         return _pairwise_text_jaccard(
             cand, cand_docs, id_col, text_col, n, threshold
         )
     # Degenerate corpora: huge candidate sets stay distributed —
-    # shingle-join verification with a semi-filtered shingle table.
-    cand = cand_df.cache()
+    # shingle-join verification with a semi-filtered shingle table
+    # (re-planned WITH the distinct, since the raw stream overflowed).
+    cand = lsh_candidates(
+        minhash_signatures_maponly(docs, id_col, text_col, n)
+    ).cache()
     cand.count()
     id_rows = (
         cand.select(F.col("id_a").alias("cid"))
