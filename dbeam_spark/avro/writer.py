@@ -78,7 +78,11 @@ def _make_cell_encoder(avro_type):
             buf = bytearray(_zigzag(len(items)))
             for it in items:
                 if nullable_items:
-                    if it is None:
+                    # Arrow surfaces a NULL item in a numeric array
+                    # as float NaN, not None — both mean null here
+                    if it is None or (
+                        isinstance(it, float) and it != it
+                    ):
                         buf += _zigzag(0)
                         continue
                     buf += _zigzag(1)

@@ -957,3 +957,198 @@ def stream_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("l1_x1e6").desc(), "day")
         .limit(10)
     )
+
+
+def _orders_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over orders.parquet, o_orderdate normalized
+    to a session-UTC TimestampType exactly like the batch loader
+    (the physical type varies by generator version — nanos-as-long,
+    TIMESTAMP_NTZ, or plain timestamp)."""
+    from pyspark.sql import types as T
+
+    ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "orders.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="orders_stream_")
+    os.symlink(src, os.path.join(stream_dir, "a_orders.parquet"))
+    schema = spark.read.parquet(src).schema
+    dt = schema["o_orderdate"].dataType
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    if isinstance(dt, T.LongType):
+        return raw.withColumn(
+            "o_orderdate",
+            F.timestamp_micros(
+                F.expr("o_orderdate DIV 1000").cast("long")
+            ),
+        )
+    if isinstance(dt, T.TimestampNTZType):
+        return raw.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        )
+    return raw
+
+
+from dbeam_spark.queries.tpch import KM_ORACLE, km_from_spans  # noqa: E402
+
+
+@register("stream_survival_km", oracle=KM_ORACLE)
+def stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of customer_survival_km: per-customer activity
+    spans accumulate ROW BY ROW in keyed stream state
+    (applyInPandasWithState over the orders stream — one (first_us,
+    last_us, n) triple per customer), then the Kaplan-Meier fold runs
+    over the final state through the SAME km_from_spans helper as the
+    batch twin. The hash gate therefore proves the incremental span
+    accumulation equals the batch MIN/MAX rollup on every customer —
+    the survival curve a live retention dashboard would maintain
+    without ever rescanning history. State is three longs per
+    customer; an event-time timeout would retire customers past the
+    censoring window on an infinite stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        first_us, last_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            lo, hi = int(pdf["us"].min()), int(pdf["us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            n += len(pdf)
+        state.update((first_us, last_us, n))
+        yield pd.DataFrame(
+            {
+                "o_custkey": [key[0]],
+                "first_us": [first_us],
+                "last_us": [last_us],
+                "n": [n],
+            }
+        )
+
+    name = f"skm_{uuid.uuid4().hex[:8]}"
+    spans = (
+        _orders_stream(spark, sf_dir)
+        .select(
+            "o_custkey", F.unix_micros(F.col("o_orderdate")).alias("us")
+        )
+        .groupBy("o_custkey")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "o_custkey long, first_us long, last_us long, n long"
+            ),
+            stateStructType="first_us long, last_us long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_stream(spans, name, "update")
+    per_cust = (
+        spark.table(name)
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("first_us", "n").alias("first_us"),
+            F.max_by("last_us", "n").alias("last_us"),
+        )
+        .select(
+            "o_custkey",
+            F.timestamp_micros(F.col("first_us")).alias("first_d"),
+            F.timestamp_micros(F.col("last_us")).alias("last_d"),
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return km_from_spans(per_cust, customer)
+
+
+@register(
+    "stream_join_completeness",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id AS u, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS vid, user_id AS u, ts AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+      SELECT p.pid, v.vid
+      FROM p LEFT JOIN v
+        ON v.u = p.u
+       AND v.vts >= p.pts - INTERVAL 1 HOUR
+       AND v.vts <= p.pts
+    )
+    SELECT CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match_rows,
+           CAST(COUNT(DISTINCT CASE WHEN vid IS NOT NULL THEN pid END)
+                AS BIGINT) AS n_matched_purchases,
+           CAST(COUNT(DISTINCT pid)
+                - COUNT(DISTINCT CASE WHEN vid IS NOT NULL THEN pid END)
+                AS BIGINT) AS n_unmatched_purchases
+    FROM j
+    """,
+)
+def stream_join_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness accounting for the stream-stream join: the same
+    purchases⋈views interval join as stream_stream_join, but LEFT
+    OUTER — purchases with no qualifying view are emitted with a null
+    match once the watermark proves no view can still arrive (the
+    sentinel batch advances it past all real data, the finite-replay
+    analogue of the stream staying live). The report a join-health
+    monitor needs: total/matched/unmatched purchases and raw match
+    rows, all restated exactly by the batch LEFT JOIN oracle —
+    proving the engine's outer-join state eviction emits every
+    unmatched row exactly once, and no matched row twice."""
+    name = f"sjc_{uuid.uuid4().hex[:8]}"
+    # the sentinel must PASS the type filters (user_id < 0) or it
+    # never reaches the watermark node and the final windows stay
+    # open; it is dropped again after the join
+    purchases = (
+        _events_stream(spark, sf_dir, flush_sentinel=True)
+        .filter((F.col("event_type") == "purchase") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        _events_stream(spark, sf_dir, flush_sentinel=True)
+        .filter((F.col("event_type") == "view") | (F.col("user_id") < 0))
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    _run_stream(joined, name, "append")
+    return spark.table(name).filter(F.col("user_id") >= 0).agg(
+        F.count_distinct("purchase_id").alias("n_purchases"),
+        F.sum(
+            F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_match_rows"),
+        F.count_distinct(
+            F.when(F.col("view_id").isNotNull(), F.col("purchase_id"))
+        ).alias("n_matched_purchases"),
+        (
+            F.count_distinct("purchase_id")
+            - F.count_distinct(
+                F.when(
+                    F.col("view_id").isNotNull(), F.col("purchase_id")
+                )
+            )
+        ).cast("long").alias("n_unmatched_purchases"),
+    )

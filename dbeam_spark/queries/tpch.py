@@ -4016,9 +4016,7 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_survival_km",
-    oracle="""
+KM_ORACLE = """
     WITH cutoff AS (SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cut
                     FROM orders),
     span AS (
@@ -4056,36 +4054,21 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT seg, CAST(horizon AS BIGINT) AS horizon,
            CAST(FLOOR(s * 1000000) AS BIGINT) AS survival_x1e6
     FROM km ORDER BY seg, horizon
-    """,
-)
-def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival per market segment: S(t) = ∏(1 − dᵢ/nᵢ)
-    over churn-event times ≤ t, right-censoring customers still
-    active within 90 days of the dataset edge — real survival
-    analysis (the retention curve with censoring done honestly),
-    sampled at four horizons. Shape: per-customer span rollup FIRST
-    (so the segment join moves one row per customer, not per order),
-    a (segment, lifetime) event table bounded by the DAY DOMAIN, a
-    reverse-cumulative risk-set window over that bounded table, and
-    the KM product as an ordered JVM fold per (segment, horizon) —
-    both engines multiply the identical (1 − d/n) doubles in
-    identical lifetime order with exactly-rounded IEEE ops, so even
-    this float product chain is hash-gated."""
-    ensure_utc(spark)
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    cutoff = orders.agg(
-        (F.max("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("cut")
+    """
+
+
+def km_from_spans(per_cust: DataFrame, customer: DataFrame) -> DataFrame:
+    """Kaplan-Meier fold shared by the batch query and its streaming
+    twin: takes the per-customer (o_custkey, first_d, last_d) span
+    frame — however it was accumulated — joins segments, builds the
+    day-domain-bounded (seg, life) event table, the reverse-cumulative
+    risk window, and the ordered (1 − d/n) product at four horizons.
+    Identical inputs ⇒ identical IEEE folds ⇒ both callers share one
+    SQL oracle (KM_ORACLE)."""
+    cutoff = per_cust.agg(
+        (F.max("last_d") - F.expr("INTERVAL 90 DAYS")).alias("cut")
     )
-    per_cust = (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.min("o_orderdate").alias("first_d"),
-            F.max("o_orderdate").alias("last_d"),
-        )
-        .crossJoin(F.broadcast(cutoff))
-    )
-    span = per_cust.join(
+    span = per_cust.crossJoin(F.broadcast(cutoff)).join(
         customer.select("c_custkey", "c_mktsegment"),
         per_cust["o_custkey"] == customer["c_custkey"],
     ).select(
@@ -4126,6 +4109,30 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "horizon")
     )
+
+
+@register("customer_survival_km", oracle=KM_ORACLE)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival per market segment: S(t) = ∏(1 − dᵢ/nᵢ)
+    over churn-event times ≤ t, right-censoring customers still
+    active within 90 days of the dataset edge — real survival
+    analysis (the retention curve with censoring done honestly),
+    sampled at four horizons. Shape: per-customer span rollup FIRST
+    (so the segment join moves one row per customer, not per order),
+    a (segment, lifetime) event table bounded by the DAY DOMAIN, a
+    reverse-cumulative risk-set window over that bounded table, and
+    the KM product as an ordered JVM fold per (segment, horizon) —
+    both engines multiply the identical (1 − d/n) doubles in
+    identical lifetime order with exactly-rounded IEEE ops, so even
+    this float product chain is hash-gated."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    return km_from_spans(per_cust, customer)
 
 
 @register(

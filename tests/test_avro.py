@@ -280,3 +280,109 @@ def test_avro_to_parquet_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         run_convert(spark, export_dir, out_dir, partition_by="nope")
+
+
+def test_typed_array_data_round_trip(spark, tmp_path):
+    """typed_postgres array mode, END-TO-END on data (the slice
+    reference e2e/ddl.sql exercises with real PG arrays): frames
+    shaped exactly as Spark's Postgres JDBC dialect produces them —
+    int[] / text[] columns, NULL arrays, NULL items — survive the
+    OCF writer and read back value-exact. Fails if the writer or the
+    generated schema mishandles nullable items or null arrays."""
+    import glob as _glob
+
+    df = spark.createDataFrame(
+        [
+            (0, [1, 2, 3], ["a", "b"], [10, None, 30]),
+            (1, [], ["x"], [None]),
+            (2, None, None, None),  # NULL arrays
+            (3, [7], [""], [0]),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ints", T.ArrayType(T.IntegerType())),
+                T.StructField("texts", T.ArrayType(T.StringType())),
+                T.StructField(
+                    "nullable_items",
+                    T.ArrayType(T.IntegerType(), containsNull=True),
+                ),
+            ]
+        ),
+    )
+    avro = spark_schema_to_avro(
+        df.schema,
+        "array_tbl",
+        array_mode="typed_postgres",
+        nullable_array_items=True,
+    )
+    by_name = {f["name"]: f["type"][1] for f in avro["fields"]}
+    assert by_name["ints"] == {"type": "array", "items": ["null", "int"]}
+    assert by_name["texts"] == {"type": "array", "items": ["null", "string"]}
+    out = str(tmp_path / "arr")
+    write_avro(df.repartition(1), out, avro, codec="null")
+    rows = []
+    for f in sorted(_glob.glob(out + "/part-*.avro")):
+        rows.extend(read_avro_file(f)[1])
+    got = {r[0]: (r[1], r[2], r[3]) for r in map(tuple, rows)}
+    assert got[0] == ([1, 2, 3], ["a", "b"], [10, None, 30])
+    assert got[1] == ([], ["x"], [None])
+    assert got[2] == (None, None, None)
+    assert got[3] == ([7], [""], [0])
+
+
+def test_ocf_bytes_readable_by_java_avro_reference_reader(spark, tmp_path):
+    """Byte-compatibility proof for the pure-Python OCF writer: files
+    it produces are read back by the REFERENCE Java Avro library
+    (org.apache.avro on Spark's classpath — the same implementation
+    dbeam itself writes with), per codec. A container-format or
+    varint/union encoding bug would fail here even if our own Python
+    reader round-trips symmetrically."""
+    import glob as _glob
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha", 1.5, True, bytearray(b"\x00\xff"), [1, 2]),
+            (1, None, None, False, None, None),
+            (2, "", -2.25, None, bytearray(b""), []),
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("amount", T.DoubleType()),
+                T.StructField("flag", T.BooleanType()),
+                T.StructField("blob", T.BinaryType()),
+                T.StructField("tags", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    avro = spark_schema_to_avro(df.schema, "jtbl")
+    jvm = spark.sparkContext._jvm
+    for codec in ("null", "deflate6", "bzip2"):
+        out = str(tmp_path / f"jref_{codec}")
+        write_avro(df.repartition(1), out, avro, codec=codec)
+        path = sorted(_glob.glob(out + "/part-*.avro"))[0]
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        assert reader.getSchema().getName() == "jtbl"
+        got = {}
+        while reader.hasNext():
+            rec = reader.next()
+            rid = rec.get("id")
+            name = rec.get("name")
+            blob = rec.get("blob")
+            tags = rec.get("tags")
+            got[rid] = (
+                None if name is None else str(name),
+                rec.get("amount"),
+                rec.get("flag"),
+                None if blob is None else bytes(blob.array()),
+                None if tags is None else [t for t in tags],
+            )
+        reader.close()
+        assert got[0] == ("alpha", 1.5, True, b"\x00\xff", [1, 2]), codec
+        assert got[1] == (None, None, False, None, None), codec
+        assert got[2] == ("", -2.25, None, b"", []), codec

@@ -1264,3 +1264,26 @@ def test_dedup_exact_substring_finds_planted_spans(spark, tmp_path):
     assert out[2]["n_spans"] == 1 and out[2]["max_span_tokens"] == 60
     assert out[2]["covered_tokens"] == 60
     assert out[1]["n_tokens"] == 70 and out[2]["n_tokens"] == 70
+
+
+def test_bpe_distributed_equals_driver_loop(spark):
+    """The distributed merge loop must learn EXACTLY the driver
+    loop's merges (same pairs, same counts, same order) — the
+    two-tier dispatch in bpe_train is only sound if the tiers
+    agree bit-for-bit."""
+    from dbeam_spark.operators import tokenizer
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new lower"),
+            (3, "it's low-key, ain't it low"),  # punctuation survives
+        ],
+        ["doc_id", "text"],
+    )
+    driver = tokenizer.bpe_train(docs, n_merges=12)
+    dist = tokenizer.bpe_train_distributed(docs, n_merges=12)
+    assert dist == driver
+    # the dispatch path: a tiny max_types forces the distributed loop
+    via_dispatch = tokenizer.bpe_train(docs, n_merges=12, max_types=2)
+    assert via_dispatch == driver

@@ -75,6 +75,15 @@ PROBES = [
     "daily_forecast_ewma",
     "orders_benford",
     "customer_survival_km",
+    # round-4 additions: K-gram span islands (the suffix-array
+    # equivalent's token-position blowup), the two-tier BPE trainer
+    # (driver-memory flatness claim), IVF probing, the incremental
+    # signature index, and the HLL continuous aggregate
+    "dedup_exact_substring",
+    "bpe_vocab",
+    "knn_ivf",
+    "dedup_incremental",
+    "hll_rolling_users",
 ]
 
 
