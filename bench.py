@@ -46,6 +46,9 @@ EXTENDED = [
     "events_attribution",
     "user_balance_floor",
     "customer_survival_km",
+    # round-4 flagships
+    "dedup_exact_substring",
+    "dedup_span_repair",
 ]
 
 

@@ -3345,25 +3345,61 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = incremental_minhash_index(
         docs.filter(F.col("doc_id") % 2 == 1), index_dir, 0.5
     ).select("id_a", "id_b", F.lit(1).alias("in_found"))
-    loose = dedup.ngram_jaccard_pairs(docs, 0.35).select(
-        "id_a", "id_b", F.lit(1).alias("in_loose")
+    # ONE exhaustive shingle join at the loosest bound; the three
+    # ground-truth tiers are jaccard-value filters over it (the
+    # stored value is 4-dp rounded, but jaccard is a ratio of small
+    # ints — denominators ≤ a few hundred shingles — so no value can
+    # fall inside the 5e-5 rounding window around any threshold and
+    # the filters match raw-threshold semantics exactly)
+    truth = dedup.ngram_jaccard_pairs(docs, 0.35).localCheckpoint(
+        eager=True
     )
-    exact = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD).filter(
-        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    new_side = (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
+    marked = truth.select(
+        "id_a",
+        "id_b",
+        F.lit(1).alias("in_loose"),
+        F.when(
+            (F.col("jaccard") >= JACCARD_THRESHOLD) & new_side, 1
+        ).alias("in_exact"),
+        F.when((F.col("jaccard") >= 0.8) & new_side, 1).alias("in_high"),
     )
-    high = dedup.ngram_jaccard_pairs(docs, 0.8).filter(
-        (F.col("id_a") % 2 == 1) | (F.col("id_b") % 2 == 1)
-    ).select("id_a", "id_b", F.lit(1).alias("in_high"))
+    # one full-outer join + one aggregate answers every tier at once
+    # (four separate count jobs otherwise)
+    j = marked.join(found, ["id_a", "id_b"], "full_outer")
+    row = j.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_found").isNotNull()
+                    & F.col("in_loose").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_false"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_high").isNotNull()
+                    & F.col("in_found").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_high_missed"),
+    ).collect()[0]
     n_new = docs.filter(F.col("doc_id") % 2 == 1).count()
-    n_exact = exact.count()
-    n_false = (
-        found.join(loose, ["id_a", "id_b"], "left_anti").count()
-    )
-    n_high_missed = (
-        high.join(found, ["id_a", "id_b"], "left_anti").count()
-    )
     return spark.createDataFrame(
-        [(n_new, n_exact, bool(n_false == 0), bool(n_high_missed == 0))],
+        [
+            (
+                n_new,
+                int(row["n_exact"]),
+                bool(row["n_false"] == 0),
+                bool(row["n_high_missed"] == 0),
+            )
+        ],
         "n_new_docs long, n_exact_new_pairs long, "
         "no_false_pairs boolean, high_sim_all_found boolean",
     )
@@ -4185,3 +4221,127 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_span_repair",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS n_tokens, u.i AS pos,
+             md5(array_to_string(t[u.i : u.i + {EXACT_SUBSTR_K} - 1], ' '))
+               AS gram
+      FROM toks,
+           unnest(range(1, len(t) - {EXACT_SUBSTR_K} + 2)) AS u(i)
+      WHERE len(t) >= {EXACT_SUBSTR_K}
+    ),
+    owner AS (SELECT gram, MIN(doc_id) AS keeper FROM grams GROUP BY gram),
+    redundant AS (
+      SELECT g.doc_id, g.n_tokens, g.pos
+      FROM grams g JOIN owner o USING (gram)
+      WHERE g.doc_id > o.keeper
+    ),
+    runs AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos)
+                  <= {EXACT_SUBSTR_K} - 1
+                  THEN 0 ELSE 1 END AS cov_break
+      FROM redundant
+    ),
+    runs2 AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(cov_break) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS cov_key
+      FROM runs
+    ),
+    cover AS (
+      SELECT doc_id, MAX(n_tokens) AS n_tokens,
+             CAST(SUM(cov_tokens) AS BIGINT) AS tokens_cut
+      FROM (
+        SELECT doc_id, n_tokens, cov_key,
+               MAX(pos) - MIN(pos) + {EXACT_SUBSTR_K} AS cov_tokens
+        FROM runs2 GROUP BY doc_id, n_tokens, cov_key
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           tokens_cut,
+           CAST(n_tokens - tokens_cut AS BIGINT) AS tokens_kept
+    FROM cover
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR half of exact-substring dedup (Lee et al. 2022 cut
+    all-but-one occurrence of every duplicated run): a token position
+    is redundant when its K-gram also appears in a LOWER-numbered doc
+    (deterministic keep-min ownership, the same survivor policy as
+    dedup_exact), and each affected doc reports how many tokens the
+    cut removes vs keeps — the corpus-shrinkage ledger a dedup
+    rollout quotes before committing the rewrite.
+
+    Same K-gram position-island frame as dedup_exact_substring with
+    one extra map-side piece: a broadcastable (gram → min doc) owner
+    table decides redundancy, then gap<K islands give exact union
+    coverage. All integer arithmetic ⇒ fully hash-gated. At 100 TB:
+    the owner aggregate is map-side combinable on gram hashes; no
+    global sort, no driver state; the cut itself (re-emitting cleaned
+    text) is one extra map join against the same island spans."""
+    docs = _docs(spark, sf_dir)
+    K = EXACT_SUBSTR_K
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.col("text")), r"\s+").alias("t"),
+    ).withColumn("n_tokens", F.size("t")).filter(F.col("n_tokens") >= K)
+    grams = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_tokens - {K} + 1), "
+                f"i -> md5(concat_ws(' ', slice(t, i, {K}))))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("p0") + 1).alias("pos"), "gram"
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("keeper"))
+    redundant = grams.join(owner, "gram").filter(
+        F.col("doc_id") > F.col("keeper")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = redundant.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= K - 1, 0
+        ).otherwise(1).alias("cov_break"),
+    ).withColumn(
+        "cov_key",
+        F.sum("cov_break").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cover = (
+        runs.groupBy("doc_id", "n_tokens", "cov_key")
+        .agg((F.max("pos") - F.min("pos") + K).alias("cov_tokens"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("cov_tokens").cast("long").alias("tokens_cut"),
+        )
+    )
+    return cover.select(
+        "doc_id",
+        "n_tokens",
+        "tokens_cut",
+        (F.col("n_tokens") - F.col("tokens_cut"))
+        .cast("long")
+        .alias("tokens_kept"),
+    ).orderBy("doc_id")

@@ -1287,3 +1287,34 @@ def test_bpe_distributed_equals_driver_loop(spark):
     # the dispatch path: a tiny max_types forces the distributed loop
     via_dispatch = tokenizer.bpe_train(docs, n_merges=12, max_types=2)
     assert via_dispatch == driver
+
+
+def test_dedup_span_repair_cut_ledger(spark, tmp_path):
+    """Keep-min repair: the doc that owns a duplicated block (lowest
+    doc_id) keeps it; every other holder reports the cut. Geometry is
+    exact: a 60-token block inside a 70-token doc cuts 60, keeps 10."""
+    import os
+
+    from dbeam_spark.queries.llm import dedup_span_repair
+
+    block = " ".join(f"tok{i}" for i in range(60))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {block}", "en", "s", 0),
+            (2, f"{block} {uniq_b}", "en", "s", 0),
+            (3, " ".join(f"c{i}" for i in range(40)), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r["doc_id"]: r for r in dedup_span_repair(spark, sf).collect()}
+    # doc 1 owns every shared gram (min doc_id) -> nothing to cut;
+    # only doc 2 appears in the ledger
+    assert set(out) == {2}
+    assert out[2]["n_tokens"] == 70
+    assert out[2]["tokens_cut"] == 60
+    assert out[2]["tokens_kept"] == 10
