@@ -290,6 +290,101 @@ def minhash_signatures_expr(
     return withx.groupBy("sid").agg(*aggs)
 
 
+def minhash_band_buckets_maponly(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(sid, band, sig) bucket rows straight out of ONE Arrow pass:
+    the 128 per-doc MinHash values never leave the Python worker —
+    each doc's 32 band signatures are mixed in numpy (int64
+    wraparound polynomial over the 4 rows per band) and ship as 3
+    narrow columns. Versus materializing a 128-column signature frame
+    and exploding JVM-side, this removes the band explode, the
+    32-struct hash projection, AND the 128-column plan analysis cost
+    — the shuffle carries 3 longs per (doc, band). Bucket ids are an
+    arbitrary deterministic hash (grouping key only); callers needing
+    the raw signatures (the estimator paths) keep using
+    minhash_signatures_maponly."""
+    a_list, b_list = _PERM_A[:_NUM_PERM], _PERM_B[:_NUM_PERM]
+
+    def part(batches):
+        import re
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a_list, dtype=np.int64)[None, :]
+        B = np.array(b_list, dtype=np.int64)[None, :]
+        ws = re.compile(r"\s+")
+        band_idx = np.arange(_BANDS, dtype=np.int64)
+        MIX = np.int64(1000003)
+        for pdf in batches:
+            sids, mins = [], []
+            for sid, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(txt.lower())
+                if len(toks) < n:
+                    continue
+                grams = {
+                    " ".join(toks[i: i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                x = np.fromiter(
+                    (zlib.crc32(g.encode()) & 0x7FFFFFFF for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                mins.append(((x[:, None] * A + B) % _MERSENNE).min(axis=0))
+                sids.append(sid)
+            if not sids:
+                continue
+            M = np.vstack(mins).reshape(len(sids), _BANDS, _ROWS_PER_BAND)
+            with np.errstate(over="ignore"):
+                sig = M[:, :, 0]
+                for j in range(1, _ROWS_PER_BAND):
+                    sig = sig * MIX + M[:, :, j]
+            yield pd.DataFrame(
+                {
+                    "sid": np.repeat(
+                        np.array(sids, dtype=np.int64), _BANDS
+                    ),
+                    "band": np.tile(band_idx, len(sids)),
+                    "sig": sig.reshape(-1),
+                }
+            )
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    return rebalance_for_arrow(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(part, "sid long, band long, sig long")
+
+
+def _candidates_from_buckets(
+    buckets: DataFrame, max_bucket: int, distinct: bool
+) -> DataFrame:
+    """(sid, band, sig) bucket rows → (id_a, id_b) candidate pairs:
+    one groupBy collecting each bucket's sorted members, in-place
+    capped pair expansion (see lsh_candidates for the shape
+    rationale)."""
+    grp = (
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("sid")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
+    )
+    out = grp.select(pairs.alias("p")).select("p.id_a", "p.id_b")
+    return out.distinct() if distinct else out
+
+
 def lsh_candidates(
     signatures: DataFrame, max_bucket: int = 1000, distinct: bool = True
 ) -> DataFrame:
@@ -322,27 +417,14 @@ def lsh_candidates(
     buckets = signatures.select(
         F.col("sid"), F.explode(bands).alias("bd")
     ).select("sid", F.col("bd.band").alias("band"), F.col("bd.sig").alias("sig"))
-    grp = (
-        buckets.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("sid")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
     # ids is sorted, so (ids[i], ids[j>i]) already satisfies id_a < id_b.
     # The HOF lambda is interpreted, but it only runs over matched
     # buckets (a few per near-dup cluster), not the full corpus.
-    pairs = F.explode(
-        F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids) - i - 1), "
-            "y -> struct(x AS id_a, y AS id_b))))"
-        )
-    )
-    out = grp.select(pairs.alias("p")).select("p.id_a", "p.id_b")
     # A J≈0.9 pair collides in ~2/3 of the 32 bands, so the raw pair
     # stream carries ~20× duplicates. `distinct=False` lets a caller
     # that is about to collect anyway dedupe in a set instead of
     # paying this second shuffle (≈0.3s of the sf0.1 wall).
-    return out.distinct() if distinct else out
+    return _candidates_from_buckets(buckets, max_bucket, distinct)
 
 
 def minhash_lsh_pairs(
@@ -383,8 +465,9 @@ def minhash_lsh_pairs(
     # full shuffle before the collect. If the raw stream hits the
     # 400k cap the corpus is degenerate and we fall through to the
     # fully distributed verify path below.
-    raw_rows = lsh_candidates(
-        minhash_signatures_maponly(docs, id_col, text_col, n),
+    raw_rows = _candidates_from_buckets(
+        minhash_band_buckets_maponly(docs, id_col, text_col, n),
+        max_bucket=1000,
         distinct=False,
     ).limit(400_001).collect()
     pair_rows = sorted({(r[0], r[1]) for r in raw_rows})
