@@ -145,3 +145,39 @@ def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
         for _ in range(count):
             rows.append(tuple(d(block) for d in decoders))
     return schema, rows
+
+
+def count_ocf_rows(path: str) -> int:
+    """Row count from BLOCK HEADERS only — each OCF block leads with
+    (row count, byte size) varints, so counting skips every payload
+    byte (no decompression, no decoding). Used by resumable exports
+    to credit already-landed files into the metrics at ~disk-seek
+    cost. Raises on a malformed/truncated container, so a partial
+    file (impossible under the writer's tmp+rename protocol, but
+    cheap to defend against) is never silently counted."""
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    buf = io.BytesIO(raw)
+    if buf.read(4) != b"Obj\x01":
+        raise ValueError(f"not an Avro OCF: {path}")
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            _read_str(buf)
+            _read_bytes(buf)
+    sync = buf.read(16)
+    total = 0
+    while buf.tell() < len(raw):
+        n_rows = _read_long(buf)
+        size = _read_long(buf)
+        if buf.seek(size, io.SEEK_CUR) > len(raw):
+            raise ValueError(f"truncated OCF block in {path}")
+        if buf.read(16) != sync:
+            raise ValueError(f"sync marker mismatch in {path}")
+        total += n_rows
+    return total

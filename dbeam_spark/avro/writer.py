@@ -410,11 +410,20 @@ def write_avro(
     avro_schema: dict,
     codec: str = "deflate6",
     filename_prefix: str = "part",
+    resume: bool = False,
 ) -> list[dict]:
     """Write df as Avro OCF files, one per partition, in parallel.
 
-    Returns per-file stats [{file, rows, bytes}] (collected — small:
-    one row per partition)."""
+    Returns per-file stats [{file, rows, bytes, skipped}] (collected —
+    small: one row per partition).
+
+    ``resume=True`` makes a rerun after a crash skip partitions whose
+    final file already exists: the tmp-write + atomic-rename protocol
+    guarantees a final-named file is COMPLETE, so the retry re-encodes
+    only the missing partitions (partition→file assignment is
+    deterministic for a given plan — ranged JDBC reads rebuild the
+    same ranges). Skipped files are credited into the stats by
+    counting block headers (no payload read)."""
     os.makedirs(output_dir, exist_ok=True)
     schema_json = json.dumps(avro_schema)
     field_names = [f["columnName"] for f in avro_schema["fields"]]
@@ -448,8 +457,24 @@ def write_avro(
 
         pid = TaskContext.get().partitionId()
         schema = json.loads(schema_json)
-        enc = OcfEncoder(schema, codec)
         path = os.path.join(output_dir, f"{filename_prefix}-{pid:05d}.avro")
+        if resume and os.path.exists(path):
+            from dbeam_spark.avro.reader import count_ocf_rows
+
+            # drain the iterator without encoding (the task must still
+            # consume its input), then credit the landed file
+            for _ in batches:
+                pass
+            yield pd.DataFrame(
+                {
+                    "file": [path],
+                    "rows": [count_ocf_rows(path)],
+                    "bytes": [os.path.getsize(path)],
+                    "skipped": [True],
+                }
+            )
+            return
+        enc = OcfEncoder(schema, codec)
         rows = 0
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
@@ -465,10 +490,15 @@ def write_avro(
                 rows += len(pdf)
         os.replace(tmp, path)
         yield pd.DataFrame(
-            {"file": [path], "rows": [rows], "bytes": [os.path.getsize(path)]}
+            {
+                "file": [path],
+                "rows": [rows],
+                "bytes": [os.path.getsize(path)],
+                "skipped": [False],
+            }
         )
 
     stats = df.mapInPandas(
-        write_partition, "file string, rows long, bytes long"
+        write_partition, "file string, rows long, bytes long, skipped boolean"
     ).collect()
     return [r.asDict() for r in stats]

@@ -158,7 +158,10 @@ def run_export(
     stats = run_with_timeout(
         spark,
         parse_iso_duration(opts.exportTimeout),
-        lambda: write_avro(plan.df, str(out), generated, codec=opts.avroCodec),
+        lambda: write_avro(
+            plan.df, str(out), generated, codec=opts.avroCodec,
+            resume=opts.resume,
+        ),
     )
     metrics.expose_write_elapsed()
     metrics.expose_written(

@@ -51,6 +51,9 @@ class JdbcExportOptions:
     nullableArrayItems: bool = False
     # beyond reference: per-column stats metadata (A35)
     columnStats: bool = False
+    # beyond reference: crash-resume — a rerun skips partitions whose
+    # final part file already landed (tmp+rename makes them complete)
+    resume: bool = False
 
     def validate(self) -> None:
         if not self.connectionUrl:

@@ -438,3 +438,50 @@ def test_uuid_hint_wired_into_export(spark, derby_db, tmp_path, monkeypatch):
     assert by_name["NAME"][1] == {"type": "string", "logicalType": "uuid"}
     # non-hinted string columns stay plain
     assert by_name["C_ID"][1] == "long"
+
+
+def test_resume_export_skips_landed_partitions(spark, derby_db, tmp_path):
+    """--resume (A41): rerunning a crashed export re-encodes ONLY the
+    missing part files. The tmp+atomic-rename protocol makes any
+    final-named file complete, so landed partitions are credited into
+    the metrics from block headers without re-reading the source."""
+    import os
+    import time as _time
+
+    out = tmp_path / "resume"
+    run_export(
+        spark,
+        opts_for(derby_db, out, splitColumn="C_ID", queryParallelism=4),
+    )
+    parts = sorted(glob.glob(str(out) + "/part-*.avro"))
+    assert len(parts) == 4
+    victim = parts[2]
+    os.remove(victim)  # simulated crash: one partition never landed
+    mtimes = {p: os.path.getmtime(p) for p in parts if p != victim}
+    _time.sleep(1.1)
+    metrics = run_export(
+        spark,
+        opts_for(
+            derby_db, out,
+            splitColumn="C_ID", queryParallelism=4, resume=True,
+        ),
+    )
+    assert metrics["recordCount"] == 1000  # full total, not just the redo
+    assert sorted(glob.glob(str(out) + "/part-*.avro")) == parts
+    for p, old_m in mtimes.items():
+        assert os.path.getmtime(p) == old_m, f"{p} was rewritten"
+    assert os.path.getmtime(victim) > list(mtimes.values())[0]
+    assert sorted(read_all(out))[0][0] == 0 and len(read_all(out)) == 1000
+
+
+def test_count_ocf_rows_matches_reader(spark, derby_db, tmp_path):
+    from dbeam_spark.avro.reader import count_ocf_rows
+
+    out = tmp_path / "cnt"
+    run_export(spark, opts_for(derby_db, out))
+    total = 0
+    for p in sorted(glob.glob(str(out) + "/part-*.avro")):
+        n = count_ocf_rows(p)
+        assert n == len(read_avro_file(p)[1])
+        total += n
+    assert total == 1000

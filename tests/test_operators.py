@@ -1318,3 +1318,69 @@ def test_dedup_span_repair_cut_ledger(spark, tmp_path):
     assert out[2]["n_tokens"] == 70
     assert out[2]["tokens_cut"] == 60
     assert out[2]["tokens_kept"] == 10
+
+
+def test_dedup_exact_substring_matches_bruteforce_reference(spark, tmp_path):
+    """Randomized cross-check: a 3-token alphabet forces dense K-gram
+    collisions, and the query's span geometry must equal a brute-force
+    python reference on every doc (seeded → reproducible)."""
+    import os
+    import random
+
+    from dbeam_spark.queries.llm import EXACT_SUBSTR_K, dedup_exact_substring
+
+    K = EXACT_SUBSTR_K
+    rng = random.Random(20260814)
+    vocab = ["aa", "bb", "cc"]
+    docs = []
+    for d in range(1, 31):
+        n = rng.randint(K, K * 3)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # brute-force reference
+    toks = {d: t.split(" ") for d, t in docs}
+    gram_docs: dict[tuple, set] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - K + 1):
+            gram_docs.setdefault(tuple(t[i: i + K]), set()).add(d)
+    expected = {}
+    for d, t in toks.items():
+        marked = [
+            i + 1
+            for i in range(len(t) - K + 1)
+            if len(gram_docs[tuple(t[i: i + K])]) > 1
+        ]
+        if not marked:
+            continue
+        spans, cov = [], []
+        s = p = marked[0]
+        cs = cp = marked[0]
+        for x in marked[1:]:
+            if x == p + 1:
+                p = x
+            else:
+                spans.append(p - s + K)
+                s = p = x
+            if x - cp <= K - 1:
+                cp = x
+            else:
+                cov.append(cp - cs + K)
+                cs = cp = x
+        spans.append(p - s + K)
+        cov.append(cp - cs + K)
+        expected[d] = (len(t), len(spans), max(spans), sum(cov))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_spans"],
+            r["max_span_tokens"],
+            r["covered_tokens"],
+        )
+        for r in dedup_exact_substring(spark, sf).collect()
+    }
+    assert got == expected
