@@ -119,3 +119,72 @@ def zlib_compress_stats(df):
         "ratio_x1e4",
         F.round(F.col("comp_len") * 10000.0 / F.col("raw_len")).cast("long"),
     )
+
+
+def kgram_positions(docs, k: int, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """(doc_id, n_tokens, pos, gram) rows for every K-token window —
+    the shared frame under exact-substring dedup and its repair
+    ledger. Gram identity is a 64-bit wraparound polynomial over
+    per-token crc32s, computed VECTORIZED in one Arrow pass (numpy
+    sliding-window matmul): the Catalyst formulation
+    (transform + slice + md5(concat_ws)) evaluates interpreted per
+    position — the HOF cliff CLAUDE.md records — and measured ~2×
+    slower at sf0.1. Any injective-enough hash works: downstream only
+    GROUPS on gram equality and the gate oracle checks span GEOMETRY,
+    never hash values (collision odds across ~10⁶ grams ≈ 1e-7, and a
+    collision merely merges two buckets the dup filter then splits by
+    doc count). Map-only: no shuffle, output one row per token
+    position, the same blowup a suffix array pays."""
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    def part(batches):
+        import re
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        P = np.int64(1000003)
+        # kernel[j] = P^(k-1-j) with int64 wraparound
+        kern = np.ones(k, dtype=np.int64)
+        for j in range(k - 2, -1, -1):
+            kern[j] = kern[j + 1] * P
+        for pdf in batches:
+            ids, nts, poss, grams = [], [], [], []
+            for sid, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(txt.lower())
+                n = len(toks)
+                if n < k:
+                    continue
+                h = np.fromiter(
+                    (zlib.crc32(t.encode()) for t in toks),
+                    dtype=np.int64,
+                    count=n,
+                )
+                win = np.lib.stride_tricks.sliding_window_view(h, k)
+                with np.errstate(over="ignore"):
+                    g = (win * kern).sum(axis=1)
+                m = n - k + 1
+                ids.append(np.full(m, sid, dtype=np.int64))
+                nts.append(np.full(m, n, dtype=np.int64))
+                poss.append(np.arange(1, m + 1, dtype=np.int64))
+                grams.append(g)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "n_tokens": np.concatenate(nts),
+                        "pos": np.concatenate(poss),
+                        "gram": np.concatenate(grams),
+                    }
+                )
+
+    return rebalance_for_arrow(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(
+        part, "doc_id long, n_tokens long, pos long, gram long"
+    )

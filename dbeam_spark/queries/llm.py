@@ -4158,26 +4158,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by doc. No global sort, no driver state."""
     docs = _docs(spark, sf_dir)
     K = EXACT_SUBSTR_K
-    toks = docs.select(
-        "doc_id",
-        F.split(F.lower(F.col("text")), r"\s+").alias("t"),
-    ).withColumn("n_tokens", F.size("t")).filter(F.col("n_tokens") >= K)
-    grams = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, n_tokens - {K} + 1), "
-                f"i -> md5(concat_ws(' ', slice(t, i, {K}))))"
-            )
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id", "n_tokens", (F.col("p0") + 1).alias("pos"), "gram"
-    )
+    grams = text.kgram_positions(docs, K)
+    # "appears in ≥2 docs" as min≠max — map-side-combinable, no
+    # per-gram distinct expansion
     dup = (
         grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(
+            F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi")
+        )
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("gram")
     )
     marked = grams.join(dup, "gram", "left_semi")
@@ -4294,22 +4283,7 @@ def dedup_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) is one extra map join against the same island spans."""
     docs = _docs(spark, sf_dir)
     K = EXACT_SUBSTR_K
-    toks = docs.select(
-        "doc_id",
-        F.split(F.lower(F.col("text")), r"\s+").alias("t"),
-    ).withColumn("n_tokens", F.size("t")).filter(F.col("n_tokens") >= K)
-    grams = toks.select(
-        "doc_id",
-        "n_tokens",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, n_tokens - {K} + 1), "
-                f"i -> md5(concat_ws(' ', slice(t, i, {K}))))"
-            )
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id", "n_tokens", (F.col("p0") + 1).alias("pos"), "gram"
-    )
+    grams = text.kgram_positions(docs, K)
     owner = grams.groupBy("gram").agg(F.min("doc_id").alias("keeper"))
     redundant = grams.join(owner, "gram").filter(
         F.col("doc_id") > F.col("keeper")

@@ -4303,3 +4303,85 @@ def nation_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spearman_x1e6"),
     ).orderBy("yr_from")
+
+
+@register(
+    "revenue_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM daily
+    ),
+    cusum AS (
+      SELECT day,
+             SUM(cents - (SELECT total // n_days FROM stats)) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily
+    )
+    SELECT
+      (SELECT MIN(day) FROM cusum
+       WHERE ABS(s) = (SELECT MAX(ABS(s)) FROM cusum))
+        AS changepoint_day,
+      CAST((SELECT MAX(ABS(s)) FROM cusum) AS BIGINT)
+        AS max_cusum_abs_cents,
+      (SELECT n_days FROM stats) AS n_days,
+      CAST((SELECT total // n_days FROM stats) AS BIGINT)
+        AS mean_daily_cents
+    """,
+)
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point detection on daily revenue: the
+    cumulative sum of deviations from the global daily mean peaks (in
+    absolute value) at the most likely level-shift day — the classic
+    distribution-free screen for "did the business change on some
+    date", feeding alerting and A/B cutover audits. Integer-exact
+    end-to-end: cents, an integer floor mean, and an integer prefix
+    sum, so the argmax day and peak magnitude hash-match the SQL
+    restatement exactly (ties break to the earliest day).
+
+    Shape at 100 TB: ONE map-side-combinable daily rollup collapses
+    the fact table to a calendar-bounded frame; the prefix sum runs on
+    ≤366 rows/year (bounded_grain_window) and two 1-row aggregates
+    broadcast back. Nothing downstream of the rollup scales with
+    order volume."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total"),
+    ).withColumn("mu", F.expr("total DIV n_days"))
+    from pyspark.sql import Window
+
+    w = bounded_grain_window("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("s", F.sum(F.col("cents") - F.col("mu")).over(w))
+        .withColumn("abs_s", F.abs("s"))
+    )
+    peak = cusum.agg(F.max("abs_s").alias("peak"))
+    return (
+        cusum.crossJoin(F.broadcast(peak))
+        .filter(F.col("abs_s") == F.col("peak"))
+        .agg(
+            F.min("day").alias("changepoint_day"),
+            F.max("peak").cast("long").alias("max_cusum_abs_cents"),
+            F.max("n_days").alias("n_days"),
+            F.max("mu").cast("long").alias("mean_daily_cents"),
+        )
+    )
