@@ -1705,3 +1705,56 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("regularity"),
     )
     return scored.orderBy("regularity", "user_id").limit(20)
+
+
+@register(
+    "audience_overlap",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(v) AS BIGINT) AS viewers,
+           CAST(SUM(p) AS BIGINT) AS purchasers,
+           CAST(SUM(v * p) AS BIGINT) AS both_count,
+           CAST(SUM(CASE WHEN v + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS either_count,
+           CAST(SUM(v * p) * 10000
+                // GREATEST(SUM(CASE WHEN v + p > 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS jaccard_x1e4
+    FROM per_user
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra: |viewers|, |purchasers|, their
+    intersection, union, and Jaccard — the overlap report behind
+    audience targeting and funnel sizing. One groupBy(user) collapses
+    the events to per-user membership FLAGS (map-side combinable),
+    then a single 1-row rollup does the set arithmetic — no
+    distinct-count shuffle per audience and no pairwise user join; at
+    100 TB this is two combinable aggregations regardless of how many
+    audiences the flags encode. Exact integers throughout (Jaccard
+    floor-quantized x1e4), so the whole report is hash-gated."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("v"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+    )
+    return per_user.agg(
+        F.sum("v").cast("long").alias("viewers"),
+        F.sum("p").cast("long").alias("purchasers"),
+        F.sum(F.col("v") * F.col("p")).cast("long").alias("both_count"),
+        F.sum(
+            F.when(F.col("v") + F.col("p") > 0, 1).otherwise(0)
+        ).cast("long").alias("either_count"),
+        F.expr(
+            "SUM(v * p) * 10000 DIV "
+            "GREATEST(SUM(CASE WHEN v + p > 0 THEN 1 ELSE 0 END), 1)"
+        ).cast("long").alias("jaccard_x1e4"),
+    )

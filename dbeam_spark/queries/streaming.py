@@ -1152,3 +1152,84 @@ def stream_join_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("n_unmatched_purchases"),
     )
+
+
+@register(
+    "stream_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM daily
+    ),
+    cusum AS (
+      SELECT day,
+             SUM(cents - (SELECT total // n_days FROM stats)) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily
+    )
+    SELECT
+      (SELECT MIN(day) FROM cusum
+       WHERE ABS(s) = (SELECT MAX(ABS(s)) FROM cusum))
+        AS changepoint_day,
+      CAST((SELECT MAX(ABS(s)) FROM cusum) AS BIGINT)
+        AS max_cusum_abs_cents,
+      (SELECT n_days FROM stats) AS n_days
+    """,
+)
+def stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of revenue_changepoint over the events stream:
+    the per-day value rollup is maintained INCREMENTALLY by a
+    complete-mode windowed aggregation (per-(day) state, the
+    continuous-aggregate shape), and the CUSUM argmax fold runs over
+    that bounded daily frame after the replay — exactly how a live
+    monitor would re-score the change-point each trigger without
+    rescanning history. Integer cents end-to-end, so the streamed
+    daily rollup and the batch restatement agree bit-for-bit and the
+    whole report is hash-gated."""
+    name = f"scp_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    _run_stream(agg, name, "complete")
+    daily = spark.table(name).select(
+        F.col("window.start").alias("day"), "cents"
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("total"),
+    ).withColumn("mu", F.expr("total DIV n_days"))
+    from dbeam_spark.operators.util import bounded_grain_window
+    from pyspark.sql import Window
+
+    w = bounded_grain_window("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("s", F.sum(F.col("cents") - F.col("mu")).over(w))
+        .withColumn("abs_s", F.abs("s"))
+    )
+    peak = cusum.agg(F.max("abs_s").alias("peak"))
+    return (
+        cusum.crossJoin(F.broadcast(peak))
+        .filter(F.col("abs_s") == F.col("peak"))
+        .agg(
+            F.min("day").alias("changepoint_day"),
+            F.max("peak").cast("long").alias("max_cusum_abs_cents"),
+            F.max("n_days").alias("n_days"),
+        )
+    )
