@@ -193,10 +193,15 @@ def commit_upsert(
         partition_col, man.get("partition_type"),
     )
     if existing is not None:
+        # allowMissingColumns = SCHEMA EVOLUTION on write: an upsert
+        # may ADD columns (carried rows get NULLs) or omit columns the
+        # table already has (new rows get NULLs) — the additive
+        # evolution rules of the table formats this mirrors
         merged = updates.unionByName(
-            existing.select(*updates.columns).join(
+            existing.join(
                 updates.select(key_col).distinct(), key_col, "left_anti"
-            )
+            ),
+            allowMissingColumns=True,
         )
     else:
         merged = updates
@@ -222,8 +227,15 @@ def _read_files(
     inference, the manifest IS the truth)."""
     if not files:
         return None
+    # mergeSchema = SCHEMA EVOLUTION on read: files written by
+    # different commits may carry additive schema differences; the
+    # merged schema fills missing columns with NULL (time-travel reads
+    # of an old version still see only that version's files, hence
+    # that version's schema)
     if partition_col is None:
-        return spark.read.parquet(*[str(table / f["path"]) for f in files])
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(table / f["path"]) for f in files]
+        )
     groups: dict[str | None, list[str]] = {}
     for f in files:
         groups.setdefault(f["partition"], []).append(str(table / f["path"]))
@@ -234,8 +246,14 @@ def _read_files(
     ptype = partition_type or "string"
     for pval in sorted(groups, key=lambda v: (v is None, v)):
         lit = F.lit(pval).cast(ptype)
-        part = spark.read.parquet(*groups[pval]).withColumn(partition_col, lit)
-        df = part if df is None else df.unionByName(part)
+        part = spark.read.option("mergeSchema", "true").parquet(
+            *groups[pval]
+        ).withColumn(partition_col, lit)
+        df = (
+            part
+            if df is None
+            else df.unionByName(part, allowMissingColumns=True)
+        )
     return df
 
 

@@ -131,3 +131,32 @@ def test_unpartitioned_table(spark, tmp_path):
     commit_snapshot(df, t)
     got = {(r["k"], r["v"]) for r in read_snapshot(spark, t).collect()}
     assert got == {(1, "x"), (2, "y")}
+
+
+def test_schema_evolution_on_upsert(spark, tmp_path):
+    """Additive schema evolution (the table-format contract): an
+    upsert introducing a new column succeeds, carried/old rows read
+    back with NULL in it, and time travel to v1 still shows v1's
+    schema."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, [(1, "a", "d1"), (2, "b", "d2")]), t, "day")
+    evolved = spark.createDataFrame(
+        [(2, "B", "d2", "extra")],
+        "k long, v string, day string, note string",
+    )
+    commit_upsert(spark, t, evolved, "k", "day")
+    latest = read_snapshot(spark, t)
+    assert "note" in latest.columns
+    got = {(r["k"], r["v"], r["note"]) for r in latest.collect()}
+    assert got == {(1, "a", None), (2, "B", "extra")}
+    v1 = read_snapshot(spark, t, version=1)
+    assert "note" not in v1.columns
+    # the reverse direction: an upsert MISSING a column the table has
+    commit_upsert(
+        spark, t,
+        spark.createDataFrame([(3, "c", "d1")], "k long, v string, day string"),
+        "k", "day",
+    )
+    latest2 = read_snapshot(spark, t)
+    by_k = {r["k"]: r["note"] for r in latest2.collect()}
+    assert by_k[3] is None and by_k[2] == "extra"
