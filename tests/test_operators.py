@@ -1384,3 +1384,32 @@ def test_dedup_exact_substring_matches_bruteforce_reference(spark, tmp_path):
         for r in dedup_exact_substring(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_binary_source_reads_media_dir(spark, tmp_path):
+    """sources/binary.py: distributed binaryFile ingest with media-type
+    inference and magic-byte verification (the quarantine screen before
+    decode fan-out)."""
+    from dbeam_spark.sources.binary import read_binary_dir, verify_magic
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    (d / "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 20)
+    (d / "c.wav").write_bytes(b"RIFF\x24\x00\x00\x00WAVEfmt ")
+    (d / "evil.png").write_bytes(b"\xff\xd8\xff\xe0 not a png")
+    (d / "notes.txt").write_bytes(b"hello")
+    out = verify_magic(read_binary_dir(spark, str(d))).collect()
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in out}
+    assert len(by_name) == 5
+    assert by_name["a.png"]["media_type"] == "image/png"
+    assert by_name["a.png"]["magic_ok"]
+    assert by_name["b.jpg"]["magic_ok"]
+    assert by_name["c.wav"]["media_type"] == "audio/wav"
+    assert by_name["c.wav"]["magic_ok"]
+    # mislabeled payload: jpeg bytes under a .png name -> quarantined
+    assert not by_name["evil.png"]["magic_ok"]
+    assert by_name["evil.png"]["detected_type"] == "image/jpeg"
+    # no magic known for txt -> passes (no evidence of corruption)
+    assert by_name["notes.txt"]["magic_ok"]
+    assert by_name["a.png"]["length"] == 28
