@@ -290,6 +290,71 @@ def minhash_signatures_expr(
     return withx.groupBy("sid").agg(*aggs)
 
 
+def minhash_signatures_with_bands_maponly(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(sid, mh array<long>[128], bands array<long>[32]) in ONE Arrow
+    pass — the ARRAY layout for signature persistence: a 3-column
+    frame keeps every downstream plan narrow (the 128-individual-
+    column layout costs seconds of driver analysis per plan and holds
+    the estimator in interpreted evaluation), while the band sigs are
+    pre-mixed numpy-side exactly like minhash_band_buckets_maponly."""
+    a_list, b_list = _PERM_A[:_NUM_PERM], _PERM_B[:_NUM_PERM]
+
+    def part(batches):
+        import re
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array(a_list, dtype=np.int64)[None, :]
+        B = np.array(b_list, dtype=np.int64)[None, :]
+        ws = re.compile(r"\s+")
+        MIX = np.int64(1000003)
+        for pdf in batches:
+            sids, mins = [], []
+            for sid, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(txt.lower())
+                if len(toks) < n:
+                    continue
+                grams = {
+                    " ".join(toks[i: i + n])
+                    for i in range(len(toks) - n + 1)
+                }
+                x = np.fromiter(
+                    (zlib.crc32(g.encode()) & 0x7FFFFFFF for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                mins.append(((x[:, None] * A + B) % _MERSENNE).min(axis=0))
+                sids.append(sid)
+            if not sids:
+                continue
+            M = np.vstack(mins)
+            Mb = M.reshape(len(sids), _BANDS, _ROWS_PER_BAND)
+            with np.errstate(over="ignore"):
+                sig = Mb[:, :, 0]
+                for j in range(1, _ROWS_PER_BAND):
+                    sig = sig * MIX + Mb[:, :, j]
+            yield pd.DataFrame(
+                {
+                    "sid": np.array(sids, dtype=np.int64),
+                    "mh": list(M),
+                    "bands": list(sig),
+                }
+            )
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    return rebalance_for_arrow(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(part, "sid long, mh array<long>, bands array<long>")
+
+
 def minhash_band_buckets_maponly(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -899,7 +964,9 @@ def incremental_minhash_index(
 ) -> DataFrame:
     """Incremental near-dup detection against a persisted signature
     index — the 100 TB operating mode: yesterday's corpus is NEVER
-    re-shingled, only its 128×int signatures (≤ 1 KB/doc) persist.
+    re-shingled, only its 128×int signatures (≤ 1 KB/doc, stored as
+    ONE array column so derived plans stay 3 columns wide) persist
+    alongside the 32 pre-mixed band signatures.
 
     Per batch:
     1. signatures for the NEW docs only (map-only, zero shuffle);
@@ -927,7 +994,6 @@ def incremental_minhash_index(
     import os
 
     spark = docs_new.sparkSession
-    cols = [f"mh{i}" for i in range(_NUM_PERM)]
     # Deterministic batch id from the id SET (order-free aggregates
     # over a column-pruned scan): names the index subdirectory, and
     # lets a RETRY of the same batch recognize its own crashed
@@ -938,7 +1004,9 @@ def incremental_minhash_index(
         F.expr(f"bit_xor(hash(cast({id_col} AS STRING)))").alias("x"),
     ).collect()[0]
     batch_id = f"{agg['n'] or 0:x}-{(agg['s'] or 0) & 0xFFFFFFFFFF:x}-{(agg['x'] or 0) & 0xFFFFFFFF:x}"
-    sig_new = minhash_signatures_maponly(docs_new, id_col, text_col, n)
+    sig_new = minhash_signatures_with_bands_maponly(
+        docs_new, id_col, text_col, n
+    )
     sig_new = sig_new.withColumn("is_new", F.lit(True))
     have_old = os.path.isdir(index_dir) and any(
         f.endswith(".parquet")
@@ -957,26 +1025,13 @@ def incremental_minhash_index(
         sigs = sig_new
     # materialize ONCE: the signature frame feeds the band buckets
     # AND both sides of the estimator join — uncheckpointed it would
-    # recompute the Arrow signature pass three times
+    # recompute the Arrow signature pass three times. The ARRAY
+    # layout (3 columns, not 129) keeps every derived plan narrow.
     sigs = sigs.localCheckpoint(eager=True)
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(
-                    *[
-                        F.col(f"mh{b * _ROWS_PER_BAND + j}")
-                        for j in range(_ROWS_PER_BAND)
-                    ]
-                ).alias("sig"),
-            )
-            for b in range(_BANDS)
-        ]
-    )
     buckets = sigs.select(
-        "sid", "is_new", F.explode(bands).alias("bd")
-    ).select("sid", "is_new", F.col("bd.band"), F.col("bd.sig"))
+        "sid", "is_new", F.posexplode("bands").alias("band", "sig")
+    )
     grp = (
         buckets.groupBy("band", "sig")
         .agg(
@@ -1006,19 +1061,14 @@ def incremental_minhash_index(
         .filter(F.col("a_is_new") | F.col("b_is_new"))
         .distinct()
     )
-    a = sigs.select(
-        F.col("sid").alias("id_a"),
-        *[F.col(c).alias(f"a_{c}") for c in cols],
+    a = sigs.select(F.col("sid").alias("id_a"), F.col("mh").alias("a_mh"))
+    b = sigs.select(F.col("sid").alias("id_b"), F.col("mh").alias("b_mh"))
+    # estimator over the array pair: interpreted HOF, but it runs
+    # only over CANDIDATE pairs (batch-scaled), never the corpus
+    est = F.expr(
+        "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v))"
+        f" * 10000 DIV {_NUM_PERM}"
     )
-    b = sigs.select(
-        F.col("sid").alias("id_b"),
-        *[F.col(c).alias(f"b_{c}") for c in cols],
-    )
-    eq_terms = "+".join(
-        f"CASE WHEN a_mh{i} = b_mh{i} THEN 1 ELSE 0 END"
-        for i in range(_NUM_PERM)
-    )
-    est = F.expr(f"({eq_terms}) * 10000 DIV {_NUM_PERM}")
     out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
