@@ -601,8 +601,10 @@ def minhash_lsh_pairs(
     # Degenerate corpora: huge candidate sets stay distributed —
     # shingle-join verification with a semi-filtered shingle table
     # (re-planned WITH the distinct, since the raw stream overflowed).
-    cand = lsh_candidates(
-        minhash_signatures_maponly(docs, id_col, text_col, n)
+    cand = _candidates_from_buckets(
+        minhash_band_buckets_maponly(docs, id_col, text_col, n),
+        max_bucket=1000,
+        distinct=True,
     ).cache()
     cand.count()
     id_rows = (
