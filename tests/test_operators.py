@@ -1413,3 +1413,49 @@ def test_binary_source_reads_media_dir(spark, tmp_path):
     # no magic known for txt -> passes (no evidence of corruption)
     assert by_name["notes.txt"]["magic_ok"]
     assert by_name["a.png"]["length"] == 28
+
+
+def test_corpus_build_job(spark, tmp_path):
+    """jobs/corpus_build: the CLI-shaped corpus materialization lands
+    shard-partitioned chunks with split/shard routing, a funnel
+    metrics file, and an atomic _SUCCESS — and the dedup funnel
+    numbers are internally consistent."""
+    import json as _json
+
+    from dbeam_spark.jobs.corpus_build import run_corpus_build
+
+    out = tmp_path / "corpus"
+    m = run_corpus_build(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        str(out),
+        n_shards=4,
+    )
+    assert (out / "_SUCCESS").exists()
+    splits = _json.loads((out / "_SPLITS.json").read_text())
+    assert set(splits) <= {"train", "val", "test"} and "train" in splits
+    assert m["rawDocs"] == 500
+    assert 0 < m["survivorDocs"] <= m["rawDocs"]
+    assert m["dedupRemoved"] == m["rawDocs"] - m["survivorDocs"]
+    assert m["totalChunks"] == sum(v["chunks"] for v in splits.values())
+    landed = spark.read.parquet(str(out / "shards"))
+    assert landed.select("shard").distinct().count() <= 4
+    assert set(landed.columns) >= {
+        "doc_id", "chunk_idx", "chunk_len", "chunk_hash", "split", "shard"
+    }
+    # deterministic: a rebuild lands the identical corpus
+    out2 = tmp_path / "corpus2"
+    run_corpus_build(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        str(out2),
+        n_shards=4,
+    )
+    a = sorted(map(tuple, landed.drop("shard").collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(out2 / "shards")).drop("shard").collect(),
+        )
+    )
+    assert a == b
