@@ -75,8 +75,80 @@ def _make_decoder(avro_type):
     raise ValueError(f"Unsupported Avro type: {avro_type!r}")
 
 
-def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
-    """Read one OCF file → (schema, rows)."""
+def _plain_type(t):
+    if isinstance(t, dict) and "logicalType" in t:
+        t = t["type"]
+    if isinstance(t, list):  # ["null", T]
+        return _plain_type(t[1])
+    if isinstance(t, dict) and t.get("type") == "array":
+        return "array"
+    return t
+
+
+# Avro spec schema-resolution promotions (writer type → allowed
+# reader types, with the python-side converter applied post-decode)
+_PROMOTIONS = {
+    ("int", "long"): None,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): None,  # python float already
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _resolve(writer_fields: list, reader_fields: list):
+    """Avro schema resolution (spec §Schema Resolution): match fields
+    by name; writer-only fields are decoded and DISCARDED (their bytes
+    must still be consumed); reader-only fields take their declared
+    default (error if none — exactly the spec's failure mode); matched
+    fields decode with the WRITER type and promote to the reader type
+    where the spec allows. Returns (per-writer-field actions, output
+    arity, defaults-by-slot)."""
+    reader_slots = {f["name"]: i for i, f in enumerate(reader_fields)}
+    actions = []
+    for wf in writer_fields:
+        dec = _make_decoder(wf["type"])
+        slot = reader_slots.get(wf["name"])
+        conv = None
+        if slot is not None:
+            wt, rt = _plain_type(wf["type"]), _plain_type(
+                reader_fields[slot]["type"]
+            )
+            if wt != rt:
+                if (wt, rt) not in _PROMOTIONS:
+                    raise ValueError(
+                        f"cannot resolve field {wf['name']!r}: "
+                        f"writer {wt} → reader {rt}"
+                    )
+                conv = _PROMOTIONS[(wt, rt)]
+        actions.append((dec, slot, conv))
+    defaults: dict[int, object] = {}
+    writer_names = {f["name"] for f in writer_fields}
+    for i, rf in enumerate(reader_fields):
+        if rf["name"] not in writer_names:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer "
+                    "schema and has no default"
+                )
+            defaults[i] = rf["default"]
+    return actions, len(reader_fields), defaults
+
+
+def read_avro_file(
+    path: str, reader_schema: dict | None = None
+) -> tuple[dict, list[tuple]]:
+    """Read one OCF file → (schema, rows).
+
+    With ``reader_schema``, rows are returned in the READER's shape
+    under the Avro spec's schema-resolution rules — new fields fill
+    from their defaults, dropped fields are skipped, and the spec's
+    numeric/string promotions apply (the contract that lets a consumer
+    evolve its schema while reading years of old exports; reference
+    dbeam consumers rely on the same Java Avro behavior)."""
     with open(path, "rb") as fh:
         raw = fh.read()
     buf = io.BytesIO(raw)
@@ -95,7 +167,12 @@ def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
     sync = buf.read(16)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    decoders = [_make_decoder(f["type"]) for f in schema["fields"]]
+    if reader_schema is not None:
+        actions, arity, defaults = _resolve(
+            schema["fields"], reader_schema["fields"]
+        )
+    else:
+        decoders = [_make_decoder(f["type"]) for f in schema["fields"]]
     rows: list[tuple] = []
     while buf.tell() < len(raw):
         count = _read_long(buf)
@@ -142,9 +219,23 @@ def read_avro_file(path: str) -> tuple[dict, list[tuple]]:
             raise ValueError(f"Unsupported avro codec: {codec}")
         assert buf.read(16) == sync, "sync marker mismatch"
         block = io.BytesIO(data)
-        for _ in range(count):
-            rows.append(tuple(d(block) for d in decoders))
-    return schema, rows
+        if reader_schema is not None:
+            for _ in range(count):
+                out = [None] * arity
+                for i, v in defaults.items():
+                    out[i] = v
+                for dec, slot, conv in actions:
+                    v = dec(block)
+                    if slot is not None:
+                        out[slot] = (
+                            conv(v) if conv is not None and v is not None
+                            else v
+                        )
+                rows.append(tuple(out))
+        else:
+            for _ in range(count):
+                rows.append(tuple(d(block) for d in decoders))
+    return (reader_schema if reader_schema is not None else schema), rows
 
 
 def count_ocf_rows(path: str) -> int:

@@ -57,15 +57,28 @@ def avro_schema_to_spark(avro_schema: dict, logical_as_timestamp: bool = True) -
 
 
 def read_avro(
-    spark: SparkSession, path: str, logical_as_timestamp: bool = True
+    spark: SparkSession,
+    path: str,
+    logical_as_timestamp: bool = True,
+    reader_schema: dict | None = None,
 ) -> DataFrame:
-    """Load an Avro export directory (or single .avro file)."""
+    """Load an Avro export directory (or single .avro file).
+
+    ``reader_schema`` applies the Avro spec's schema-resolution rules
+    per file (avro/reader.py::_resolve): a consumer can read old and
+    new exports of a table through ONE evolved schema — new fields
+    fill from defaults, dropped fields are skipped, numeric/string
+    promotions apply — so the returned frame has a stable shape
+    across years of export history."""
     files = sorted(
         glob.glob(os.path.join(path, "*.avro")) if os.path.isdir(path) else [path]
     )
     if not files:
         raise FileNotFoundError(f"No .avro files under {path}")
-    avro_schema, _ = read_avro_file(files[0])  # header-only cost is fine
+    if reader_schema is not None:
+        avro_schema = reader_schema
+    else:
+        avro_schema, _ = read_avro_file(files[0])  # header-only cost
     spark_schema = avro_schema_to_spark(avro_schema, logical_as_timestamp)
     names = [f.name for f in spark_schema.fields]
     ts_cols = {
@@ -86,7 +99,7 @@ def read_avro(
 
         for pdf in batches:
             for p in pdf["path"]:
-                _, rows = read_avro_file(p)
+                _, rows = read_avro_file(p, reader_schema=reader_schema)
                 out = pd.DataFrame(rows, columns=names)
                 for c in ts_cols:
                     out[c] = pd.to_datetime(out[c], unit="ms")

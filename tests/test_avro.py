@@ -386,3 +386,103 @@ def test_ocf_bytes_readable_by_java_avro_reference_reader(spark, tmp_path):
         assert got[0] == ("alpha", 1.5, True, b"\x00\xff", [1, 2]), codec
         assert got[1] == (None, None, False, None, None), codec
         assert got[2] == ("", -2.25, None, b"", []), codec
+
+
+def test_reader_schema_resolution(spark, tmp_path):
+    """Avro spec schema resolution on read-back: a consumer's EVOLVED
+    reader schema (new defaulted field, dropped field, int→long and
+    float→double promotions) reads years-old export bytes correctly —
+    the contract dbeam consumers get from Java Avro."""
+    import glob as _glob
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5, "keepme", "dropme")],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("n", T.IntegerType()),
+                T.StructField("ratio", T.FloatType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("legacy", T.StringType()),
+            ]
+        ),
+    )
+    writer = spark_schema_to_avro(df.schema, "tbl")
+    out = str(tmp_path / "old_export")
+    write_avro(df.repartition(1), out, writer, codec="deflate6")
+    path = _glob.glob(out + "/part-*.avro")[0]
+    reader = {
+        "type": "record",
+        "name": "tbl",
+        "fields": [
+            {"name": "id", "type": ["null", "long"], "default": None},
+            # int → long promotion
+            {"name": "n", "type": ["null", "long"], "default": None},
+            # float → double promotion
+            {"name": "ratio", "type": ["null", "double"], "default": None},
+            {"name": "name", "type": ["null", "string"], "default": None},
+            # NEW field, filled from default ('legacy' is dropped)
+            {"name": "added", "type": ["null", "string"],
+             "default": "fallback"},
+        ],
+    }
+    schema, rows = read_avro_file(path, reader_schema=reader)
+    assert schema is reader
+    assert rows == [(1, 10, 1.5, "keepme", "fallback")]
+    assert isinstance(rows[0][1], int) and isinstance(rows[0][2], float)
+    # a reader field with NO default and no writer match must fail
+    import pytest as _pytest
+
+    bad = {
+        "type": "record",
+        "name": "tbl",
+        "fields": [{"name": "ghost", "type": ["null", "string"]}],
+    }
+    with _pytest.raises(ValueError, match="no default"):
+        read_avro_file(path, reader_schema=bad)
+
+
+def test_read_avro_with_evolved_reader_schema(spark, tmp_path):
+    """sources/avro.read_avro(reader_schema=...): one evolved schema
+    reads a MIX of old- and new-generation export files into a single
+    stable Spark frame."""
+    old_df = spark.createDataFrame(
+        [(1, "a")],
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    new_df = spark.createDataFrame(
+        [(2, "b", 9)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("extra", T.LongType()),
+            ]
+        ),
+    )
+    d = str(tmp_path / "mixed")
+    write_avro(
+        old_df.repartition(1), d, spark_schema_to_avro(old_df.schema, "t"),
+        codec="null", filename_prefix="gen1",
+    )
+    write_avro(
+        new_df.repartition(1), d, spark_schema_to_avro(new_df.schema, "t"),
+        codec="null", filename_prefix="gen2",
+    )
+    from dbeam_spark.sources.avro import read_avro
+
+    reader = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "v", "type": ["null", "string"], "default": None},
+            {"name": "extra", "type": ["null", "long"], "default": None},
+        ],
+    }
+    got = sorted(
+        map(tuple, read_avro(spark, d, reader_schema=reader).collect())
+    )
+    assert got == [(1, "a", None), (2, "b", 9)]
