@@ -142,6 +142,28 @@ def knn_bruteforce(
     )
 
 
+def _coarse_centroids(based, n_cells, id_col, vec_col):
+    """Deterministic coarse centroids: min-id row of every id-stride —
+    a map-side-combinable min_by aggregate. The centroid matrix is
+    c×dim ≈ √n×dim: 16 MB at a BILLION rows — safe to hold on the
+    driver and broadcast."""
+    import numpy as np
+
+    cent_rows = (
+        based.withColumn(
+            "cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
+        )
+        .groupBy("cell")
+        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("centroid"))
+        .orderBy("cell")
+        .collect()
+    )
+    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return cell_ids, Cn
+
+
 def knn_ivf(
     base: DataFrame,
     queries: DataFrame,
@@ -189,18 +211,7 @@ def knn_ivf(
     # matrix is c×dim ≈ √n×dim: 16 MB at a BILLION rows — safe to
     # hold on the driver and broadcast, same residency as k-means
     # centroids everywhere.
-    cent_rows = (
-        based.withColumn(
-            "cell", F.pmod(F.col(id_col), F.lit(n_cells)).cast("int")
-        )
-        .groupBy("cell")
-        .agg(F.min_by(F.col(vec_col), F.col(id_col)).alias("centroid"))
-        .orderBy("cell")
-        .collect()
-    )
-    cell_ids = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
-    C = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cell_ids, Cn = _coarse_centroids(based, n_cells, id_col, vec_col)
     bc = based.sparkSession.sparkContext.broadcast((cell_ids, Cn))
 
     def _assign(top: int):
@@ -1046,3 +1057,171 @@ def covariance_exact(
     (this is its (cov, mean, n) projection)."""
     cov, mean, n, _s1, _s2 = covariance_sufficient_stats(df, vec_col, scale)
     return cov, mean, n
+
+
+def build_ivf_index(
+    base: DataFrame,
+    index_dir: str,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize an IVF index as an ARTIFACT: cell-partitioned
+    vector parquet plus the centroid codebook — build once, serve
+    many, the FAISS-on-disk shape. Layout:
+
+        cells/cell=NNN/*.parquet    (rid, v) rows of that cell
+        _CENTROIDS.json             cell ids + centroid vectors + meta
+        _SUCCESS
+
+    The cell directory partitioning IS the serving win:
+    query_ivf_index filters on the probed cells, so partition pruning
+    reads nprobe/ncells of the data — at 100 TB a query touches a few
+    directories, never the table. Build cost: one centroid aggregate
+    + one map-only assignment pass + one partitioned write."""
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    based = _as_double(base, vec_col)
+    if n_cells is None:
+        n_cells = max(10, int(based.count() ** 0.5))
+    cell_ids, Cn = _coarse_centroids(based, n_cells, id_col, vec_col)
+    bc = based.sparkSession.sparkContext.broadcast((cell_ids, Cn))
+
+    def assign(batches):
+        import pandas as pd
+
+        cells_, Cn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            An = A / np.maximum(
+                np.linalg.norm(A, axis=1, keepdims=True), 1e-300
+            )
+            idx = np.argmax(An @ Cn_.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "rid": pdf["rid"].to_numpy(),
+                    "v": pdf["v"],
+                    "cell": cells_[idx],
+                }
+            )
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    assigned = rebalance_for_arrow(
+        based.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))
+    ).mapInPandas(assign, "rid long, v array<double>, cell int")
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(out / "cells"))
+    )
+    meta = {
+        "n_cells": int(n_cells),
+        "cell_ids": [int(c) for c in cell_ids],
+        "centroids_normed": [[float(x) for x in row] for row in Cn],
+    }
+    (out / "_CENTROIDS.json").write_text(_json.dumps(meta) + "\n")
+    (out / "_SUCCESS").write_text("")
+    return meta
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a persisted IVF index: probe each query's
+    n_probe nearest centroids (driver-side — the codebook is √n×dim),
+    read ONLY the probed cell directories (partition pruning), and
+    score with the per-cell cogrouped blocked matmul. Repeated query
+    batches never touch unprobed cells or rebuild anything."""
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    meta = _json.loads((Path(index_dir) / "_CENTROIDS.json").read_text())
+    cell_ids = np.array(meta["cell_ids"], dtype=np.int64)
+    Cn = np.array(meta["centroids_normed"], dtype=np.float64)
+    qrows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int"
+        )
+    Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    q_ids = np.array([int(r["rid"]) for r in qrows], dtype=np.int64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    t = min(n_probe, Cn.shape[0])
+    probe_idx = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :t]
+    probed = spark.createDataFrame(
+        [
+            (int(q_ids[i]), [float(x) for x in Q[i]], int(cell_ids[j]))
+            for i in range(len(q_ids))
+            for j in probe_idx[i]
+        ],
+        "rid long, v array<double>, cell int",
+    )
+    probe_cells = sorted({int(cell_ids[j]) for row in probe_idx for j in row})
+    base_cells = spark.read.parquet(
+        str(Path(index_dir) / "cells")
+    ).filter(F.col("cell").isin(probe_cells))
+
+    def score(key, a_pdf, q_pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "sim": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+        if not len(a_pdf) or not len(q_pdf):
+            return empty
+        B = np.stack(a_pdf["v"].to_numpy()).astype(np.float64)
+        b_ids = a_pdf["rid"].to_numpy(dtype=np.int64)
+        Qc = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+        qc_ids = q_pdf["rid"].to_numpy(dtype=np.int64)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        Qcn = Qc / np.maximum(
+            np.linalg.norm(Qc, axis=1, keepdims=True), 1e-300
+        )
+        S = Qcn @ Bn.T
+        S[qc_ids[:, None] == b_ids[None, :]] = -np.inf
+        tt = min(k, S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :tt]
+        sims = np.take_along_axis(S, idx, axis=1).ravel()
+        keep = sims > -np.inf
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qc_ids, tt)[keep],
+                "neighbor_id": b_ids[idx.ravel()][keep],
+                "sim": np.round(sims[keep], 6),
+            }
+        )
+
+    scored = (
+        base_cells.groupBy("cell")
+        .cogroup(probed.groupBy("cell"))
+        .applyInPandas(score, "query_id long, neighbor_id long, sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

