@@ -4385,3 +4385,73 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mu").cast("long").alias("mean_daily_cents"),
         )
     )
+
+
+@register(
+    "customer_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+      FROM spend
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS total,
+             CAST(SUM(rk * cents) AS HUGEINT) AS weighted
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(total AS BIGINT) AS total_cents,
+           CAST((2 * weighted - (n + 1) * total) * 1000000
+                // (n * total) AS BIGINT) AS gini_x1e6
+    FROM agg
+    """,
+)
+def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the one-number
+    concentration summary behind "do 20% of customers drive 80% of
+    revenue" (the integral twin of power_users_pareto's curve).
+    Integer-exact: G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over
+    cents-quantized spend with a TOTAL order (cents, custkey), floor-
+    quantized ×1e6 — both engines do the same exact integer
+    arithmetic, so the value is hash-gated.
+
+    Scale shape: the per-customer rollup collapses the fact table
+    first; the global rank runs through operators/ranking.
+    global_ranked (range-partitioned sort + per-partition offsets
+    folded back as literals — never a single-partition window over a
+    data-scaled frame); the final Gini is one 1-row aggregate."""
+    from dbeam_spark.operators.ranking import global_ranked
+
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked, _n = global_ranked(
+        spend, [F.col("cents"), F.col("o_custkey")], rank_col="rk"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("rk") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    # exact integer Gini on the driver (3 scalars; HUGEINT-equivalent
+    # via python ints — 2·weighted can exceed int64 only far beyond
+    # any earthly order volume, but python ints don't care)
+    r = agg.collect()[0]
+    n, total, weighted = int(r["n"]), int(r["total"]), int(r["weighted"])
+    gini_x1e6 = (2 * weighted - (n + 1) * total) * 1_000_000 // (n * total)
+    return spark.createDataFrame(
+        [(n, total, gini_x1e6)],
+        "n_customers long, total_cents long, gini_x1e6 long",
+    )
