@@ -4455,3 +4455,78 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, total, gini_x1e6)],
         "n_customers long, total_cents long, gini_x1e6 long",
     )
+
+
+@register(
+    "revenue_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS total
+      FROM daily
+    ),
+    dev AS (
+      SELECT day,
+             CAST(cents AS HUGEINT)
+               - (SELECT total // n FROM stats) AS d,
+             LAG(CAST(cents AS HUGEINT)
+                 - (SELECT total // n FROM stats)) OVER (
+               ORDER BY day) AS d_prev
+      FROM daily
+    ),
+    agg AS (
+      SELECT SUM(d * d) AS ss,
+             SUM(CASE WHEN d_prev IS NULL THEN 0 ELSE d * d_prev END)
+               AS cross_sum
+      FROM dev
+    )
+    SELECT CAST((SELECT n FROM stats) AS BIGINT) AS n_days,
+           CAST((SELECT cross_sum * 1000000 // ss FROM agg) AS BIGINT)
+             AS autocorr_lag1_x1e6
+    """,
+)
+def revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue — the persistence signal
+    behind "does a strong day predict the next" (the same deviation
+    series CUSUM peaks over, read as serial correlation; ρ₁ ≈ 0 says
+    shuffle-day noise, ρ₁ → 1 says momentum/level shifts). Exact
+    integer arithmetic end-to-end: cents, the floor mean, deviation
+    PRODUCTS (Σd·d₋₁ and Σd², exact Python/HUGEINT ints — each term
+    can pass int64, so the Spark side reduces the calendar-bounded
+    daily frame on the driver with big ints), and one floor-quantized
+    ratio — hash-gated against the HUGEINT SQL restatement.
+
+    Scale: one map-side-combinable daily rollup collapses the fact
+    table; everything after runs over ≤366 rows/year."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    rows = daily.orderBy("day").collect()  # calendar-bounded frame
+    cents = [int(r["cents"]) for r in rows]
+    n = len(cents)
+    mu = sum(cents) // n
+    d = [c - mu for c in cents]
+    ss = sum(x * x for x in d)
+    cross = sum(d[i] * d[i - 1] for i in range(1, n))
+    # TRUNCATING division (like DuckDB's integer `//` on a negative
+    # numerator): python's // floors toward −∞ and would come out one
+    # lower whenever ρ < 0 — the gotcha in reverse
+    num = cross * 1_000_000
+    q = abs(num) // ss
+    rho = -q if num < 0 else q
+    return spark.createDataFrame(
+        [(n, rho)],
+        "n_days long, autocorr_lag1_x1e6 long",
+    )
