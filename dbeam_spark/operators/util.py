@@ -29,13 +29,14 @@ def bounded_grain_window(*order_cols):
     BOUNDED regardless of data scale — calendar grains (≤366 rows per
     year of daily rollup, ≤12 monthly), top-N prefixes, or
     enumeration-bounded groups (event-type trigrams). A plain
-    `Window.orderBy(...)` executes identically but trips WindowExec's
-    unpartitioned-window WARN on every run, drowning the one case
-    that matters (a data-scaled global window — guarded separately in
-    tests/test_plan_regressions.py). Partitioning by a constant
-    states the bounded-grain intent in the plan: same single
-    partition, no warning, and the call site documents WHY the single
-    partition is safe by using this helper."""
+    `Window.orderBy(...)` executes identically; partitioning by a
+    constant states the bounded-grain intent in source, and the call
+    site documents WHY the single partition is safe by using this
+    helper. NOTE: Catalyst folds the constant back out of the
+    partition spec on Spark 4.x, so this does NOT silence WindowExec's
+    per-run WARN — `session.ensure_utc` sets that logger to ERROR
+    instead (the data-scaled-global-window hazard is guarded
+    structurally in tests/test_plan_regressions.py)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

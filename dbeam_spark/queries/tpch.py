@@ -2418,7 +2418,7 @@ def priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wp = Window.partitionBy("priority")
     wh = Window.partitionBy("half")
-    wg = Window.partitionBy()
+    wg = Window.partitionBy(F.lit(0))  # ≤10-cell frame, bounded by enum
     t = (
         cells.withColumn("row_t", F.sum("o").over(wp))
         .withColumn("col_t", F.sum("o").over(wh))
@@ -2489,10 +2489,16 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
-    w_cum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Single-partition by design over the REDUCED per-part frame (the
+    # docstring's dimension-cardinality argument); the constant
+    # partition key states that intent in source (Catalyst folds it
+    # back to an unpartitioned spec — ensure_utc squelches the WARN).
+    w_cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy()
+    w_all = Window.partitionBy(F.lit(0))
     ranked = pr.withColumn("cum_cents", F.sum("cents").over(w_cum)).withColumn(
         "total_cents", F.sum("cents").over(w_all)
     )
