@@ -147,20 +147,22 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     rows_per_minute = int(export_rows * 60 / export_sec)
 
-    # regression thresholds pinned at the round-2 reference numbers
-    # (best-of-2, sf0.1, local[32]): dedup_minhash_lsh 3.48s and
-    # export 19.4M rows/min — margins cover the documented VM
-    # scheduler noise. A violation is reported, not fatal: the driver
-    # consumes the stdout JSON line regardless.
+    # Regression tripwires sized to catch PLAN regressions (a ~2x
+    # slowdown from an added shuffle / lost pushdown), not host-speed
+    # drift: round-4 measured the same commit at 16.6s and 22.0s
+    # total on the same box hours apart (shared-host scheduler), so
+    # any floor within ~35% of a healthy reading false-positives. A
+    # violation is reported, not fatal: the driver consumes the
+    # stdout JSON line regardless.
     regressions = []
     if sf == "0.1":
-        if per_query.get("dedup_minhash_lsh", 0) > 3.2:
+        if per_query.get("dedup_minhash_lsh", 0) > 5.5:
             regressions.append(
-                f"dedup_minhash_lsh {per_query['dedup_minhash_lsh']}s > 3.2s"
+                f"dedup_minhash_lsh {per_query['dedup_minhash_lsh']}s > 5.5s"
             )
-        if rows_per_minute < 17_000_000:
+        if rows_per_minute < 10_000_000:
             regressions.append(
-                f"export {rows_per_minute} rows/min < 17M floor"
+                f"export {rows_per_minute} rows/min < 10M floor"
             )
     if regressions:
         import sys
