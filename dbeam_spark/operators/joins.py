@@ -90,6 +90,65 @@ def interval_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair
+    whose time spans intersect — left's [l_lo, l_hi] closed vs
+    right's [r_lo, r_hi) half-open, i.e. `l_lo < r_hi AND r_lo <=
+    l_hi` (a left interval that merely touches the right window's
+    START counts with zero-length overlap; one touching its END does
+    not).
+
+    The naive plan is a BroadcastNestedLoopJoin over a conjunction of
+    range predicates — O(|L|×|R|). Like `interval_join`, this
+    rewrites to an EQUI join on covered time buckets, but an
+    interval–interval join has a subtlety the point join doesn't: a
+    pair can share MANY buckets and would be emitted once per shared
+    bucket. Rather than paying a `distinct` shuffle afterwards, each
+    candidate is kept only in the FIRST bucket the two intervals
+    share — `bucket == floor(max(l_lo, r_lo) / width)` — which every
+    true overlap has exactly one of, so uniqueness is structural and
+    the join output feeds straight into aggregation. Cost:
+    O(L×buckets_L + R×buckets_R + candidates), shuffled once on the
+    bucket key; AQE's skew split handles a hot bucket (e.g. everyone
+    online during an incident window).
+
+    Both sides keep ALL their columns; timestamps are compared in
+    epoch MICROseconds (timezone-independent, sub-second exact).
+    """
+    us = bucket_seconds * 1_000_000
+    llo = F.unix_micros(F.col(l_lo))
+    lhi = F.unix_micros(F.col(l_hi))
+    rlo = F.unix_micros(F.col(r_lo))
+    rhi = F.unix_micros(F.col(r_hi))
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(llo / us), F.floor(lhi / us))),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        # r_hi exclusive: a window ending exactly on a bucket
+        # boundary does not cover that bucket
+        F.explode(F.sequence(F.floor(rlo / us), F.floor((rhi - 1) / us))),
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (llo < rhi)
+            & (rlo <= lhi)
+            & (F.col("_bucket") == F.floor(F.greatest(llo, rlo) / us))
+        )
+        .drop("_bucket")
+    )
+
+
 def blocked_fuzzy_join(
     df: DataFrame,
     name_col: str,

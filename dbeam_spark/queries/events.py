@@ -1758,3 +1758,117 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "GREATEST(SUM(CASE WHEN v + p > 0 THEN 1 ELSE 0 END), 1)"
         ).cast("long").alias("jaccard_x1e4"),
     )
+
+
+@register(
+    "session_hour_overlap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER uw IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER uw)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    s AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY 1, 2
+    ),
+    hr AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n_ev
+      FROM events GROUP BY 1
+      ORDER BY n_ev DESC, hour LIMIT 20
+    ),
+    j AS (
+      SELECT hr.hour, s.user_id,
+             LEAST(epoch_us(s.s_end), epoch_us(hr.hour) + 3600000000)
+               - GREATEST(epoch_us(s.s_start), epoch_us(hr.hour)) AS ov
+      FROM s JOIN hr
+        ON epoch_us(s.s_start) < epoch_us(hr.hour) + 3600000000
+       AND epoch_us(hr.hour) <= epoch_us(s.s_end)
+    )
+    SELECT hour,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(ov) AS BIGINT) AS overlap_micros
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def session_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: user sessions (30-min-gap
+    sessionization, [start, end] closed) against the 20 busiest
+    clock hours ([hour, hour+1h) half-open) — per hour, how many
+    sessions overlapped it, how many distinct users, and the exact
+    union of overlap time in MICROseconds. The peak-load attribution
+    query ("who was actually on during the spike, and for how long"),
+    and the registry face of `operators.joins.interval_overlap_join`.
+
+    A bare overlap predicate plans as BroadcastNestedLoopJoin
+    (O(|sessions|×|windows|) compares). The operator rewrites it as an
+    equi join on covered 1-hour buckets with pairs kept only in the
+    FIRST bucket both intervals share (`bucket ==
+    floor(max(starts)/width)`), so uniqueness is structural — no
+    post-join distinct shuffle — and the exact overlap predicate runs
+    as a bucket-local residual filter. At 100 TB: sessionization is
+    one user-partitioned window over a single shuffle, both interval
+    sets explode to O(rows × covered_buckets), and the join shuffles
+    once on the bucket key (AQE skew split absorbs an
+    everyone-online incident hour). All timestamps compared in exact
+    integer micros, so the whole report hash-matches the DuckDB
+    inequality-join restatement."""
+    from dbeam_spark.operators.joins import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sessions = (
+        marked.withColumn(
+            "sid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+        )
+    )
+    hours = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .orderBy(F.desc("n_ev"), "hour")
+        .limit(20)
+        .withColumn("h_end", F.col("hour") + F.expr("INTERVAL 1 HOUR"))
+    )
+    ov = F.least(
+        F.unix_micros("s_end"), F.unix_micros("h_end")
+    ) - F.greatest(F.unix_micros("s_start"), F.unix_micros("hour"))
+    return (
+        interval_overlap_join(
+            sessions, hours, "s_start", "s_end", "hour", "h_end", 3600
+        )
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(ov).cast("long").alias("overlap_micros"),
+        )
+        .orderBy("hour")
+    )

@@ -347,6 +347,76 @@ def test_interval_join_matches_bruteforce_random(spark):
     assert got == want
 
 
+def test_interval_overlap_join_semantics_and_plan(spark):
+    from datetime import datetime
+
+    from dbeam_spark.operators.joins import interval_overlap_join
+
+    sess = spark.createDataFrame(
+        [
+            # zero-length session exactly at window start: counts (ov 0)
+            (1, datetime(2024, 1, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0, 0)),
+            # ends exactly at window start: counts with zero overlap
+            (2, datetime(2024, 1, 1, 0, 30, 0), datetime(2024, 1, 1, 1, 0, 0)),
+            # starts exactly at window END (exclusive): does NOT count
+            (3, datetime(2024, 1, 1, 2, 0, 0), datetime(2024, 1, 1, 2, 30, 0)),
+            # spans MANY buckets across the window: exactly one output row
+            (4, datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 2, 0, 0, 0)),
+        ],
+        ["sid", "s_start", "s_end"],
+    )
+    wins = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 1, 0, 0), datetime(2024, 1, 1, 2, 0, 0))],
+        ["wid", "w_start", "w_end"],
+    )
+    out = interval_overlap_join(
+        sess, wins, "s_start", "s_end", "w_start", "w_end",
+        bucket_seconds=900,
+    )
+    got = sorted((r.sid, r.wid) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (4, 10)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_matches_bruteforce_random(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+
+    def mk(n, max_len_s, seed_off):
+        rows = []
+        for i in range(n):
+            lo = base + timedelta(
+                seconds=rng.randint(0, 3 * 86400),
+                microseconds=rng.randint(0, 999_999),
+            )
+            hi = lo + timedelta(seconds=rng.randint(0, max_len_s))
+            rows.append((i + seed_off, lo, hi))
+        return rows
+
+    left = mk(150, 86400, 0)
+    right = [(j, lo, hi + timedelta(seconds=1))
+             for j, lo, hi in mk(40, 43200, 1000)]
+    from dbeam_spark.operators.joins import interval_overlap_join
+
+    out = interval_overlap_join(
+        spark.createDataFrame(left, ["lid", "l_lo", "l_hi"]),
+        spark.createDataFrame(right, ["rid", "r_lo", "r_hi"]),
+        "l_lo", "l_hi", "r_lo", "r_hi", bucket_seconds=7200,
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (lid, rid)
+        for lid, llo, lhi in left
+        for rid, rlo, rhi in right
+        if llo < rhi and rlo <= lhi
+    )
+    assert got == want
+
+
 def test_connected_components_matches_union_find_random(spark):
     import random
 
