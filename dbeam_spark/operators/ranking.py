@@ -170,3 +170,77 @@ def ntile_from_rank(rank: Column, total: int, n_buckets: int) -> Column:
     big = F.ceil(rank / F.lit(q + 1))
     small = F.lit(rem) + F.ceil((rank - F.lit(threshold)) / F.lit(q))
     return F.when(rank <= F.lit(threshold), big).otherwise(small).cast("long")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach, to each row, the INCLUSIVE running sum of each column in
+    ``cols`` over the global ``order_by`` order (as ``_cum_<col>``) —
+    the prefix-sum primitive behind ECDFs, KS statistics, Lorenz
+    curves, and watermark ledgers, computed WITHOUT the
+    single-partition global window:
+
+    1. ``repartitionByRange`` on the order key (partition i sorts
+       strictly before partition i+1 — pass a unique tie-break so the
+       order is total),
+    2. per-partition running sums (PARTITIONED windows — bounded
+       sorts),
+    3. per-partition totals (|partitions| × |cols| scalars) folded
+       back as carry-in literal maps: partition i's carry is the sum
+       over all partitions < i.
+
+    Same contract as ``global_ranked``: the partitioned frame is
+    persisted so sampled range boundaries stay pinned between the
+    carry pass and the output pass. Sums are computed in LONG — the
+    caller keeps inputs integral (the repo-wide exactness idiom).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    parted = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn("_cs_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = parted.groupBy("_cs_pid").agg(
+        *[F.sum(c).cast("long").alias(c) for c in cols]
+    ).collect()
+    by_pid = {r["_cs_pid"]: r for r in totals}
+    out = parted
+    w = (
+        Window.partitionBy("_cs_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in cols:
+        carry: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(by_pid):
+            carry[pid] = acc
+            acc += by_pid[pid][c] or 0
+        if carry:
+            cmap = F.create_map(
+                *[
+                    F.lit(v)
+                    for pid in sorted(carry)
+                    for v in (pid, carry[pid])
+                ]
+            )
+            carry_in = F.coalesce(cmap[F.col("_cs_pid")], F.lit(0))
+        else:  # empty input: create_map() has VOID keys, carry is 0
+            carry_in = F.lit(0)
+        out = out.withColumn(
+            f"_cum_{c}",
+            (F.sum(c).over(w).cast("long") + carry_in).cast("long"),
+        )
+    return out.drop("_cs_pid")

@@ -4536,3 +4536,102 @@ def revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, rho)],
         "n_days long, autocorr_lag1_x1e6 long",
     )
+
+
+@register(
+    "ks_price_by_priority",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g
+      FROM orders
+    ),
+    d AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc2
+      FROM d
+    ),
+    t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d)
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(cc1 * t.n2 - cc2 * t.n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(cc1 * t.n2 - cc2 * t.n1)) * 1000000
+                // (t.n1 * t.n2) AS BIGINT) AS d_x1e6
+    FROM c, t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def ks_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: does the order-value
+    distribution of urgent/high-priority orders differ from the rest?
+    D = max |F₁(x) − F₂(x)| over the pooled sample — the
+    distribution-free drift test behind A/B sanity checks and
+    data-drift monitors. Everything is exact integer math: values are
+    cents, the ECDF difference is compared via the cross-multiplied
+    numerator |cc1·n2 − cc2·n1| (no division until the final reported
+    quantization), so the statistic hash-matches the SQL restatement
+    bit-for-bit.
+
+    Scale shape: one map-side-combinable groupBy collapses the fact
+    table to distinct values with per-group counts; the ECDF prefix
+    sums run through operators.ranking.global_cumsum (range-partition
+    + per-partition windows + carry fold — NO single-partition global
+    window), and the max reduces combinably. The int64 headroom note:
+    cc·n products need n1·n2·1e6 < 2^63, i.e. both samples under ~3B
+    rows at the 1e-6 quantization — past that, drop to 1e4
+    quantization or pre-bin values."""
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("g"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c2"),
+    )
+    c = global_cumsum(d, [F.col("v").asc()], ["c1", "c2"])
+    totals = d.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    num = F.abs(
+        F.col("_cum_c1") * F.col("n1_n2")[1]
+        - F.col("_cum_c2") * F.col("n1_n2")[0]
+    )
+    return (
+        c.crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.array("n1", "n2").alias("n1_n2"), "n1", "n2"
+                )
+            )
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max(num).cast("long").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            # integer DIV, not float /: d_num*1e6 can pass 2^53 where
+            # double division rounds but DuckDB's // stays exact
+            F.expr("d_num * 1000000 DIV (n1 * n2)")
+            .cast("long")
+            .alias("d_x1e6"),
+        )
+    )

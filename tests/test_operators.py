@@ -1556,3 +1556,37 @@ def test_ivf_index_build_and_serve(spark, tmp_path):
     assert sorted(map(tuple, served)) == sorted(map(tuple, fresh))
     # pruned read: the scan only lists the probed cell partitions
     assert len(served) == 10 * 5
+
+
+def test_global_cumsum_matches_single_window(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    rng = random.Random(3)
+    rows = [
+        (i, rng.randint(0, 1000), rng.randint(-5, 5), rng.randint(0, 9))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "a", "b"])
+    out = global_cumsum(
+        df, [F.col("v").asc(), F.col("k").asc()], ["a", "b"],
+        num_partitions=7,
+    ).collect()
+    got = {r["k"]: (r["_cum_a"], r["_cum_b"]) for r in out}
+    acc_a = acc_b = 0
+    for k, v, a, b in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc_a += a
+        acc_b += b
+        assert got[k] == (acc_a, acc_b), k
+
+
+def test_global_cumsum_empty(spark):
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame([], "k long, a long")
+    assert global_cumsum(df, [F.col("k").asc()], ["a"]).count() == 0
