@@ -4635,3 +4635,85 @@ def ks_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_x1e6"),
         )
     )
+
+
+@register(
+    "mannwhitney_price_returns",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+      FROM lineitem
+    ),
+    d AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c2,
+             COUNT(*) AS c
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v, c1, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+      FROM d
+    ),
+    t AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM d),
+    r AS (
+      -- 2*average tie rank of value v = (start + end) = 2*cc - c + 1
+      SELECT SUM(c1 * (2 * cc - c + 1)) AS r1_x2 FROM c
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(r.r1_x2 - t.n1 * (t.n1 + 1) AS BIGINT) AS u1_x2,
+           CAST((r.r1_x2 - t.n1 * (t.n1 + 1)) * 1000000
+                // (2 * t.n1 * t.n2) AS BIGINT) AS auc_x1e6
+    FROM t, r
+    """,
+)
+def mannwhitney_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between returned and kept
+    lineitem prices — the non-parametric "is one distribution
+    stochastically larger" companion to the KS drift test, with the
+    effect size reported as AUC = U/(n1·n2) (the probability a random
+    returned item outprices a random kept one). Tie handling is the
+    textbook average rank, kept integral by working in DOUBLED ranks:
+    2·avg_rank(v) = 2·cum_count(v) − count(v) + 1, so U is exact
+    integer end-to-end and the whole report hash-matches SQL.
+
+    Scale shape identical to ks_price_by_priority: one combinable
+    groupBy to distinct values, ECDF prefix sums via
+    operators.ranking.global_cumsum (no single-partition window), one
+    combinable rollup. Headroom: 2·R1 < 2·n², so int64 holds to
+    n ≈ 2B rows; past that pre-bin values."""
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c2"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    cum = global_cumsum(d, [F.col("v").asc()], ["c"])
+    r1 = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("_cum_c") - F.col("c") + 1)
+        ).cast("long").alias("r1_x2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    return r1.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        F.expr(
+            "(r1_x2 - n1 * (n1 + 1)) * 1000000 DIV (2 * n1 * n2)"
+        )
+        .cast("long")
+        .alias("auc_x1e6"),
+    )
