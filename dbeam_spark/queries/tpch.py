@@ -4717,3 +4717,85 @@ def mannwhitney_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_x1e6"),
     )
+
+
+@register(
+    "window_suite_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+             ROW_NUMBER() OVER w AS rk,
+             LAG(o_orderkey) OVER w AS prev_order,
+             LEAD(o_orderkey) OVER w AS next_order,
+             FIRST_VALUE(o_orderkey) OVER w AS first_order,
+             LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_order,
+             NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS second_order,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, prev_order, next_order,
+           first_order, last_order, second_order, quartile,
+           CAST((rk - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT)
+             AS pctrank_x1e6,
+           CAST(rk * 1000000 // n AS BIGINT) AS cume_x1e6
+    FROM base
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function surface in one partitioned pass:
+    lag/lead neighbors, first/last/nth order per customer, ntile
+    quartile, percent_rank and cume_dist — the full ANSI analytic
+    toolkit a reference user expects, demonstrated over a UNIQUE
+    per-customer total order (date + key tie-break) so every value is
+    deterministic. percent_rank/cume_dist are re-derived from the
+    exact integer rank ((rk−1)·1e6 DIV (n−1), rk·1e6 DIV n) instead
+    of the engines' float implementations — integer-exact, engine-
+    portable (the CLAUDE.md ROUND-on-division gotcha avoided at the
+    root). ONE shuffle on o_custkey feeds every function; all frames
+    are per-customer (bounded), no global window anywhere."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n"),
+        F.row_number().over(w).alias("rk"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        "prev_order",
+        "next_order",
+        "first_order",
+        "last_order",
+        "second_order",
+        "quartile",
+        F.expr("(rk - 1) * 1000000 DIV GREATEST(n - 1, 1)")
+        .cast("long")
+        .alias("pctrank_x1e6"),
+        F.expr("rk * 1000000 DIV n").cast("long").alias("cume_x1e6"),
+    ).orderBy("o_custkey", "o_orderkey")
