@@ -4319,3 +4319,89 @@ def dedup_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_kept"),
     ).orderBy("doc_id")
+
+
+@register(
+    "embedding_pair_cosine_audit",
+    oracle="""
+    WITH h AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             md5(CAST(vec_id AS VARCHAR)) AS hk
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, v,
+             ROW_NUMBER() OVER (ORDER BY hk, vec_id) AS rk
+      FROM h
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_inner_product(a.v, b.v)
+                   / (sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM r a JOIN r b ON b.rk = a.rk + 1
+      WHERE a.rk % 2 = 1
+    )
+    SELECT CAST(FLOOR(sim * 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(sim * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_sim_x1e6
+    FROM pairs
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_pair_cosine_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-collapse audit: the cosine distribution over a
+    DETERMINISTIC random perfect matching of the corpus (vectors
+    ordered by md5(vec_id), adjacent ranks paired). Healthy
+    embeddings put random-pair cosine mass near 0; a distribution
+    shifted toward 1 is the classic anisotropy/collapse signal
+    (Ethayarajh 2019) that makes downstream near-dup thresholds
+    meaningless. The hash order is a seedless engine-portable shuffle
+    — no RNG, same pairs in both engines.
+
+    Scale shape: ranks come from operators.ranking.global_ranked
+    (range-partitioned, no global window), pairing is ONE equi join
+    on pair index (n/2 keys, uniform by construction — hash order
+    destroys any id locality), and the 64-term cosine runs as an
+    explicit codegen'd expression chain summing in DuckDB's
+    list_inner_product order, so each pair's double is bit-identical
+    and the 1e-6-quantized rollup hash-matches. O(n) pairs total —
+    the audit costs one scan + one join at any corpus size."""
+    from dbeam_spark.operators.ranking import global_ranked
+    from dbeam_spark.operators.similarity import _as_double, cosine
+
+    emb = _as_double(_emb(spark, sf_dir), "embedding")
+    h = emb.select(
+        "vec_id",
+        "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("hk"),
+    )
+    ranked, _n = global_ranked(
+        h, [F.col("hk").asc(), F.col("vec_id").asc()]
+    )
+    left = ranked.filter(F.col("_rank") % 2 == 1).select(
+        ((F.col("_rank") + 1) / 2).cast("long").alias("pid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    right = ranked.filter(F.col("_rank") % 2 == 0).select(
+        (F.col("_rank") / 2).cast("long").alias("pid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb"), 64), 6)
+    return (
+        left.join(right, "pid")
+        .select(sim.alias("sim"))
+        .groupBy(F.floor(F.col("sim") * 10).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.round(F.col("sim") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("sum_sim_x1e6"),
+        )
+        .orderBy("bin")
+    )
