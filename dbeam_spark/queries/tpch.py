@@ -4799,3 +4799,159 @@ def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pctrank_x1e6"),
         F.expr("rk * 1000000 DIV n").cast("long").alias("cume_x1e6"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT v, w,
+             SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM d
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM d)
+    SELECT t.total_w,
+           CAST(MIN(CASE WHEN c.cw * 2 >= t.total_w THEN c.v END)
+                AS BIGINT) AS median_cents
+    FROM c, t GROUP BY t.total_w
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price — "the price the median
+    SHIPPED UNIT carried", which diverges from the row median whenever
+    cheap items ship in bulk (the inventory-pricing statistic plain
+    percentile() cannot express; neither engine has a weighted
+    quantile builtin). Definition: smallest value whose cumulative
+    weight reaches half the total, compared as cw·2 ≥ total so
+    half-integers never materialize — exact integer math end-to-end.
+
+    Scale shape: one combinable groupBy to distinct price points
+    (weights pre-summed map-side), cumulative weights via
+    operators.ranking.global_cumsum (range-partitioned, no global
+    window), and the selection is a combinable conditional MIN. The
+    same frame yields any weighted quantile by changing the ×2
+    comparison."""
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    ).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("w")
+    )
+    c = global_cumsum(d, [F.col("v").asc()], ["w"])
+    return (
+        c.crossJoin(
+            F.broadcast(
+                d.agg(F.sum("w").cast("long").alias("total_w"))
+            )
+        )
+        .groupBy("total_w")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum_w") * 2 >= F.col("total_w"), F.col("v")
+                )
+            )
+            .cast("long")
+            .alias("median_cents")
+        )
+    )
+
+
+@register(
+    "lorenz_deciles_customers",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    dec AS (
+      SELECT cents,
+             CAST(NTILE(10) OVER (ORDER BY cents, o_custkey)
+                  AS BIGINT) AS decile
+      FROM pc
+    ),
+    g AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM dec GROUP BY 1
+    )
+    SELECT decile, n_customers, cents,
+           CAST(SUM(cents) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) * 1000000
+                // (SELECT SUM(cents) FROM g) AS BIGINT)
+             AS cum_share_x1e6
+    FROM g ORDER BY decile
+    """,
+)
+def lorenz_deciles_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz curve of customer spend by decile — the concentration
+    table behind the Gini coefficient (customer_gini reports the
+    scalar; this shows WHERE the curve bends: 'the top decile carries
+    N% of revenue'). Deciles are cut on the exact integer rank from
+    operators.ranking.global_ranked over a UNIQUE total order
+    (cents, custkey), so bucket edges are engine-exact — no
+    interpolated quantiles; shares are ×1e6 integer-quantized floor
+    divisions of exact cent sums.
+
+    Scale shape: one combinable per-customer rollup, a
+    range-partitioned global rank (no single-task window), a 10-group
+    combinable rollup; the final cumulative share runs over the
+    10-row decile frame (bounded_grain_window — bounded by the decile
+    enum, not the data)."""
+    from dbeam_spark.operators.ranking import (
+        global_ranked,
+        ntile_from_rank,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    pc = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked, n = global_ranked(
+        pc, [F.col("cents").asc(), F.col("o_custkey").asc()]
+    )
+    g = (
+        ranked.select(
+            ntile_from_rank(F.col("_rank"), n, 10).alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    # cumulative share over the 10-row decile frame — bounded by the
+    # decile enum, not the data (WindowExec WARN squelched in session)
+    return (
+        g.crossJoin(
+            F.broadcast(g.agg(F.sum("cents").cast("long").alias("tot")))
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "cents",
+            F.expr(
+                "SUM(cents) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "* 1000000 DIV tot"
+            )
+            .cast("long")
+            .alias("cum_share_x1e6"),
+        )
+        .orderBy("decile")
+    )

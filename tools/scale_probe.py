@@ -84,6 +84,14 @@ PROBES = [
     "knn_ivf",
     "dedup_incremental",
     "hll_rolling_users",
+    # round-4 continuation: interval-interval bucket join, the
+    # global_cumsum ECDF primitive (KS + Mann-Whitney), the
+    # global_ranked pair matching, and the analytic window suite
+    "session_hour_overlap",
+    "ks_price_by_priority",
+    "mannwhitney_price_returns",
+    "embedding_pair_cosine_audit",
+    "window_suite_orders",
 ]
 
 
