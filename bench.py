@@ -49,6 +49,9 @@ EXTENDED = [
     # round-4 flagships
     "dedup_exact_substring",
     "dedup_span_repair",
+    "session_hour_overlap",
+    "ks_price_by_priority",
+    "embedding_pair_cosine_audit",
 ]
 
 
