@@ -200,3 +200,56 @@ def read_jdbc(
     return JdbcSourcePlan(
         df=df, queries=queries, base_query=partitioned_qb.build()
     )
+
+
+def list_tables(
+    spark: SparkSession,
+    connection_url: str,
+    username: str | None = None,
+    password: str | None = None,
+    schema_pattern: str | None = None,
+) -> list[str]:
+    """Discover exportable TABLEs via java.sql DatabaseMetaData
+    .getTables — the JDBC-standard catalog walk (works on any driver
+    Spark can load; the reference has no schema-wide mode, each dbeam
+    run names one table). Returns sorted fully-usable table names:
+    bare names when the table lives in the connection's default
+    schema, SCHEMA.NAME otherwise. System schemas (SYS*,
+    INFORMATION_SCHEMA, PG_CATALOG) are skipped."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    props = jvm.java.util.Properties()
+    if username:
+        props.setProperty("user", username)
+    if password is not None:
+        props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(connection_url, props)
+    try:
+        md = conn.getMetaData()
+        types = gw.new_array(jvm.java.lang.String, 1)
+        types[0] = "TABLE"
+        rs = md.getTables(None, schema_pattern, "%", types)
+        default_schema = None
+        try:
+            default_schema = conn.getSchema()
+        except Exception:
+            pass  # older drivers: no getSchema; always qualify
+        out = []
+        while rs.next():
+            sch = rs.getString("TABLE_SCHEM") or ""
+            name = rs.getString("TABLE_NAME")
+            up = sch.upper()
+            if up.startswith("SYS") or up in (
+                "INFORMATION_SCHEMA",
+                "PG_CATALOG",
+            ):
+                continue
+            if default_schema is not None and up == default_schema.upper():
+                out.append(name)
+            elif sch:
+                out.append(f"{sch}.{name}")
+            else:
+                out.append(name)
+        return sorted(out)
+    finally:
+        conn.close()

@@ -485,3 +485,52 @@ def test_count_ocf_rows_matches_reader(spark, derby_db, tmp_path):
         assert n == len(read_avro_file(p)[1])
         total += n
     assert total == 1000
+
+
+def test_schema_export_discovers_and_exports_all_tables(
+    spark, derby_db, tmp_path
+):
+    import json
+
+    from dbeam_spark.jobs.schema_export import run_schema_export
+    from dbeam_spark.sources.jdbc import list_tables
+
+    # add a second fixture table so discovery has something to find
+    spark.range(0, 50).selectExpr(
+        "id AS T_ID", "CONCAT('tea_', id) AS KIND"
+    ).write.format("jdbc").option("url", f"{derby_db};create=true").option(
+        "user", "dbeam"
+    ).option("dbtable", "TEAS").mode("overwrite").save()
+
+    found = list_tables(spark, derby_db, "dbeam", None)
+    assert "COFFEES" in found and "TEAS" in found
+
+    out = tmp_path / "schema_out"
+    report = run_schema_export(spark, opts_for(derby_db, out))
+    assert report["failed"] == 0
+    assert report["ok"] == len(found)
+    assert (out / "_SUCCESS").exists()
+    saved = json.loads((out / "_SCHEMA_METRICS.json").read_text())
+    assert saved["tables"]["COFFEES"]["status"] == "ok"
+    # per-table layout identical to a single-table run
+    assert (out / "coffees" / "_SUCCESS").exists()
+    assert (out / "teas" / "_AVRO_SCHEMA.avsc").exists()
+    n = saved["tables"]["TEAS"]["metrics"]["recordCount"]
+    assert n == 50
+
+
+def test_schema_export_isolates_per_table_failures(
+    spark, derby_db, tmp_path
+):
+    from dbeam_spark.jobs.schema_export import run_schema_export
+
+    out = tmp_path / "schema_fail"
+    report = run_schema_export(
+        spark,
+        opts_for(derby_db, out),
+        tables=["COFFEES", "NO_SUCH_TABLE"],
+    )
+    assert report["ok"] == 1 and report["failed"] == 1
+    assert report["tables"]["NO_SUCH_TABLE"]["status"] == "failed"
+    assert not (out / "_SUCCESS").exists()  # fleet not green
+    assert (out / "coffees" / "_SUCCESS").exists()  # but COFFEES is
