@@ -1825,8 +1825,6 @@ def session_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     everyone-online incident hour). All timestamps compared in exact
     integer micros, so the whole report hash-matches the DuckDB
     inequality-join restatement."""
-    from dbeam_spark.operators.joins import interval_overlap_join
-
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
@@ -1850,6 +1848,19 @@ def session_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
         )
     )
+    return busiest_hours_overlap_rollup(ev, sessions)
+
+
+def busiest_hours_overlap_rollup(
+    ev: DataFrame, sessions: DataFrame
+) -> DataFrame:
+    """Shared tail of session_hour_overlap and its streaming twin:
+    top-20 busiest hours from the batch events frame, the
+    interval_overlap_join against the given session frame
+    ([s_start, s_end] closed per session row), and the per-hour
+    rollup in exact integer micros."""
+    from dbeam_spark.operators.joins import interval_overlap_join
+
     hours = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count(F.lit(1)).alias("n_ev"))
@@ -1872,3 +1883,87 @@ def session_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "holt_forecast_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(n ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 2
+    ),
+    folded AS (
+      SELECT event_type, len(vals) AS n_days,
+             list_reduce(
+               [[vals[1], vals[2] - vals[1]]] ||
+                 list_transform(vals[3:], x -> [x, 0.0]),
+               (acc, x) ->
+                 [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                  0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+                         - acc[1]) + 0.7 * acc[2]]) AS lb
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(FLOOR(lb[1] * 1000000) AS BIGINT) AS level_x1e6,
+           CAST(FLOOR(lb[2] * 1000000) AS BIGINT) AS trend_x1e6,
+           CAST(FLOOR((lb[1] + lb[2]) * 1000000) AS BIGINT)
+             AS forecast_x1e6
+    FROM folded ORDER BY event_type
+    """,
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast per event type (double exponential
+    smoothing, α=0.5 β=0.3): level + trend state folded over the
+    day-ordered daily counts, forecast = level + trend — the step up
+    from daily_forecast_ewma when volume has drift (a plain EWMA lags
+    a trending series by design). Seed: level = x₀, trend = x₁−x₀.
+
+    Same exactness argument as the EWMA entry: the fold is sequential
+    by definition but runs over the CALENDAR-bounded daily rollup (the
+    data-scaled work is one combinable (type, day) count), and both
+    engines fold the SAME IEEE-double expressions left-to-right —
+    Spark's aggregate() with a struct accumulator, DuckDB's
+    list_reduce with a [level, trend] pair accumulator (its acc type
+    must equal the element type, hence pairs) — so even this float
+    recursion hash-matches bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("vals")
+    ).filter(F.size("vals") >= 2)
+    folded = series.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_days"),
+        F.expr(
+            "aggregate(slice(vals, 3, size(vals) - 2), "
+            "named_struct('l', vals[0], 'b', vals[1] - vals[0]), "
+            "(acc, x) -> named_struct("
+            "'l', 0.5 * x + 0.5 * (acc.l + acc.b), "
+            "'b', 0.3 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l) "
+            "+ 0.7 * acc.b))"
+        ).alias("lb"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr("CAST(FLOOR(lb.l * 1000000) AS BIGINT)").alias(
+            "level_x1e6"
+        ),
+        F.expr("CAST(FLOOR(lb.b * 1000000) AS BIGINT)").alias(
+            "trend_x1e6"
+        ),
+        F.expr(
+            "CAST(FLOOR((lb.l + lb.b) * 1000000) AS BIGINT)"
+        ).alias("forecast_x1e6"),
+    ).orderBy("event_type")

@@ -1233,3 +1233,85 @@ def stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_days").alias("n_days"),
         )
     )
+
+
+@register(
+    "stream_session_hour_overlap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER uw IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER uw)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    s AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY 1, 2
+    ),
+    hr AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n_ev
+      FROM events GROUP BY 1
+      ORDER BY n_ev DESC, hour LIMIT 20
+    ),
+    j AS (
+      SELECT hr.hour, s.user_id,
+             LEAST(epoch_us(s.s_end), epoch_us(hr.hour) + 3600000000)
+               - GREATEST(epoch_us(s.s_start), epoch_us(hr.hour)) AS ov
+      FROM s JOIN hr
+        ON epoch_us(s.s_start) < epoch_us(hr.hour) + 3600000000
+       AND epoch_us(hr.hour) <= epoch_us(s.s_end)
+    )
+    SELECT hour,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(ov) AS BIGINT) AS overlap_micros
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_session_hour_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of session_hour_overlap: sessions are built by
+    Structured Streaming's session_window (30-min gap, APPEND mode —
+    each session emitted once when the watermark seals it, sentinel-
+    flushed for the finite replay), then the emitted session ledger
+    feeds the SAME busiest-hours interval_overlap_join + rollup the
+    batch query uses. Session bounds are MIN(ts)/MAX(ts) aggregates —
+    not the session_window's padded end (last event + gap) — so the
+    ledger equals the batch lag/cumsum sessionization row-for-row and
+    the whole report hash-matches the batch SQL oracle. Production
+    shape: the stream maintains the session ledger continuously;
+    the overlap join is the cheap batch tail over closed sessions."""
+    from dbeam_spark.queries.events import busiest_hours_overlap_rollup
+    from dbeam_spark.sources.files import load_table
+
+    name = f"sho_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir, flush_sentinel=True)
+        .withWatermark("ts", "45 minutes")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+    )
+    _run_stream(agg, name, "append")
+    sessions = (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "s_start", "s_end")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return busiest_hours_overlap_rollup(ev, sessions)
