@@ -1967,3 +1967,92 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(FLOOR((lb.l + lb.b) * 1000000) AS BIGINT)"
         ).alias("forecast_x1e6"),
     ).orderBy("event_type")
+
+
+def _markov_oracle(iters: int = 20) -> str:
+    """Unrolled integer power-iteration CTE chain (the PageRank-oracle
+    pattern): p0 = uniform 1e6 // k over types with outgoing edges;
+    p{i+1}[j] = Σ_i (p{i}[i] · cnt_ij) // tot_i — all BIGINT, `//`
+    truncating on positives, so DuckDB reproduces the Spark driver
+    fold bit-for-bit."""
+    head = """
+    WITH pairs AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tr0 AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt
+      FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT src FROM tr0),
+    tr AS (SELECT t.* FROM tr0 t JOIN nodes n ON t.dst = n.src),
+    r AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS tot FROM tr GROUP BY 1),
+    p0 AS (
+      SELECT src AS t,
+             CAST(1000000 // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+               AS mass
+      FROM nodes
+    )"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    p{k} AS (
+      SELECT n.src AS t, CAST(COALESCE(f.inflow, 0) AS BIGINT) AS mass
+      FROM nodes n LEFT JOIN (
+        SELECT tr.dst AS t, SUM(p.mass * tr.cnt // r.tot) AS inflow
+        FROM p{k - 1} p JOIN tr ON tr.src = p.t JOIN r ON r.src = p.t
+        GROUP BY tr.dst
+      ) f ON f.t = n.src
+    )""")
+    tail = f"""
+    SELECT t AS event_type, mass AS pi_x1e6 FROM p{iters} ORDER BY 1
+    """
+    return head + "".join(steps) + tail
+
+
+@register("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — the
+    steady-state behavioral mix ("where does a user session settle if
+    the observed transition dynamics keep running"), the aggregate
+    twin of per-transition probabilities (event_transitions) and the
+    simplest behavioral drift fingerprint: compare π week over week.
+
+    20 integer power iterations in 1e6 micro-mass units — every step
+    is Σ (mass·count) // total over BIGINTs, so Spark and DuckDB
+    truncate identically and even this iterative fixed point is
+    hash-gated (the embedding_pagerank precedent, here over the
+    event-type enum). Scale split: the data-scaled work is ONE
+    distributed LEAD window + transition-count rollup (combinable,
+    |types|² groups); the iteration runs driver-side over the
+    enum-bounded count matrix (≤ ~36 rows) with exact Python ints —
+    the calendar-bounded-collect idiom, bounded by the type enum."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = {
+        (r["src"], r["dst"]): r["cnt"]
+        for r in pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # enum-bounded: |types|^2 rows
+    }
+    nodes = sorted({s for s, _ in counts})
+    node_set = set(nodes)
+    tr = {k: v for k, v in counts.items() if k[1] in node_set}
+    tot = {t: sum(v for (s, _), v in tr.items() if s == t) for t in nodes}
+    mass = {t: 1_000_000 // len(nodes) for t in nodes}
+    for _ in range(20):
+        nxt = {t: 0 for t in nodes}
+        for (s, d), c in tr.items():
+            nxt[d] += mass[s] * c // tot[s]
+        mass = nxt
+    return spark.createDataFrame(
+        [(t, mass[t]) for t in nodes], "event_type string, pi_x1e6 long"
+    ).orderBy("event_type")
