@@ -4955,3 +4955,194 @@ def lorenz_deciles_customers(
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "bootstrap_median_ci",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    grid AS (
+      SELECT b, d.day_us, d.cents,
+             ('0x' || substr(md5(b || '-' || d.day_us), 1, 8))::BIGINT
+               % 1000000 AS u
+      FROM range(0, 100) t(b) CROSS JOIN daily d
+    ),
+    wtd AS (
+      SELECT b, cents,
+             CASE WHEN u < 367879 THEN 0
+                  WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2
+                  WHEN u < 981012 THEN 3
+                  ELSE 4 END AS w
+      FROM grid
+    ),
+    cum AS (
+      SELECT b, cents, w,
+             SUM(w) OVER (PARTITION BY b ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY b) AS tw
+      FROM wtd WHERE w > 0
+    ),
+    med AS (
+      SELECT b, MIN(CASE WHEN cw * 2 >= tw THEN cents END) AS m
+      FROM cum GROUP BY b
+    ),
+    ordered AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM med
+    ),
+    point AS (
+      SELECT MIN(CASE WHEN cw * 2 >= tw THEN cents END) AS m FROM (
+        SELECT cents,
+               SUM(1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                 AS cw,
+               COUNT(*) OVER () AS tw
+        FROM daily)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(100 AS BIGINT) AS n_resamples,
+           CAST((SELECT m FROM point) AS BIGINT) AS median_cents,
+           CAST(MAX(CASE WHEN rn = 5 THEN m END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rn = 95 THEN m END) AS BIGINT)
+             AS ci_hi_cents
+    FROM ordered
+    """,
+)
+def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 90% confidence interval for the median daily revenue
+    — the Poisson bootstrap (each observation enters resample b with
+    weight ~ Poisson(1), the at-scale bootstrap used when you cannot
+    index into the sample), made fully DETERMINISTIC: weights come
+    from md5(b, day) through the exact integer inverse-CDF thresholds
+    (367879 / 735759 / 919699 / 981012 ppm, tail capped at 4), so no
+    RNG, and every resample is reproducible in both engines.
+    Per-resample medians use the weighted-median rule (smallest value
+    whose doubled cumulative weight reaches the total); the CI is the
+    5th/95th order statistic of the 100 resample medians. Exact
+    integer arithmetic end-to-end — a hash-gated bootstrap.
+
+    Scale shape: the fact table collapses through ONE combinable
+    daily rollup; the bootstrap grid is B × calendar days (bounded by
+    the CALENDAR, not the data — 100 resamples of a 10-year daily
+    series is 365k rows at any corpus size), partitioned per resample
+    for the cumulative pass. The unpartitioned point-estimate window
+    runs over the same calendar-bounded frame."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.unix_micros(F.date_trunc("day", "o_orderdate")).alias("day_us")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    grid = daily.crossJoin(
+        spark.range(0, 100).select(F.col("id").alias("b"))
+    ).select(
+        "b",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("b").cast("string"),
+                            F.col("day_us").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("u"),
+    )
+    wtd = grid.select(
+        "b",
+        "cents",
+        F.when(F.col("u") < 367879, 0)
+        .when(F.col("u") < 735759, 1)
+        .when(F.col("u") < 919699, 2)
+        .when(F.col("u") < 981012, 3)
+        .otherwise(4)
+        .alias("w"),
+    ).where(F.col("w") > 0)
+    wb = Window.partitionBy("b").orderBy("cents")
+    cum = wtd.select(
+        "b",
+        "cents",
+        F.sum("w").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(Window.partitionBy("b")).alias("tw"),
+    )
+    med = cum.groupBy("b").agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))
+        ).alias("m")
+    )
+    ordered = med.select(
+        "m",
+        F.row_number()
+        .over(bounded_grain_window(F.col("m").asc()))
+        .alias("rn"),
+    )
+    # point estimate: unweighted median over the calendar-bounded
+    # daily frame (same doubled-cum rule, w = 1)
+    pcum = daily.select(
+        "cents",
+        F.sum(F.lit(1))
+        .over(
+            bounded_grain_window(F.col("cents").asc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cw"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.lit(0)))
+        .alias("tw"),
+    )
+    point = pcum.agg(
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("median_cents")
+    )
+    n_days = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ci = ordered.agg(
+        F.max(F.when(F.col("rn") == 5, F.col("m")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == 95, F.col("m")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+    return (
+        n_days.crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.lit(100).cast("long").alias("n_resamples")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(ci))
+        .select(
+            "n_days",
+            "n_resamples",
+            "median_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
