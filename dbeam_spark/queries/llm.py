@@ -4405,3 +4405,83 @@ def embedding_pair_cosine_audit(
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "knn_ivf_probe_sweep",
+    oracle="""
+    SELECT p.n_probe,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+                AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+                * 5 AS BIGINT) AS total_results,
+           TRUE AS every_query_complete,
+           TRUE AS recall_ge_floor,
+           TRUE AS recall_monotone
+    FROM (SELECT UNNEST([1, 2, 4]) AS n_probe) p
+    ORDER BY p.n_probe
+    """,
+)
+def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN operating-point curve: recall@5 vs n_probe ∈ {1, 2, 4}
+    against the hash-gated exact brute-force twin — the measurement a
+    team does before picking an IVF serving configuration (probe more
+    cells → more recall, more cost). Gate contract (the knn_ivf /
+    dedup_lsh_recall invariant pattern): SQL-exact query-set size and
+    result volume per probe level, every-query-complete, wide-margin
+    recall floors (≥0.15 / ≥0.25 / ≥0.40 for probes 1/2/4; measured
+    0.5-0.95, floors absorb regenerated-data variance), and
+    monotonicity — which is STRUCTURAL, not statistical: the
+    deterministic coarse quantizer is identical across calls, so the
+    probed cell set at n_probe=4 is a superset of n_probe=1 and
+    recall cannot decrease. Raw per-probe neighbor lists remain
+    available from the operator."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    n_queries = q.count()
+    exact = similarity.knn_bruteforce(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact.cache()
+    n_exact = exact.count()
+    floors = {1: 15, 2: 25, 4: 40}
+    rows = []
+    prev_hits = -1
+    monotone = True
+    for n_probe in (1, 2, 4):
+        approx = similarity.knn_ivf(
+            emb, q, k=5, n_probe=n_probe
+        ).select("query_id", "neighbor_id")
+        approx.cache()
+        per_q = approx.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        complete = (
+            per_q.filter(F.col("n_rows") != 5).count() == 0
+            and per_q.count() == n_queries
+        )
+        hits = exact.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        if hits < prev_hits:
+            monotone = False
+        prev_hits = hits
+        rows.append(
+            (
+                n_probe,
+                n_queries,
+                5,
+                n_queries * 5,
+                bool(complete),
+                bool(hits * 100 >= n_exact * floors[n_probe]),
+            )
+        )
+        approx.unpersist()
+    exact.unpersist()
+    return spark.createDataFrame(
+        [r + (monotone,) for r in rows],
+        "n_probe long, n_queries long, k long, total_results long, "
+        "every_query_complete boolean, recall_ge_floor boolean, "
+        "recall_monotone boolean",
+    ).orderBy("n_probe")
