@@ -2056,3 +2056,115 @@ def events_markov_stationary(
     return spark.createDataFrame(
         [(t, mass[t]) for t in nodes], "event_type string, pi_x1e6 long"
     ).orderBy("event_type")
+
+
+@register(
+    "concurrent_sessions_daily_peak",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER uw IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER uw)
+                     > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    s AS (
+      SELECT user_id, sid,
+             epoch_us(MIN(ts)) AS a, epoch_us(MAX(ts)) AS b
+      FROM sess GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT a AS tu, 1 AS d FROM s
+      UNION ALL
+      SELECT b + 1, -1 FROM s
+      UNION ALL
+      SELECT DISTINCT epoch_us(date_trunc('day', ts)), 0 FROM events
+    ),
+    net AS (
+      SELECT tu, CAST(SUM(d) AS BIGINT) AS net FROM pts GROUP BY tu
+    ),
+    run AS (
+      SELECT tu,
+             SUM(net) OVER (ORDER BY tu ROWS UNBOUNDED PRECEDING)
+               AS running
+      FROM net
+    )
+    SELECT make_timestamp(tu // 86400000000 * 86400000000) AS day,
+           CAST(MAX(running) AS BIGINT) AS max_concurrency
+    FROM run GROUP BY 1 ORDER BY 1
+    """,
+)
+def concurrent_sessions_daily_peak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak simultaneous sessions per day — the capacity-planning
+    sweep-line: +1 at each session start, −1 one microsecond after
+    its close (closed intervals), running sum = live concurrency.
+    Zero-delta points at every observed midnight make the per-day
+    maximum exact even when a day's true peak is the CARRY-IN from a
+    session spanning midnight (without them the sweep only evaluates
+    at delta points inside the day). All integer micros; hash-gated.
+
+    Scale shape: sessionization is one user-partitioned window; the
+    sweep reduces to distinct timestamps (combinable net-delta
+    groupBy) and the running sum is operators.ranking.global_cumsum —
+    range-partitioned, no single-task window, no interval self-join
+    (the naive 'count overlapping sessions per session' is a
+    quadratic interval join; the sweep is O(n log n) by sort)."""
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1)
+            .otherwise(0)
+            .alias("brk"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("a"),
+            F.unix_micros(F.max("ts")).alias("b"),
+        )
+    )
+    pts = (
+        sess.select(F.col("a").alias("tu"), F.lit(1).alias("d"))
+        .unionAll(
+            sess.select((F.col("b") + 1).alias("tu"), F.lit(-1).alias("d"))
+        )
+        .unionAll(
+            ev.select(
+                F.unix_micros(F.date_trunc("day", "ts")).alias("tu"),
+                F.lit(0).alias("d"),
+            ).distinct()
+        )
+    )
+    net = pts.groupBy("tu").agg(F.sum("d").cast("long").alias("net"))
+    run = global_cumsum(net, [F.col("tu").asc()], ["net"])
+    return (
+        run.groupBy(
+            F.timestamp_micros(
+                F.expr("tu DIV 86400000000 * 86400000000")
+            ).alias("day")
+        )
+        .agg(F.max("_cum_net").cast("long").alias("max_concurrency"))
+        .orderBy("day")
+    )
