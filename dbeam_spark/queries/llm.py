@@ -4485,3 +4485,116 @@ def knn_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every_query_complete boolean, recall_ge_floor boolean, "
         "recall_monotone boolean",
     ).orderBy("n_probe")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 10) -> str:
+    """Unrolled k-core peel: c0 = all kNN-graph nodes; c{i+1} = nodes
+    with ≥ k neighbors INSIDE c{i}. Fixpoint in practice well before
+    `rounds`; convergence is reported, not assumed."""
+    head = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 3
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+             GREATEST(query_id, neighbor_id) AS b
+      FROM knn
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS id, b AS nb FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    c0 AS MATERIALIZED (SELECT DISTINCT id FROM adj)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+    deg{i} AS (
+      SELECT id, COUNT(*) AS dg FROM adj
+      WHERE id IN (SELECT id FROM c{i - 1})
+        AND nb IN (SELECT id FROM c{i - 1})
+      GROUP BY id
+    ),
+    c{i} AS MATERIALIZED (SELECT id FROM deg{i} WHERE dg >= {k})""")
+    tail = f""",
+    final_deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM adj
+      WHERE id IN (SELECT id FROM c{rounds})
+        AND nb IN (SELECT id FROM c{rounds})
+      GROUP BY id
+    )
+    SELECT id AS vec_id, core_degree,
+           (SELECT COUNT(*) FROM c{rounds})
+             = (SELECT COUNT(*) FROM c{rounds - 1}) AS converged
+    FROM final_deg ORDER BY vec_id
+    """
+    return head + "".join(steps) + tail
+
+
+@register("knn_kcore", oracle=_kcore_oracle())
+def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the exact kNN graph (k=3 neighbors, undirected):
+    iteratively peel nodes with fewer than 3 surviving neighbors —
+    the densest-region extractor behind community seeding and
+    embedding-cluster quality checks (a vector outside the 3-core has
+    weak mutual-neighbor support; near-dup clusters live inside it).
+    10 peel rounds, fixpoint REPORTED (`converged`) not assumed — the
+    membership and in-core degrees hash-match the unrolled SQL peel
+    exactly (no floats anywhere past the rank-6-rounded edge build).
+
+    Scale shape: the edge list comes from the same kNN join the
+    self-join/triangle entries use (size-gated exact, IVF above the
+    gate); each peel round is ONE semi-join + degree groupBy over the
+    CURRENT core (monotonically shrinking), with the adjacency frame
+    localCheckpointed once — 10 bounded rounds, no driver-side graph."""
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_join(emb, k=3).select("query_id", "neighbor_id")
+    und = (
+        knn.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionAll(und.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .localCheckpoint()  # truncate lineage before the peel loop
+    )
+    core = adj.select("id").distinct()
+    prev_n = core.count()
+    converged = False
+    for _ in range(10):
+        deg = (
+            adj.join(core, "id", "left_semi")
+            .join(
+                core.select(F.col("id").alias("nb")), "nb", "left_semi"
+            )
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        core = deg.filter(F.col("dg") >= 3).select("id").localCheckpoint()
+        n = core.count()
+        converged = n == prev_n
+        prev_n = n
+    final_deg = (
+        adj.join(core, "id", "left_semi")
+        .join(core.select(F.col("id").alias("nb")), "nb", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return final_deg.select(
+        F.col("id").alias("vec_id"),
+        "core_degree",
+        F.lit(bool(converged)).alias("converged"),
+    ).orderBy("vec_id")
