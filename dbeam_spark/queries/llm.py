@@ -4572,9 +4572,8 @@ def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # truncate lineage before the peel loop
     )
     core = adj.select("id").distinct()
-    prev_n = core.count()
-    converged = False
-    for _ in range(10):
+    penultimate = None
+    for i in range(10):
         deg = (
             adj.join(core, "id", "left_semi")
             .join(
@@ -4584,9 +4583,12 @@ def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("dg"))
         )
         core = deg.filter(F.col("dg") >= 3).select("id").localCheckpoint()
-        n = core.count()
-        converged = n == prev_n
-        prev_n = n
+        if i == 8:
+            penultimate = core
+    # convergence = |c10| == |c9|, matching the oracle — checked ONCE
+    # at the end instead of a count action per round (the CLAUDE.md
+    # per-iteration-driver-action rule; both frames are checkpointed)
+    converged = core.count() == penultimate.count()
     final_deg = (
         adj.join(core, "id", "left_semi")
         .join(core.select(F.col("id").alias("nb")), "nb", "left_semi")
