@@ -2043,6 +2043,15 @@ def events_markov_stationary(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()  # enum-bounded: |types|^2 rows
     }
+    return stationary_from_counts(spark, counts)
+
+
+def stationary_from_counts(
+    spark: SparkSession, counts: dict
+) -> DataFrame:
+    """Exact 20-round integer power iteration over a (src, dst) →
+    count transition dict (enum-bounded); shared by the batch query
+    and its streaming twin. Mirrors _markov_oracle step for step."""
     nodes = sorted({s for s, _ in counts})
     node_set = set(nodes)
     tr = {k: v for k, v in counts.items() if k[1] in node_set}

@@ -1315,3 +1315,75 @@ def stream_session_hour_overlap(
     )
     ev = load_table(spark, sf_dir, "events")
     return busiest_hours_overlap_rollup(ev, sessions)
+
+
+from dbeam_spark.queries.events import _markov_oracle as _mk_oracle
+
+
+@register("stream_markov_stationary", oracle=_mk_oracle())
+def stream_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of events_markov_stationary: transition counts
+    are maintained INCREMENTALLY by a stateful operator — per-user
+    state holds the last (ts, event_id, type); each micro-batch sorts
+    its rows per user, stitches them onto the carried state, and
+    emits (src, dst, n) transition deltas — the streaming shape for
+    keeping a behavior model continuously fresh without re-scanning
+    history. The read-back sums the per-batch deltas and runs the
+    SAME exact integer power iteration as the batch twin
+    (stationary_from_counts), so the fixed point hash-matches the
+    unrolled-CTE oracle. State is O(users); at scale an event-time
+    timeout evicts idle keys (NoTimeout here, finite replay)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from dbeam_spark.queries.events import stationary_from_counts
+
+    def update_transitions(key, pdfs, state: GroupState):
+        last = state.get if state.exists else None
+        rows: dict[tuple[str, str], int] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, et in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                if last is not None:
+                    p = (last[2], et)
+                    rows[p] = rows.get(p, 0) + 1
+                last = (ts.to_pydatetime(), int(eid), et)
+        if last is not None:
+            state.update(last)
+        yield pd.DataFrame(
+            {
+                "src": [k[0] for k in rows],
+                "dst": [k[1] for k in rows],
+                "n": list(rows.values()),
+            }
+        )
+
+    name = f"mkv_{uuid.uuid4().hex[:8]}"
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_transitions,
+            outputStructType="src string, dst string, n long",
+            stateStructType="ts timestamp, event_id long, et string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_stream(out, name, "update")
+    counts = {
+        (r["src"], r["dst"]): r["total"]
+        for r in spark.table(name)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("total"))
+        .collect()  # enum-bounded: |types|^2 rows
+    }
+    return stationary_from_counts(spark, counts)
+
