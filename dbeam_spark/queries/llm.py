@@ -4600,3 +4600,56 @@ def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "core_degree",
         F.lit(bool(converged)).alias("converged"),
     ).orderBy("vec_id")
+
+
+@register(
+    "token_freq_octaves",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS f FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    )
+    SELECT CAST(length(printf('%b', f)) AS BIGINT) AS octave,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(f) AS BIGINT) AS total_tokens
+    FROM freq GROUP BY 1 ORDER BY 1
+    """,
+)
+def token_freq_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency octave spectrum — the integer-only Zipf check:
+    bucket every vocabulary type by ⌊log₂ frequency⌋ + 1 (the LENGTH
+    of the frequency's binary representation — exact integer, no
+    float log anywhere) and report types and token mass per octave. A
+    Zipf-shaped corpus carries roughly constant mass per octave with
+    type counts halving; a flat or spiked spectrum flags synthetic
+    repetition or boilerplate floods before they poison dedup
+    thresholds and BPE merges.
+
+    Scale shape: the classic word-count rollup (map-side partial
+    counts shrink the shuffle to |vocabulary|) followed by a
+    ≤64-group combinable rollup — two aggregations, no sort, no
+    Python."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        freq.groupBy(
+            F.length(F.bin(F.col("f"))).cast("long").alias("octave")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("f").cast("long").alias("total_tokens"),
+        )
+        .orderBy("octave")
+    )

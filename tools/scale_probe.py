@@ -92,6 +92,17 @@ PROBES = [
     "mannwhitney_price_returns",
     "embedding_pair_cosine_audit",
     "window_suite_orders",
+    # round-4 final block: bootstrap grid, sweep line, k-core peel,
+    # weighted quantile, CUPED scalar algebra, iterative fixed points
+    "bootstrap_median_ci",
+    "concurrent_sessions_daily_peak",
+    "weighted_median_price",
+    "lorenz_deciles_customers",
+    "cuped_adjusted_lift",
+    "events_markov_stationary",
+    "holt_forecast_daily",
+    "knn_kcore",
+    "knn_ivf_probe_sweep",
 ]
 
 
