@@ -4563,8 +4563,14 @@ def revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t.n1 AS BIGINT) AS n1,
            CAST(t.n2 AS BIGINT) AS n2,
            CAST(MAX(ABS(cc1 * t.n2 - cc2 * t.n1)) AS BIGINT) AS d_num,
-           CAST(MAX(ABS(cc1 * t.n2 - cc2 * t.n1)) * 1000000
-                // (t.n1 * t.n2) AS BIGINT) AS d_x1e6
+           -- overflow-staged (see mannwhitney): multiply path while
+           -- n1*n2 is far from int64, divide-denominator-first past it
+           CAST(CASE WHEN t.n1 * t.n2 <= 9000000000000
+                THEN MAX(ABS(cc1 * t.n2 - cc2 * t.n1)) * 1000000
+                     // (t.n1 * t.n2)
+                ELSE MAX(ABS(cc1 * t.n2 - cc2 * t.n1))
+                     // GREATEST(t.n1 * t.n2 // 1000000, 1)
+                END AS BIGINT) AS d_x1e6
     FROM c, t
     GROUP BY t.n1, t.n2
     """,
@@ -4629,8 +4635,13 @@ def ks_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
             "d_num",
             # integer DIV, not float /: d_num*1e6 can pass 2^53 where
-            # double division rounds but DuckDB's // stays exact
-            F.expr("d_num * 1000000 DIV (n1 * n2)")
+            # double division rounds but DuckDB's // stays exact;
+            # overflow-staged past ~9e12 pair products
+            F.expr(
+                "CASE WHEN n1 * n2 <= 9000000000000 THEN "
+                "d_num * 1000000 DIV (n1 * n2) ELSE "
+                "d_num DIV GREATEST(n1 * n2 DIV 1000000, 1) END"
+            )
             .cast("long")
             .alias("d_x1e6"),
         )
@@ -4665,8 +4676,15 @@ def ks_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t.n1 AS BIGINT) AS n1,
            CAST(t.n2 AS BIGINT) AS n2,
            CAST(r.r1_x2 - t.n1 * (t.n1 + 1) AS BIGINT) AS u1_x2,
-           CAST((r.r1_x2 - t.n1 * (t.n1 + 1)) * 1000000
-                // (2 * t.n1 * t.n2) AS BIGINT) AS auc_x1e6
+           -- u1*1e6 overflows int64 once 2*n1*n2 passes ~9e12 (the
+           -- 10x probe ran with ~20% headroom): multiply path below
+           -- the threshold, divide-the-denominator-first above
+           CAST(CASE WHEN 2 * t.n1 * t.n2 <= 9000000000000
+                THEN (r.r1_x2 - t.n1 * (t.n1 + 1)) * 1000000
+                     // (2 * t.n1 * t.n2)
+                ELSE (r.r1_x2 - t.n1 * (t.n1 + 1))
+                     // GREATEST(2 * t.n1 * t.n2 // 1000000, 1)
+                END AS BIGINT) AS auc_x1e6
     FROM t, r
     """,
 )
@@ -4711,8 +4729,12 @@ def mannwhitney_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
         .cast("long")
         .alias("u1_x2"),
+        # overflow-staged division, mirroring the oracle CASE
         F.expr(
-            "(r1_x2 - n1 * (n1 + 1)) * 1000000 DIV (2 * n1 * n2)"
+            "CASE WHEN 2 * n1 * n2 <= 9000000000000 THEN "
+            "(r1_x2 - n1 * (n1 + 1)) * 1000000 DIV (2 * n1 * n2) "
+            "ELSE (r1_x2 - n1 * (n1 + 1)) "
+            "DIV GREATEST(2 * n1 * n2 DIV 1000000, 1) END"
         )
         .cast("long")
         .alias("auc_x1e6"),
@@ -4886,11 +4908,21 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dec GROUP BY 1
     )
     SELECT decile, n_customers, cents,
-           CAST(SUM(cents) OVER (ORDER BY decile
-                                 ROWS UNBOUNDED PRECEDING) * 1000000
-                // (SELECT SUM(cents) FROM g) AS BIGINT)
-             AS cum_share_x1e6
-    FROM g ORDER BY decile
+           -- cum*1e6 overflows int64 once corpus cents pass ~9e12
+           -- (the 10x probe caught this in ANSI mode): multiply path
+           -- below the threshold (full 1e-6 precision), divide-the-
+           -- total-first above it (still exact to ~1e-6 there since
+           -- tot//1e6 > 9e6)
+           CAST(CASE WHEN (SELECT SUM(cents) FROM g) <= 9000000000000
+                THEN SUM(cents) OVER w * 1000000
+                     // (SELECT SUM(cents) FROM g)
+                ELSE SUM(cents) OVER w
+                     // GREATEST((SELECT SUM(cents) FROM g)
+                                 // 1000000, 1)
+                END AS BIGINT) AS cum_share_x1e6
+    FROM g
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    ORDER BY decile
     """,
 )
 def lorenz_deciles_customers(
@@ -4945,10 +4977,17 @@ def lorenz_deciles_customers(
             F.col("decile").cast("long").alias("decile"),
             "n_customers",
             "cents",
+            # cum*1e6 overflows int64 past ~9e12 corpus cents (10x
+            # probe, ANSI mode): multiply path under the threshold,
+            # divide-the-total-first above it
             F.expr(
+                "CASE WHEN tot <= 9000000000000 THEN "
                 "SUM(cents) OVER (ORDER BY decile "
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-                "* 1000000 DIV tot"
+                "* 1000000 DIV tot ELSE "
+                "SUM(cents) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "DIV GREATEST(tot DIV 1000000, 1) END"
             )
             .cast("long")
             .alias("cum_share_x1e6"),
