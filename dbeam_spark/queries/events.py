@@ -2207,27 +2207,27 @@ def concurrent_sessions_daily_peak(
     th AS (
       SELECT n, sx,
              (n * sxy - sx * sy)
-               // (GREATEST((n * sxx - sx * sx) // 1000000, 1))
-               AS theta_x1e6
+               // (GREATEST((n * sxx - sx * sx) // 10000, 1))
+               AS theta_x1e4
       FROM s
     ),
     arms AS (
       SELECT t,
              CAST(COUNT(*) AS BIGINT) AS m,
              CAST(SUM(post) AS BIGINT) AS syt,
-             CAST(SUM(post * 1000000 * (SELECT n FROM th)
-                      - (SELECT theta_x1e6 FROM th)
+             CAST(SUM(post * 10000 * (SELECT n FROM th)
+                      - (SELECT theta_x1e4 FROM th)
                         * ((SELECT n FROM th) * pre
                            - (SELECT sx FROM th))) AS BIGINT) AS sa
       FROM pu GROUP BY t
     )
     SELECT (SELECT n FROM th) AS n_users,
            t1.m AS n_treat, t0.m AS n_ctrl,
-           CAST((SELECT theta_x1e6 FROM th) AS BIGINT) AS theta_x1e6,
+           CAST((SELECT theta_x1e4 FROM th) AS BIGINT) AS theta_x1e4,
            CAST((t1.syt * t0.m - t0.syt * t1.m) * 10000
                 // (t1.m * t0.m) AS BIGINT) AS raw_lift_x1e4,
            CAST((t1.sa // t1.m - t0.sa // t0.m) * 10000
-                // (1000000 * (SELECT n FROM th)) AS BIGINT)
+                // (10000 * (SELECT n FROM th)) AS BIGINT)
              AS cuped_lift_x1e4
     FROM (SELECT * FROM arms WHERE t = 1) t1,
          (SELECT * FROM arms WHERE t = 0) t0
@@ -2243,8 +2243,9 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the pre/post split is the data midpoint (engine-exact
     integer micros), θ comes from integer sufficient statistics with
-    a two-step truncating division (den // 1e6 first, keeping every
-    product inside int64 — both engines truncate toward zero, so the
+    a two-step truncating division (den // 1e4 first; the 1e4 scale
+    keeps the adjusted-sum aggregate inside int64 at the 10x probe
+    with ~100x headroom — 1e6 overflowed addExact there — both engines truncate toward zero, so the
     quantized θ is identical), and the adjusted sums stay in scaled
     integers end-to-end; no float touches any value. Headroom: exact
     through ~10⁴ users × 10⁶-cent spends; past that the sufficient
@@ -2284,8 +2285,8 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx",
         F.expr(
             "(n * sxy - sx * sy) "
-            "DIV GREATEST((n * sxx - sx * sx) DIV 1000000, 1)"
-        ).alias("theta_x1e6"),
+            "DIV GREATEST((n * sxx - sx * sx) DIV 10000, 1)"
+        ).alias("theta_x1e4"),
     )
     arms = (
         pu.crossJoin(F.broadcast(th))
@@ -2294,8 +2295,8 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("m"),
             F.sum("post").cast("long").alias("syt"),
             F.sum(
-                F.col("post") * 1_000_000 * F.col("n")
-                - F.col("theta_x1e6")
+                F.col("post") * 10_000 * F.col("n")
+                - F.col("theta_x1e4")
                 * (F.col("n") * F.col("pre") - F.col("sx"))
             ).cast("long").alias("sa"),
         )
@@ -2315,13 +2316,13 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_users"),
             F.col("m1").alias("n_treat"),
             F.col("m0").alias("n_ctrl"),
-            F.col("theta_x1e6").cast("long").alias("theta_x1e6"),
+            F.col("theta_x1e4").cast("long").alias("theta_x1e4"),
             F.expr(
                 "(sy1 * m0 - sy0 * m1) * 10000 DIV (m1 * m0)"
             ).cast("long").alias("raw_lift_x1e4"),
             F.expr(
                 "(sa1 DIV m1 - sa0 DIV m0) * 10000 "
-                "DIV (1000000 * n)"
+                "DIV (10000 * n)"
             ).cast("long").alias("cuped_lift_x1e4"),
         )
     )
