@@ -103,6 +103,7 @@ PROBES = [
     "holt_forecast_daily",
     "knn_kcore",
     "knn_ivf_probe_sweep",
+    "token_freq_octaves",
 ]
 
 
