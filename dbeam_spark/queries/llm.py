@@ -4653,3 +4653,127 @@ def token_freq_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("octave")
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    ucnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM uni),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> {'a': t[i], 'b': t[i + 1]})) AS p
+      FROM toks WHERE len(t) >= 2
+    ),
+    pcnt AS (
+      SELECT p.a AS tok_a, p.b AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    sc AS (
+      SELECT tok_a, tok_b, c_pair, ua.c AS c_a, ub.c AS c_b,
+             -- staged ×1000 quantization (the lorenz ANSI-overflow
+             -- pattern): multiply path while c_pair*n_tok*1000 fits
+             -- int64, divide-the-denominator-first above it
+             CASE WHEN (SELECT n_tok FROM n)
+                       <= 9000000000000000 // GREATEST(c_pair, 1)
+                  THEN c_pair * (SELECT n_tok FROM n) * 1000
+                       // (ua.c * ub.c)
+                  ELSE c_pair * (SELECT n_tok FROM n)
+                       // GREATEST((ua.c * ub.c) // 1000, 1)
+             END AS lift_x1000
+      FROM pcnt
+      JOIN ucnt ua ON ua.tok = pcnt.tok_a
+      JOIN ucnt ub ON ub.tok = pcnt.tok_b
+    )
+    SELECT tok_a, tok_b, c_pair, c_a, c_b,
+           CAST(lift_x1000 AS BIGINT) AS lift_x1000
+    FROM sc
+    ORDER BY lift_x1000 DESC, tok_a, tok_b
+    LIMIT 25
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram collocations ranked by PMI — the classic
+    phrase-mining signal (Church & Hanks 1990) behind tokenizer
+    merge candidates and boilerplate phrase detection. PMI =
+    log p(xy)/(p(x)p(y)) is ranked through its MONOTONE integer
+    surrogate lift×1000 = c_xy·N·1000 / (c_x·c_y) (log is order-
+    preserving, so top-K by lift IS top-K by PMI — no float log in
+    either engine), floor-quantized with the staged division that
+    survives ANSI int64 past the 10× probe (the lorenz pattern).
+    Min support c_xy ≥ 5 keeps one-off juxtapositions out.
+
+    Scale shape: adjacent pairs come from slice+arrays_zip+explode
+    (codegen, no interpreted HOF lambda — the CLAUDE.md rule), both
+    count frames are map-side-combinable token/bigram word-counts
+    (shuffle shrinks to |vocab| and |bigram vocab|), the two unigram
+    joins are plain equi joins AQE can broadcast when the vocab is
+    small, and the final top-25 is a TakeOrderedAndProject, never a
+    full sort."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = uni.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.expr("slice(t, 1, size(t) - 1)").alias("a_arr"),
+            F.expr("slice(t, 2, size(t) - 1)").alias("b_arr"),
+        )
+        .select(F.explode(F.arrays_zip("a_arr", "b_arr")).alias("p"))
+        .select(
+            F.col("p.a_arr").alias("tok_a"),
+            F.col("p.b_arr").alias("tok_b"),
+        )
+    )
+    pcnt = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= 5)
+    )
+    sc = (
+        pcnt.join(
+            ucnt.select(
+                F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
+            ),
+            "tok_a",
+        )
+        .join(
+            ucnt.select(
+                F.col("tok").alias("tok_b"), F.col("c").alias("c_b")
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CASE WHEN n_tok <= 9000000000000000 DIV GREATEST(c_pair, 1) "
+                "THEN c_pair * n_tok * 1000 DIV (c_a * c_b) "
+                "ELSE c_pair * n_tok DIV GREATEST((c_a * c_b) DIV 1000, 1) "
+                "END"
+            )
+            .cast("long")
+            .alias("lift_x1000"),
+        )
+    )
+    return sc.orderBy(
+        F.col("lift_x1000").desc(), "tok_a", "tok_b"
+    ).limit(25)

@@ -5185,3 +5185,112 @@ def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT (b.cents - a.cents) * 100
+               // date_diff('day', a.day, b.day) AS slope_q,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    g AS (
+      SELECT slope_q, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1
+    ),
+    cum AS (
+      SELECT slope_q, c,
+             SUM(c) OVER (ORDER BY slope_q ROWS UNBOUNDED PRECEDING)
+               AS cw
+      FROM g
+    ),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs FROM g)
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           t.n_pairs,
+           CAST((SELECT SUM(sgn) FROM pairs) AS BIGINT) AS mk_s,
+           CAST(MIN(CASE WHEN cw * 2 >= t.n_pairs THEN slope_q END)
+                AS BIGINT) AS median_slope_x100
+    FROM cum, t GROUP BY t.n_pairs
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope + Mann-Kendall S over daily revenue —
+    the standard outlier-resistant trend pair (one monster sales day
+    cannot move the median pairwise slope the way it drags OLS in
+    brand_trend_slope). Slope per day pair = Δcents/Δdays, quantized
+    ×100 with TRUNCATING integer division (Spark DIV and DuckDB //
+    both truncate toward zero — the revenue_autocorr sign gotcha);
+    the reported slope is the lower median (smallest slope whose
+    cumulative pair count doubles past the total, the exact
+    weighted_median selection — no interpolation). Mann-Kendall
+    S = Σ sign(Δ) is a plain integer sum over the same pairs.
+
+    Scale shape: the fact table collapses through ONE map-side-
+    combinable daily rollup; the pairwise frame is CALENDAR-bounded
+    (~2.4k days → ~3M pairs regardless of SF — identical at 100 TB),
+    built as a broadcast-nested-loop self-join of the tiny daily
+    frame, then one combinable slope histogram + a range-partitioned
+    cumulative sum (operators.ranking.global_cumsum, no single-task
+    global window)."""
+    from dbeam_spark.operators.ranking import global_cumsum
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"), F.col("cents").alias("c_a")
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"), F.col("cents").alias("c_b")
+    )
+    pairs = b.join(
+        F.broadcast(a), F.col("day_b") > F.col("day_a")
+    ).select(
+        F.expr(
+            "(c_b - c_a) * 100 DIV datediff(day_b, day_a)"
+        ).alias("slope_q"),
+        F.when(F.col("c_b") > F.col("c_a"), 1)
+        .when(F.col("c_b") < F.col("c_a"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("mk_s"),
+    )
+    g = pairs.groupBy("slope_q").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = global_cumsum(g, [F.col("slope_q").asc()], ["c"])
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_pairs", "mk_s")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("_cum_c") * 2 >= F.col("n_pairs"),
+                    F.col("slope_q"),
+                )
+            )
+            .cast("long")
+            .alias("median_slope_x100")
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return med.crossJoin(F.broadcast(n_days)).select(
+        "n_days", "n_pairs", "mk_s", "median_slope_x100"
+    )
