@@ -2326,3 +2326,71 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cuped_lift_x1e4"),
         )
     )
+
+
+@register(
+    "chi2_type_dow",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS HUGEINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1),
+    c AS (SELECT dow, SUM(o) AS c FROM o GROUP BY 1),
+    g AS (SELECT SUM(o) AS g FROM o),
+    cells AS (
+      SELECT o.o, r.r, c.c FROM o
+      JOIN r USING (event_type) JOIN c USING (dow)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(((SELECT COUNT(*) FROM r) - 1)
+                * ((SELECT COUNT(*) FROM c) - 1) AS BIGINT) AS dof,
+           CAST((SELECT g FROM g) AS BIGINT) AS g_total,
+           CAST(SUM(o * o * (SELECT g FROM g) * 10000 // (r * c))
+                - (SELECT g FROM g) * 10000 AS BIGINT) AS chi2_x1e4
+    FROM cells
+    """,
+)
+def chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × ISO day-of-week —
+    "is the type mix a weekday phenomenon" (the categorical drift
+    companion to ks_price_by_priority's continuous test). Uses the
+    algebraic identity χ² = G·Σ O²/(R·C) − G with the statistic
+    DEFINED as its per-cell floor-quantized form
+    Σ ⌊O²·G·10⁴/(R·C)⌋ − G·10⁴ — every term positive, identical
+    truncation in both engines, no float anywhere. Per-cell products
+    (O²·G·10⁴ ~ 1e18 already at sf0.01) pass int64, so the Spark
+    side folds the collected CELL frame (≤ |types|·7 rows — bounded
+    by the enum domain, not the data) with Python big ints; the
+    oracle's HUGEINT mirrors it.
+
+    Scale shape: the fact table collapses through ONE map-side-
+    combinable (type, dow) rollup — at 100 TB the shuffle carries
+    ≤ |types|·7 partial counts per map task; the χ² fold is O(35)
+    on the driver (the revenue_autocorr bounded-frame pattern)."""
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.groupBy(
+            "event_type",
+            (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .collect()
+    )
+    rows = [(r["event_type"], int(r["dow"]), int(r["o"])) for r in cells]
+    rtot: dict[str, int] = {}
+    ctot: dict[int, int] = {}
+    for t, d, o in rows:
+        rtot[t] = rtot.get(t, 0) + o
+        ctot[d] = ctot.get(d, 0) + o
+    g = sum(o for _, _, o in rows)
+    acc = 0
+    for t, d, o in rows:
+        acc += o * o * g * 10000 // (rtot[t] * ctot[d])
+    chi2_x1e4 = acc - g * 10000
+    dof = (len(rtot) - 1) * (len(ctot) - 1)
+    return spark.createDataFrame(
+        [(len(rows), dof, g, chi2_x1e4)],
+        "n_cells long, dof long, g_total long, chi2_x1e4 long",
+    )

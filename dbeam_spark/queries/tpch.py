@@ -5294,3 +5294,96 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.crossJoin(F.broadcast(n_days)).select(
         "n_days", "n_pairs", "mk_s", "median_slope_x100"
     )
+
+
+@register(
+    "welch_ttest_priority",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g,
+             CAST(ROUND(o_totalprice) AS HUGEINT) AS v
+      FROM orders
+    ),
+    a AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(v) AS s, SUM(v * v) AS q
+      FROM s GROUP BY g
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN g = 1 THEN n END) AS n1,
+        MAX(CASE WHEN g = 1 THEN s END) AS s1,
+        MAX(CASE WHEN g = 1 THEN q END) AS q1,
+        MAX(CASE WHEN g = 0 THEN n END) AS n2,
+        MAX(CASE WHEN g = 0 THEN s END) AS s2,
+        MAX(CASE WHEN g = 0 THEN q END) AS q2
+      FROM a
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_hi,
+           CAST(n2 AS BIGINT) AS n_lo,
+           CAST(CASE WHEN s1 * n2 - s2 * n1 >= 0
+                THEN (s1 * n2 - s2 * n1) * 100 // (n1 * n2)
+                ELSE -((s2 * n1 - s1 * n2) * 100 // (n1 * n2))
+                END AS BIGINT) AS mean_diff_x100,
+           CAST((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1) * 100
+                * (n1 - 1) * (n2 - 1)
+                // ((q1 * n1 - s1 * s1) * n2 * n2 * (n2 - 1)
+                    + (q2 * n2 - s2 * s2) * n1 * n1 * (n1 - 1))
+                AS BIGINT) AS t2_x100
+    FROM w
+    """,
+)
+def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between urgent-priority and
+    other order values — the PARAMETRIC member of the two-sample trio
+    (ks_price_by_priority tests the whole distribution, mannwhitney
+    the rank order, this the means). Cancelling the (n1n2)² factor
+    gives t² = (S1n2−S2n1)²(n1−1)(n2−1) / [(Q1n1−S1²)n2²(n2−1) +
+    (Q2n2−S2²)n1²(n1−1)] — a single exact integer ratio over the
+    sufficient statistics (n, Σv, Σv²), floor-quantized ×100. Values
+    are whole dollars (integer ROUND ties only on exactly-
+    representable .5 doubles — the q2 precedent) so Σv² stays in
+    int64 past the 100× probe (≤4.5e18); the oracle's HUGEINT
+    intermediates bound the gate SFs with ~500× margin.
+
+    Scale shape: the fact table collapses through ONE map-side-
+    combinable 2-group rollup; the driver does O(1) big-int algebra
+    on the collected 2-row frame (the revenue_autocorr bounded-
+    scalar pattern), so there is nothing left to shuffle."""
+    ensure_utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        orders.select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("g"),
+            F.round("o_totalprice").cast("long").alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+        )
+        .collect()
+    )
+    by_g = {int(r["g"]): (int(r["n"]), int(r["s"]), int(r["q"])) for r in a}
+    n1, s1, q1 = by_g[1]
+    n2, s2, q2 = by_g[0]
+    md_num = s1 * n2 - s2 * n1
+    nn = n1 * n2
+    # TRUNCATING signed division (DuckDB // truncates toward zero;
+    # python // floors — the revenue_autocorr gotcha)
+    mq = abs(md_num) * 100 // nn
+    mean_diff_x100 = -mq if md_num < 0 else mq
+    den = (q1 * n1 - s1 * s1) * n2 * n2 * (n2 - 1) + (
+        q2 * n2 - s2 * s2
+    ) * n1 * n1 * (n1 - 1)
+    t2_x100 = md_num * md_num * 100 * (n1 - 1) * (n2 - 1) // den
+    return spark.createDataFrame(
+        [(n1, n2, mean_diff_x100, t2_x100)],
+        "n_hi long, n_lo long, mean_diff_x100 long, t2_x100 long",
+    )
