@@ -4777,3 +4777,130 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.orderBy(
         F.col("lift_x1000").desc(), "tok_a", "tok_b"
     ).limit(25)
+
+
+@register(
+    "rrf_hybrid_search",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    vs AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_inner_product((SELECT v FROM q), e.v)
+                   / (sqrt(list_inner_product((SELECT v FROM q),
+                                              (SELECT v FROM q)))
+                      * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+      FROM e WHERE e.vec_id <> 0
+    ),
+    vrank AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY sim DESC, doc_id) AS vec_rank
+        FROM vs
+      ) WHERE vec_rank <= 50
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+      WHERE tok IN ('spark', 'join', 'hash')
+      GROUP BY 1, 2
+    ),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    lex AS (
+      SELECT doc_id,
+             SUM(tf * ((SELECT n_docs FROM nd) - df + 1)) AS score
+      FROM tf JOIN dfq USING (tok) GROUP BY 1
+    ),
+    lrank AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY score DESC, doc_id) AS lex_rank
+        FROM lex
+      ) WHERE lex_rank <= 50
+    ),
+    f AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(v.vec_rank, 0) AS vec_rank,
+             (CASE WHEN l.lex_rank IS NULL THEN 0
+                   ELSE 1000000 // (60 + l.lex_rank) END
+              + CASE WHEN v.vec_rank IS NULL THEN 0
+                     ELSE 1000000 // (60 + v.vec_rank) END) AS rrf
+      FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(rrf AS BIGINT) AS rrf_x1e6
+    FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009) — the standard way to merge a LEXICAL ranking (the
+    keyword_search integer tf·idf surrogate) with a VECTOR ranking
+    (exact cosine against doc 0's embedding, ranked on the 6-dp
+    rounded similarity exactly like knn_bruteforce) without score
+    calibration. RRF(d) = Σ 1/(60+rank_d) is DEFINED in its per-term
+    floor-quantized form Σ ⌊10⁶/(60+rank)⌋ — ranks are engine-exact
+    integers, so the fused score is too.
+
+    Scale shape: both legs are top-50 TakeOrderedAndProject heads
+    (never a full sort of the matched set); the vector leg scores
+    map-only via the shared blocked-numpy operator (query ships in
+    the task closure, base table never shuffles); the fusion is a
+    50×50 full-outer join on doc_id — bounded by the two list
+    lengths, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    vtop = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    tf = (
+        docs.select("doc_id", tok)
+        .filter(F.col("tok").isin("spark", "join", "hash"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    lex = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * (F.col("n_docs") - F.col("df") + F.lit(1))
+            ).alias("score")
+        )
+    )
+    ltop = lex.orderBy(F.col("score").desc(), "doc_id").limit(50)
+    lw = bounded_grain_window(F.col("score").desc(), F.col("doc_id"))
+    lrank = ltop.select(
+        "doc_id", F.row_number().over(lw).cast("long").alias("lex_rank")
+    )
+    fused = (
+        lrank.join(vtop, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            (
+                F.when(F.col("lex_rank").isNull(), 0).otherwise(
+                    F.expr("1000000 DIV (60 + lex_rank)")
+                )
+                + F.when(F.col("vec_rank").isNull(), 0).otherwise(
+                    F.expr("1000000 DIV (60 + vec_rank)")
+                )
+            )
+            .cast("long")
+            .alias("rrf_x1e6"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_x1e6").desc(), "doc_id").limit(10)
