@@ -4904,3 +4904,79 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_x1e6").desc(), "doc_id").limit(10)
+
+
+@register(
+    "dedup_source_flow",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    flow AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             COUNT(*) AS n_pairs,
+             COUNT(DISTINCT CASE WHEN da.source <= db.source
+                                 THEN p.id_a ELSE p.id_b END)
+               AS n_docs_a
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_docs_a AS BIGINT) AS n_docs_a
+    FROM flow ORDER BY source_a, source_b
+    """,
+)
+def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup flow matrix BETWEEN source feeds — "which crawls copy
+    which" (dedup_rate_by_source reports within-source redundancy;
+    this is the cross-feed contamination view that decides which feed
+    to drop). Pairs come from the same verified shingle-Jaccard frame
+    as dedup_ngram_jaccard; each pair is binned into the UNORDERED
+    source pair (LEAST/GREATEST) so A→B and B→A land in one cell,
+    with a distinct-doc count on the lexicographically-first side.
+
+    Scale shape: the pair frame is the LSH-verified candidate set
+    (bounded by near-dup density, not the corpus square); the two
+    document joins touch only paired doc_ids (a semi-join-sized
+    probe), and the matrix rollup is |sources|²-bounded."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.when(
+                F.col("src_a") <= F.col("src_b"), F.col("id_a")
+            )
+            .otherwise(F.col("id_b"))
+            .alias("doc_first"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("doc_first").cast("long").alias("n_docs_a"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -5257,7 +5257,11 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = daily.select(
         F.col("day").alias("day_b"), F.col("cents").alias("c_b")
     )
-    pairs = b.join(
+    # the daily frame lands in ONE post-agg partition (AQE coalesces
+    # the tiny shuffle), which would serialize the O(days²) pair
+    # comparison onto a single task — spread the probe side first
+    # (2.4k-row shuffle, negligible) so the BNLJ fans out
+    pairs = b.repartition(32).join(
         F.broadcast(a), F.col("day_b") > F.col("day_a")
     ).select(
         F.expr(
