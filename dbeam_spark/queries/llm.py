@@ -4980,3 +4980,83 @@ def dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "data_mix_epochs",
+    oracle="""
+    WITH st AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM st
+    ),
+    plan AS (
+      SELECT source, tokens,
+             -- equal target share per source, 3-epoch repeat cap
+             (SELECT total // 2 // n_sources FROM t) AS target,
+             LEAST(3000,
+                   (SELECT total // 2 // n_sources FROM t) * 1000
+                     // tokens) AS epochs_x1000
+      FROM st
+    )
+    SELECT source, tokens,
+           CAST(target AS BIGINT) AS target_tokens,
+           CAST(epochs_x1000 AS BIGINT) AS epochs_x1000,
+           CAST(tokens * epochs_x1000 // 1000 AS BIGINT)
+             AS planned_tokens
+    FROM plan ORDER BY source
+    """,
+)
+def data_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch plan — the budget-allocation step between
+    sampling_weights (relative quality weights) and
+    sampling_quota_apply (row selection): given a token budget (half
+    the corpus here) split equally across source feeds, how many
+    EPOCHS of each source fill its share, capped at 3 repeats (the
+    standard small-source up-sampling limit, cf. the data-mixing
+    practice in LLM pretraining). epochs×1000 is one floor division
+    over exact integer token counts; planned_tokens re-multiplies so
+    under-cap sources land exactly on target and capped sources show
+    the shortfall the planner must redistribute.
+
+    Scale shape: ONE map-side-combinable per-source token rollup
+    (the shuffle carries |sources| partials per task); the plan
+    arithmetic runs on the |sources|-bounded frame against a 1-row
+    broadcast total."""
+    docs = _docs(spark, sf_dir)
+    st = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("tokens")
+    )
+    t = st.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return (
+        st.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "tokens",
+            F.expr("total DIV 2 DIV n_sources").alias("target_tokens"),
+            F.expr(
+                "LEAST(3000, total DIV 2 DIV n_sources * 1000 DIV tokens)"
+            ).alias("epochs_x1000"),
+        )
+        .select(
+            "source",
+            "tokens",
+            F.col("target_tokens").cast("long").alias("target_tokens"),
+            F.col("epochs_x1000").cast("long").alias("epochs_x1000"),
+            F.expr("tokens * epochs_x1000 DIV 1000")
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -104,6 +104,15 @@ PROBES = [
     "knn_kcore",
     "knn_ivf_probe_sweep",
     "token_freq_octaves",
+    # round-4 statistics/retrieval block: pairwise trend, integer
+    # test trio completion, collocation mining, hybrid retrieval,
+    # cross-source dup flow
+    "theil_sen_trend",
+    "pmi_collocations",
+    "welch_ttest_priority",
+    "chi2_type_dow",
+    "rrf_hybrid_search",
+    "dedup_source_flow",
 ]
 
 
