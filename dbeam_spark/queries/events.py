@@ -2328,9 +2328,7 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "chi2_type_dow",
-    oracle="""
+_CHI2_ORACLE = """
     WITH o AS (
       SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
              CAST(COUNT(*) AS HUGEINT) AS o
@@ -2350,8 +2348,27 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(o * o * (SELECT g FROM g) * 10000 // (r * c))
                 - (SELECT g FROM g) * 10000 AS BIGINT) AS chi2_x1e4
     FROM cells
-    """,
-)
+"""
+
+
+def chi2_fold(rows: list[tuple[str, int, int]]) -> tuple[int, int, int, int]:
+    """Exact per-cell floor-quantized chi-square over (type, dow, n)
+    cells with Python big ints — shared by the batch and streaming
+    twins so both hash-match the same oracle."""
+    rtot: dict[str, int] = {}
+    ctot: dict[int, int] = {}
+    for t, d, o in rows:
+        rtot[t] = rtot.get(t, 0) + o
+        ctot[d] = ctot.get(d, 0) + o
+    g = sum(o for _, _, o in rows)
+    acc = 0
+    for t, d, o in rows:
+        acc += o * o * g * 10000 // (rtot[t] * ctot[d])
+    dof = (len(rtot) - 1) * (len(ctot) - 1)
+    return len(rows), dof, g, acc - g * 10000
+
+
+@register("chi2_type_dow", oracle=_CHI2_ORACLE)
 def chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test of event_type × ISO day-of-week —
     "is the type mix a weekday phenomenon" (the categorical drift
@@ -2379,18 +2396,8 @@ def chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     rows = [(r["event_type"], int(r["dow"]), int(r["o"])) for r in cells]
-    rtot: dict[str, int] = {}
-    ctot: dict[int, int] = {}
-    for t, d, o in rows:
-        rtot[t] = rtot.get(t, 0) + o
-        ctot[d] = ctot.get(d, 0) + o
-    g = sum(o for _, _, o in rows)
-    acc = 0
-    for t, d, o in rows:
-        acc += o * o * g * 10000 // (rtot[t] * ctot[d])
-    chi2_x1e4 = acc - g * 10000
-    dof = (len(rtot) - 1) * (len(ctot) - 1)
+    n_cells, dof, g, chi2_x1e4 = chi2_fold(rows)
     return spark.createDataFrame(
-        [(len(rows), dof, g, chi2_x1e4)],
+        [(n_cells, dof, g, chi2_x1e4)],
         "n_cells long, dof long, g_total long, chi2_x1e4 long",
     )

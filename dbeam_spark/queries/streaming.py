@@ -1387,3 +1387,38 @@ def stream_markov_stationary(
     }
     return stationary_from_counts(spark, counts)
 
+
+
+from dbeam_spark.queries.events import _CHI2_ORACLE
+
+
+@register("stream_chi2_type_dow", oracle=_CHI2_ORACLE)
+def stream_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of chi2_type_dow: the (event_type × ISO dow)
+    contingency table is maintained as a streaming complete-mode
+    aggregation — counts are additive, so the final state equals the
+    batch rollup EXACTLY and the same big-int fold (chi2_fold)
+    reproduces the batch statistic hash-for-hash. The continuous
+    categorical-drift monitor: state is bounded by the enum domain
+    (|types|·7 cells), not the stream length; at scale the complete-
+    mode table is tiny and each micro-batch shuffles only map-side
+    partial counts."""
+    from dbeam_spark.queries.events import chi2_fold
+
+    name = f"chi2_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    _run_stream(agg, name, "complete")
+    cells = spark.table(name).collect()
+    rows = [(r["event_type"], int(r["dow"]), int(r["o"])) for r in cells]
+    n_cells, dof, g, chi2_x1e4 = chi2_fold(rows)
+    return spark.createDataFrame(
+        [(n_cells, dof, g, chi2_x1e4)],
+        "n_cells long, dof long, g_total long, chi2_x1e4 long",
+    )
