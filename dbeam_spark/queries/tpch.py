@@ -5391,3 +5391,161 @@ def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n1, n2, mean_diff_x100, t2_x100)],
         "n_hi long, n_lo long, mean_diff_x100 long, t2_x100 long",
     )
+
+
+def _lc_sign(p: tuple[int, ...]) -> int:
+    s = 1
+    q = list(p)
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            if q[i] > q[j]:
+                s = -s
+    return s
+
+
+def _det4_terms(repl_col: int | None = None):
+    """Permutation expansion of a symmetric 4x4 moment matrix det,
+    with column `repl_col` optionally replaced by the v vector
+    (Cramer numerators). Returns (sign, [entry-name x4]) terms; the
+    SAME structure feeds the SQL oracle text and the Python fold so
+    the 24-term algebra can never drift between engines."""
+    import itertools
+
+    terms = []
+    for p in itertools.permutations(range(4)):
+        s = _lc_sign(p)
+        names = []
+        for row in range(4):
+            col = p[row]
+            if repl_col is not None and col == repl_col:
+                names.append(f"v{row}")
+            else:
+                a, b = min(row, col), max(row, col)
+                names.append(f"m{a}{b}")
+        terms.append((s, names))
+    return terms
+
+
+def _det4_sql(repl_col: int | None = None) -> str:
+    return " + ".join(
+        f"({'' if s > 0 else '-'}{' * '.join(names)})"
+        for s, names in _det4_terms(repl_col)
+    )
+
+
+def _det4_eval(vals: dict[str, int], repl_col: int | None = None) -> int:
+    tot = 0
+    for s, names in _det4_terms(repl_col):
+        prod = s
+        for n in names:
+            prod *= vals[n]
+        tot += prod
+    return tot
+
+
+_OLS_COEF_SQL = """
+           CAST(CASE WHEN (d{i} < 0) <> (det < 0) THEN -1 ELSE 1 END
+                * (CASE WHEN ABS(d{i})
+                        <= 160000000000000000000000000000000
+                   THEN ABS(d{i}) * 1000000 // ABS(det)
+                   ELSE ABS(d{i})
+                        // GREATEST(ABS(det) // 1000000, 1) END)
+                AS BIGINT) AS {name}
+"""
+
+
+@register(
+    "ols_multifeature",
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS a,
+             CAST(ROUND(l_discount * 100) AS HUGEINT) AS b,
+             CAST(ROUND(l_tax * 100) AS HUGEINT) AS c,
+             CAST(ROUND(l_extendedprice) AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*)::HUGEINT AS m00,
+             SUM(a) AS m01, SUM(b) AS m02, SUM(c) AS m03,
+             SUM(a * a) AS m11, SUM(a * b) AS m12, SUM(a * c) AS m13,
+             SUM(b * b) AS m22, SUM(b * c) AS m23, SUM(c * c) AS m33,
+             SUM(y) AS v0, SUM(a * y) AS v1,
+             SUM(b * y) AS v2, SUM(c * y) AS v3
+      FROM r
+    ),
+    d AS (
+      SELECT m00 AS n_rows,
+             {_det4_sql(None)} AS det,
+             {_det4_sql(0)} AS d0,
+             {_det4_sql(1)} AS d1,
+             {_det4_sql(2)} AS d2,
+             {_det4_sql(3)} AS d3
+      FROM m
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           {_OLS_COEF_SQL.format(i=0, name="intercept_x1e6")},
+           {_OLS_COEF_SQL.format(i=1, name="coef_qty_x1e6")},
+           {_OLS_COEF_SQL.format(i=2, name="coef_disc_x1e6")},
+           {_OLS_COEF_SQL.format(i=3, name="coef_tax_x1e6")}
+    FROM d
+    """,
+)
+def ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression price ~ quantity + discount + tax,
+    solved EXACTLY from one pass of sufficient statistics — the
+    distributed closed-form OLS shape (normal equations X'X β = X'y;
+    brand_trend_slope is the 1-feature case). The 4×4 system is
+    solved by Cramer's rule over the integer moment matrix; the
+    24-term permutation expansions are GENERATED (same code emits the
+    SQL text and folds the collected moments), so the two engines
+    share one algebra by construction. Coefficients are ×1e6
+    truncating quantizations with the staged division (lorenz
+    pattern, thresholds sized for HUGEINT numerators ~1e33 at gate
+    SFs).
+
+    Scale shape: the fact table collapses through ONE map-side-
+    combinable 14-moment rollup (ints sized to stay in int64 past
+    the 100× probe: dollars × small ints); the solve is O(1) big-int
+    work on the collected 1-row frame — nothing shuffles but
+    partial sums."""
+    ensure_utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.round("l_quantity").cast("long").alias("a"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("b"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("c"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    mrow = r.agg(
+        F.count(F.lit(1)).cast("long").alias("m00"),
+        F.sum("a").cast("long").alias("m01"),
+        F.sum("b").cast("long").alias("m02"),
+        F.sum("c").cast("long").alias("m03"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("m11"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("m12"),
+        F.sum(F.col("a") * F.col("c")).cast("long").alias("m13"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("m22"),
+        F.sum(F.col("b") * F.col("c")).cast("long").alias("m23"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("m33"),
+        F.sum("y").cast("long").alias("v0"),
+        F.sum(F.col("a") * F.col("y")).cast("long").alias("v1"),
+        F.sum(F.col("b") * F.col("y")).cast("long").alias("v2"),
+        F.sum(F.col("c") * F.col("y")).cast("long").alias("v3"),
+    ).collect()[0]
+    vals = {k: int(mrow[k]) for k in mrow.asDict()}
+    det = _det4_eval(vals, None)
+
+    def coef(i: int) -> int:
+        d_i = _det4_eval(vals, i)
+        neg = (d_i < 0) != (det < 0)
+        if abs(d_i) <= 160000000000000000000000000000000:
+            q = abs(d_i) * 1000000 // abs(det)
+        else:
+            q = abs(d_i) // max(abs(det) // 1000000, 1)
+        return -q if neg else q
+
+    return spark.createDataFrame(
+        [(vals["m00"], coef(0), coef(1), coef(2), coef(3))],
+        "n_rows long, intercept_x1e6 long, coef_qty_x1e6 long, "
+        "coef_disc_x1e6 long, coef_tax_x1e6 long",
+    )
