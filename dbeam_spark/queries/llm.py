@@ -5149,3 +5149,127 @@ def keyword_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, res.schema)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def _bfs_oracle(hops: int = 6) -> str:
+    """Unrolled BFS from vec_id 0 over the undirected kNN graph:
+    f{i} = the hop-i frontier, v{i} = everything visited through hop
+    i. MATERIALIZED per the CLAUDE.md exponential-CTE-inlining
+    gotcha."""
+    head = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 3
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+             GREATEST(query_id, neighbor_id) AS b
+      FROM knn
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS id, b AS nb FROM und
+      UNION ALL SELECT b, a FROM und
+    ),
+    f0 AS MATERIALIZED (SELECT 0 AS id),
+    v0 AS MATERIALIZED (SELECT 0 AS id, 0 AS hop)"""
+    steps = []
+    for i in range(1, hops + 1):
+        steps.append(f""",
+    f{i} AS MATERIALIZED (
+      SELECT DISTINCT nb AS id FROM adj
+      WHERE id IN (SELECT id FROM f{i - 1})
+        AND nb NOT IN (SELECT id FROM v{i - 1})
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT id, hop FROM v{i - 1}
+      UNION ALL SELECT id, {i} FROM f{i}
+    )""")
+    tail = f""",
+    hist AS (
+      SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM v{hops} GROUP BY hop
+    ),
+    unreached AS (
+      SELECT -1 AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+        SELECT DISTINCT id FROM adj
+        WHERE id NOT IN (SELECT id FROM v{hops}))
+    )
+    SELECT CAST(hop AS BIGINT) AS hop, n_nodes FROM (
+      SELECT * FROM hist UNION ALL
+      SELECT * FROM unreached WHERE n_nodes > 0)
+    ORDER BY hop
+    """
+    return head + "".join(steps) + tail
+
+
+@register("knn_bfs_hops", oracle=_bfs_oracle())
+def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop histogram from vector 0 over the undirected kNN graph
+    — the reachability/diameter probe of the embedding manifold
+    (small-world structure shows up as an early hop peak; an
+    unreached mass signals disconnected modes — complementing
+    knn_kcore's density view with a DISTANCE view). Six frontier
+    expansions; nodes beyond hop 6 (or disconnected) report as
+    hop −1.
+
+    Scale shape: the edge frame is the shared size-gated kNN join;
+    each hop is ONE semi-join (current frontier) + one anti-join
+    (visited set) + distinct — the iterative frontier pattern with
+    visited/frontier localCheckpointed per round so the 6-round
+    lineage never re-derives the graph (the knn_kcore discipline).
+    State is O(reachable nodes), all distributed."""
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_join(emb, k=3).select("query_id", "neighbor_id")
+    und = (
+        knn.select(
+            F.least("query_id", "neighbor_id").alias("a"),
+            F.greatest("query_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionAll(
+            und.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+        )
+        .localCheckpoint()
+    )
+    frontier = spark.createDataFrame([(0,)], "id long")
+    visited = spark.createDataFrame([(0, 0)], "id long, hop int")
+    for i in range(1, 7):
+        frontier = (
+            adj.join(frontier, "id", "left_semi")
+            .select(F.col("nb").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(
+            frontier.select("id", F.lit(i).alias("hop"))
+        ).localCheckpoint()
+    hist = visited.groupBy("hop").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    unreached = (
+        adj.select("id")
+        .distinct()
+        .join(visited.select("id"), "id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.lit(-1).alias("hop"), "n_nodes")
+        .filter(F.col("n_nodes") > 0)
+    )
+    return (
+        hist.unionByName(unreached)
+        .select(F.col("hop").cast("long").alias("hop"), "n_nodes")
+        .orderBy("hop")
+    )
