@@ -5273,3 +5273,122 @@ def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hop").cast("long").alias("hop"), "n_nodes")
         .orderBy("hop")
     )
+
+
+@register(
+    "bm25_search",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents)
+      WHERE tok IN ('spark', 'join', 'hash')
+      GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\\s+'))
+                  AS BIGINT) AS dl
+      FROM documents
+    ),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    terms AS (
+      SELECT tf.doc_id,
+             -- BM25 (k1=1.2, b=0.75) with the linear idf surrogate
+             -- (N−df+1), as one exact integer term: scale num and
+             -- den by 10·T so k1·(1−b+b·dl/avgdl) clears fractions;
+             -- staged ×1000 division (lorenz pattern) keeps the
+             -- numerator inside int64 past the 100× probe
+             CASE WHEN (SELECT t_tokens FROM tot)
+                       <= 9000000000000000000
+                          // GREATEST((n_docs - df + 1) * 22 * tf * 1000, 1)
+                  THEN (n_docs - df + 1) * 22 * tf
+                       * (SELECT t_tokens FROM tot) * 1000
+                       // (10 * (SELECT t_tokens FROM tot) * tf
+                           + 3 * (SELECT t_tokens FROM tot)
+                           + 9 * dl.dl * n_docs)
+                  ELSE (n_docs - df + 1) * 22 * tf
+                       * (SELECT t_tokens FROM tot)
+                       // GREATEST((10 * (SELECT t_tokens FROM tot) * tf
+                                    + 3 * (SELECT t_tokens FROM tot)
+                                    + 9 * dl.dl * n_docs) // 1000, 1)
+             END AS term_x1000
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN dfq USING (tok)
+      CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc_id, CAST(SUM(term_x1000) AS BIGINT) AS bm25_x1000,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM terms GROUP BY 1
+    )
+    SELECT doc_id, bm25_x1000, n_terms_hit FROM sc
+    ORDER BY bm25_x1000 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Walker 1994; k1=1.2,
+    b=0.75) — what keyword_search's plain tf·idf lacks: TF SATURATION
+    (the 50th 'spark' adds almost nothing) and LENGTH NORMALIZATION
+    (a hit in a short doc outranks the same hit in a long one). Each
+    term score is ONE exact integer: scaling numerator and
+    denominator by 10·T turns k1·(1−b + b·dl/avgdl) into
+    (10·T·tf + 3·T + 9·dl·N), and the ×1000 quantization is staged
+    so the numerator survives int64 at the 100× probe. Linear idf
+    surrogate (N−df+1), the keyword_search precedent.
+
+    Scale shape: the IN-pruned token stream collapses through one
+    combinable (doc, tok) rollup; dl is a map-only length per doc
+    (joined only for MATCHED docs); df and totals broadcast; top-10
+    is a TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    tf = (
+        docs.select("doc_id", tok)
+        .filter(F.col("tok").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("dl"),
+    )
+    dfq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    tot = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    terms = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN t_tokens <= 9000000000000000000 "
+                "DIV GREATEST((n_docs - df + 1) * 22 * tf * 1000, 1) "
+                "THEN (n_docs - df + 1) * 22 * tf * t_tokens * 1000 "
+                "DIV (10 * t_tokens * tf + 3 * t_tokens "
+                "+ 9 * dl * n_docs) "
+                "ELSE (n_docs - df + 1) * 22 * tf * t_tokens "
+                "DIV GREATEST((10 * t_tokens * tf + 3 * t_tokens "
+                "+ 9 * dl * n_docs) DIV 1000, 1) END"
+            ).alias("term_x1000"),
+        )
+    )
+    sc = terms.groupBy("doc_id").agg(
+        F.sum("term_x1000").cast("long").alias("bm25_x1000"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    return sc.orderBy(F.col("bm25_x1000").desc(), "doc_id").limit(10)
