@@ -5392,3 +5392,99 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
     )
     return sc.orderBy(F.col("bm25_x1000").desc(), "doc_id").limit(10)
+
+
+@register(
+    "token_count_moments",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(len(string_split_regex(lower(text), '\\s+'))
+                  AS HUGEINT) AS x
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS s1, SUM(x * x) AS s2,
+             SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+      FROM x
+    ),
+    m AS (
+      SELECT n,
+             n * s2 - s1 * s1 AS m2,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+             n * n * n * s4 - 4 * n * n * s1 * s3
+               + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           -- skew² (signed) = M3²/M2³ and kurtosis = M4/M2² are
+           -- scale-free ratios of the normalization-free central
+           -- sums (the n powers cancel); staged ×quantize divisions
+           -- (lorenz pattern) sized for HUGEINT
+           CAST(CASE WHEN m3 < 0 THEN -1 ELSE 1 END
+                * (CASE WHEN ABS(m3) <= 13000000000000000
+                   THEN m3 * m3 * 1000000 // (m2 * m2 * m2)
+                   ELSE m3 * m3
+                        // GREATEST(m2 * m2 * m2 // 1000000, 1) END)
+                AS BIGINT) AS skew2_signed_x1e6,
+           CAST(CASE WHEN ABS(m4) <= 16000000000000000000000000000000000
+                THEN m4 * 10000 // (m2 * m2)
+                ELSE m4 // GREATEST(m2 * m2 // 10000, 1) END
+                AS BIGINT) AS kurt_x1e4
+    FROM m
+    """,
+)
+def token_count_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness² and kurtosis of the per-document token-count
+    distribution — the shape audit behind 'is the corpus log-normal
+    with a heavy right tail' (token_percentiles shows quantiles;
+    moments catch the tail mass quantiles miss). Central sums
+    M2 = nS2−S1², M3 = n²S3−3nS1S2+2S1³, M4 = n³S4−4n²S1S3+6nS1²S2
+    −3S1⁴ make the standardized moments PURE RATIOS (skew² = M3²/M2³,
+    kurt = M4/M2² — every n power cancels), so both engines hold one
+    exact integer ratio each, floor-quantized with staged division.
+    Skew is reported as its signed square to avoid the square root.
+
+    Scale shape: one map-side-combinable 5-sum rollup (S3/S4 as
+    DECIMAL(38,0) on the Spark side so x⁴ sums clear int64 at any
+    SF); the moment algebra is O(1) driver big-int work."""
+    docs = _docs(spark, sf_dir)
+    x = docs.select(
+        F.size(F.split(F.lower(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("x")
+    )
+    xd = x.select(F.col("x").cast("decimal(38,0)").alias("xd"), "x")
+    row = xd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("xd") * F.col("xd")).alias("s2"),
+        F.sum(F.col("xd") * F.col("xd") * F.col("xd")).alias("s3"),
+        F.sum(
+            F.col("xd") * F.col("xd") * F.col("xd") * F.col("xd")
+        ).alias("s4"),
+    ).collect()[0]
+    n = int(row["n"])
+    s1 = int(row["s1"])
+    s2, s3, s4 = (int(row[k]) for k in ("s2", "s3", "s4"))
+    m2 = n * s2 - s1 * s1
+    m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+    m4 = (
+        n**3 * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1**4
+    )
+    if abs(m3) <= 13000000000000000:
+        sq = m3 * m3 * 1000000 // (m2**3)
+    else:
+        sq = m3 * m3 // max(m2**3 // 1000000, 1)
+    skew2 = -sq if m3 < 0 else sq
+    if abs(m4) <= 16000000000000000000000000000000000:
+        kurt = m4 * 10000 // (m2 * m2)
+    else:
+        kurt = m4 // max(m2 * m2 // 10000, 1)
+    return spark.createDataFrame(
+        [(n, skew2, kurt)],
+        "n_docs long, skew2_signed_x1e6 long, kurt_x1e4 long",
+    )
