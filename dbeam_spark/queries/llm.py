@@ -5570,3 +5570,264 @@ def knn_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embedding_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(list_transform(
+               range(1, len(embedding) + 1),
+               i -> {'pos': i,
+                     'xq': CAST(ROUND(embedding[i]::DOUBLE * 10000)
+                                AS BIGINT)})) AS u
+      FROM embeddings
+    ),
+    flat AS (SELECT vec_id, label, u.pos AS pos, u.xq AS xq FROM ex),
+    cent AS (
+      SELECT label, pos,
+             CAST(SUM(xq) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM flat GROUP BY label, pos
+    ),
+    d AS (
+      SELECT f.vec_id, f.label,
+             CAST(SUM((c.n * f.xq - c.s) * (c.n * f.xq - c.s))
+                  AS BIGINT) AS d2n2
+      FROM flat f
+      JOIN cent c ON c.label = f.label AND c.pos = f.pos
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT label, vec_id, d2n2, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY d2n2 DESC, vec_id) AS rank
+      FROM d
+    ) WHERE rank <= 3
+    ORDER BY label, rank
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt/mislabeled-vector detector: the 3 vectors farthest from
+    their own label's centroid, per label — the filter pass before
+    treating labels as supervision (or clusters as dedup buckets).
+
+    Exactness: coordinates quantize to ROUND(x·1e4) BIGINTs (integer
+    ROUND — the engine-identical form per the repo's casting rules)
+    and the distance ranks on n²·d² = Σ_dim (n·x_q − S)², which clears
+    fractions entirely: with |x| ≤ ~1 and n docs per label the largest
+    term is (n·1e4)², safely inside int64 through the 10× probe
+    (≈4.5e16 at n≈5000; re-stage the scale before ~100× label sizes).
+
+    Scale shape: explode → ONE map-side-combinable (label, pos)
+    aggregate (labels×dim rows — tiny), broadcast back onto the
+    exploded stream, and the per-vector reduce groups rows that are
+    ALREADY co-located from the explode (partial aggregation does the
+    work map-side; no data-scaled shuffle beyond the centroid agg)."""
+    emb = _emb(spark, sf_dir)
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xf").cast("double") * 10000)
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.sum("xq").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    term = F.col("n") * F.col("xq") - F.col("s")
+    d = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).cast("long").alias("d2n2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2n2"), "vec_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("label", "vec_id", "d2n2", "rank")
+        .orderBy("label", "rank")
+    )
+
+
+@register(
+    "trigram_backoff_fluency",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> {'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]})) AS u
+      FROM toks WHERE len(t) >= 3
+    ),
+    tri2 AS (
+      SELECT doc_id, u.w1 || ' ' || u.w2 || ' ' || u.w3 AS g,
+             u.w1 || ' ' || u.w2 AS w12, u.w2 || ' ' || u.w3 AS w23,
+             u.w2 AS w2, u.w3 AS w3
+      FROM tri
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ),
+    m_tri AS (SELECT g, COUNT(*) AS c FROM tri2
+              WHERE doc_id % 2 = 0 GROUP BY g),
+    m_bi  AS (SELECT pair, COUNT(*) AS c FROM bg
+              WHERE doc_id % 2 = 0 GROUP BY pair),
+    m_uni AS (SELECT w, COUNT(*) AS c FROM uni
+              WHERE doc_id % 2 = 0 GROUP BY w),
+    m_n   AS (SELECT COUNT(*) AS n FROM uni WHERE doc_id % 2 = 0),
+    scored AS (
+      SELECT s.doc_id,
+             CASE
+               WHEN t3.c IS NOT NULL AND b12.c IS NOT NULL
+                 THEN t3.c * 1000000 // b12.c
+               WHEN b23.c IS NOT NULL AND u2.c IS NOT NULL
+                 THEN b23.c * 400000 // u2.c
+               WHEN u3.c IS NOT NULL
+                 THEN u3.c * 160000 // m_n.n
+               ELSE 0 END AS sq,
+             CASE WHEN t3.c IS NOT NULL THEN 0 ELSE 1 END AS bo1,
+             CASE WHEN t3.c IS NULL AND b23.c IS NULL THEN 1 ELSE 0
+               END AS bo2
+      FROM tri2 s
+      LEFT JOIN m_tri t3 ON t3.g = s.g
+      LEFT JOIN m_bi b12 ON b12.pair = s.w12
+      LEFT JOIN m_bi b23 ON b23.pair = s.w23
+      LEFT JOIN m_uni u2 ON u2.w = s.w2
+      LEFT JOIN m_uni u3 ON u3.w = s.w3
+      CROSS JOIN m_n
+      WHERE s.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(bo1) AS BIGINT) AS n_backoff_bi,
+           CAST(SUM(bo2) AS BIGINT) AS n_backoff_uni,
+           CAST(SUM(sq) // COUNT(*) AS BIGINT) AS fluency_q6
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def trigram_backoff_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (Brants et al. 2007) — the
+    held-out version of bigram_lm_fluency: the model trains on even
+    doc_ids and scores odd doc_ids, so unseen trigrams GENUINELY back
+    off (scoring the training corpus makes backoff vacuous — every
+    observed trigram is in-model). Per position: c_tri·1e6/c_bi12 if
+    the trigram is known, else 0.4·c_bi23/c_uni2 (×4e5), else
+    0.4²·c_uni3/N (×1.6e5), floor-divided so every term is an exact
+    integer; the doc score is the integer mean, and the backoff
+    counters expose how far the scorer fell per doc.
+
+    Scale: gram model tables are built with map-side-combinable
+    groupBys; unlike bigram types, trigram TYPES do NOT Heaps-bound
+    to broadcast size at 100 TB, so the joins are left UNHINTED —
+    AQE broadcasts while small and degrades to shuffle joins at
+    scale (the honest plan; the gram key is high-cardinality and
+    skew-free)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    tri_s = dedup.shingle_table(score, "doc_id", "text", 3, distinct=False)
+    s = tri_s.select(
+        F.col("sid").alias("doc_id"),
+        F.col("shingle").alias("g"),
+        F.substring_index("shingle", " ", 2).alias("w12"),
+        F.substring_index("shingle", " ", -2).alias("w23"),
+        F.element_at(F.split("shingle", " "), 2).alias("w2"),
+        F.substring_index("shingle", " ", -1).alias("w3"),
+    )
+    m_tri = (
+        dedup.shingle_table(train, "doc_id", "text", 3, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    )
+    m_bi = (
+        dedup.shingle_table(train, "doc_id", "text", 2, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    m_uni = (
+        dedup.shingle_table(train, "doc_id", "text", 1, distinct=False)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    m_n = m_uni.agg(F.sum("c_uni").alias("n"))
+    j = (
+        s.join(m_tri, s["g"] == m_tri["shingle"], "left")
+        .drop(m_tri["shingle"])
+        .join(
+            m_bi.select(
+                F.col("shingle").alias("sh12"),
+                F.col("c_bi").alias("c_bi12"),
+            ),
+            F.col("w12") == F.col("sh12"),
+            "left",
+        )
+        .join(
+            m_bi.select(
+                F.col("shingle").alias("sh23"),
+                F.col("c_bi").alias("c_bi23"),
+            ),
+            F.col("w23") == F.col("sh23"),
+            "left",
+        )
+        .join(
+            m_uni.select(
+                F.col("shingle").alias("shu2"),
+                F.col("c_uni").alias("c_uni2"),
+            ),
+            F.col("w2") == F.col("shu2"),
+            "left",
+        )
+        .join(
+            m_uni.select(
+                F.col("shingle").alias("shu3"),
+                F.col("c_uni").alias("c_uni3"),
+            ),
+            F.col("w3") == F.col("shu3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(m_n))
+    )
+    sq = F.expr(
+        """CASE
+             WHEN c_tri IS NOT NULL AND c_bi12 IS NOT NULL
+               THEN c_tri * 1000000 DIV c_bi12
+             WHEN c_bi23 IS NOT NULL AND c_uni2 IS NOT NULL
+               THEN c_bi23 * 400000 DIV c_uni2
+             WHEN c_uni3 IS NOT NULL THEN c_uni3 * 160000 DIV n
+             ELSE 0 END"""
+    )
+    bo1 = F.when(F.col("c_tri").isNull(), 1).otherwise(0)
+    bo2 = F.when(
+        F.col("c_tri").isNull() & F.col("c_bi23").isNull(), 1
+    ).otherwise(0)
+    return (
+        j.select(
+            "doc_id",
+            sq.alias("sq"),
+            bo1.alias("bo1"),
+            bo2.alias("bo2"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("bo1").cast("long").alias("n_backoff_bi"),
+            F.sum("bo2").cast("long").alias("n_backoff_uni"),
+            F.expr("SUM(sq) DIV COUNT(1)").cast("long").alias("fluency_q6"),
+        )
+        .orderBy("doc_id")
+    )
