@@ -1422,3 +1422,94 @@ def stream_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_cells, dof, g, chi2_x1e4)],
         "n_cells long, dof long, g_total long, chi2_x1e4 long",
     )
+
+
+@register(
+    "stream_ewma_alert",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(n ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ),
+    scored AS (
+      SELECT event_type, len(vals) AS n_days,
+             list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)
+               AS ewma_final,
+             CASE WHEN len(vals) >= 2 THEN
+               len(list_filter(range(2, len(vals) + 1), i ->
+                 FLOOR(ABS(vals[i] - list_reduce(
+                     list_slice(vals, 1, i - 1),
+                     (acc, x) -> 0.3 * x + 0.7 * acc)) * 1000000)
+                 > FLOOR(list_reduce(list_slice(vals, 1, i - 1),
+                     (acc, x) -> 0.3 * x + 0.7 * acc) * 200000)))
+             ELSE 0 END AS n_alerts
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_alerts AS BIGINT) AS n_alerts,
+           CAST(FLOOR(ewma_final * 1000000) AS BIGINT) AS ewma_x1e6
+    FROM scored ORDER BY event_type
+    """,
+)
+def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA control chart — the live ingest-volume alert: a
+    complete-mode windowed aggregation maintains per-(type, day)
+    counts incrementally (per-day state, the continuous-aggregate
+    shape), and each trigger re-scores the CALENDAR-bounded daily
+    frame: day t alerts when its count deviates from the EWMA of
+    days < t by more than 20%. The α=0.3 fold is the bit-identical
+    sequential double recursion the batch daily_forecast_ewma gate
+    already proves engine-exact; alert compares go through FLOOR
+    quantization of both sides, so the whole report — day counts,
+    alert count, final EWMA — is hash-gated against the batch SQL.
+
+    Scale: stream state is one row per (type, day); the O(days²)
+    prefix re-fold runs on the bounded rollup, never on events."""
+    ensure_utc(spark)
+    name = f"sewma_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy("event_type", F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_stream(agg, name, "complete")
+    daily = spark.table(name).select(
+        "event_type",
+        F.col("window.start").alias("day"),
+        F.col("n").cast("double").alias("n"),
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("vals")
+    )
+    # NOTE: Spark SQL subscripts are 0-based; element_at is 1-based
+    # like DuckDB's l[i] — use element_at for index parity.
+    ewma_final = (
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+        " (acc, x) -> 0.3 * x + 0.7 * acc)"
+    )
+    prefix = (
+        "aggregate(slice(vals, 2, i - 2), vals[0],"
+        " (acc, x) -> 0.3 * x + 0.7 * acc)"
+    )
+    n_alerts = f"""CASE WHEN size(vals) >= 2 THEN
+        size(filter(sequence(2, size(vals)), i ->
+          FLOOR(ABS(element_at(vals, i) - {prefix}) * 1000000)
+          > FLOOR({prefix} * 200000)))
+      ELSE 0 END"""
+    return series.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_days"),
+        F.expr(n_alerts).cast("long").alias("n_alerts"),
+        F.expr(f"CAST(FLOOR({ewma_final} * 1000000) AS BIGINT)").alias(
+            "ewma_x1e6"
+        ),
+    ).orderBy("event_type")
