@@ -1165,6 +1165,41 @@ def covariance_exact(
     return cov, mean, n
 
 
+def _assign_cells(based, cell_ids, Cn, id_col, vec_col):
+    """Map-only nearest-centroid assignment: (rid, v, cell) rows with
+    the codebook shipped in the task closure (√n×dim — broadcastable
+    at any corpus size)."""
+    import numpy as np
+
+    bc = based.sparkSession.sparkContext.broadcast((cell_ids, Cn))
+
+    def assign(batches):
+        import pandas as pd
+
+        cells_, Cn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            An = A / np.maximum(
+                np.linalg.norm(A, axis=1, keepdims=True), 1e-300
+            )
+            idx = np.argmax(An @ Cn_.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "rid": pdf["rid"].to_numpy(),
+                    "v": pdf["v"],
+                    "cell": cells_[idx],
+                }
+            )
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    return rebalance_for_arrow(
+        based.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))
+    ).mapInPandas(assign, "rid long, v array<double>, cell int")
+
+
 def build_ivf_index(
     base: DataFrame,
     index_dir: str,
@@ -1194,35 +1229,10 @@ def build_ivf_index(
     if n_cells is None:
         n_cells = max(10, int(based.count() ** 0.5))
     cell_ids, Cn = _coarse_centroids(based, n_cells, id_col, vec_col)
-    bc = based.sparkSession.sparkContext.broadcast((cell_ids, Cn))
-
-    def assign(batches):
-        import pandas as pd
-
-        cells_, Cn_ = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            An = A / np.maximum(
-                np.linalg.norm(A, axis=1, keepdims=True), 1e-300
-            )
-            idx = np.argmax(An @ Cn_.T, axis=1)
-            yield pd.DataFrame(
-                {
-                    "rid": pdf["rid"].to_numpy(),
-                    "v": pdf["v"],
-                    "cell": cells_[idx],
-                }
-            )
-
-    from dbeam_spark.operators.util import rebalance_for_arrow
 
     out = Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
-    assigned = rebalance_for_arrow(
-        based.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v"))
-    ).mapInPandas(assign, "rid long, v array<double>, cell int")
+    assigned = _assign_cells(based, cell_ids, Cn, id_col, vec_col)
     (
         assigned.repartition("cell")
         .write.mode("overwrite")
@@ -1237,6 +1247,104 @@ def build_ivf_index(
     (out / "_CENTROIDS.json").write_text(_json.dumps(meta) + "\n")
     (out / "_SUCCESS").write_text("")
     return meta
+
+
+def append_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally maintain a persisted IVF index — the daily
+    operating mode at 100 TB: new embeddings are assigned to the
+    FROZEN codebook map-only (no retrain, no touch of existing cells)
+    and land as an LSM-style delta under
+
+        deltas/batch=<id>/cell=NNN/*.parquet
+
+    The write is idempotent-per-batch: the batch directory is
+    rewritten wholesale (dbeam's numbered-overwrite pattern), so an
+    orchestrator retry replaces rather than duplicates. Serving
+    (query_ivf_index) unions base cells with all deltas — both sides
+    prune on the `cell` partition column, so probes still read
+    n_probe/n_cells of base AND delta. compact_ivf_index folds deltas
+    into the base when the delta share grows.
+
+    Returns {'batch_id', 'n_appended', 'cells_touched'}."""
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    out = Path(index_dir)
+    meta = _json.loads((out / "_CENTROIDS.json").read_text())
+    cell_ids = np.array(meta["cell_ids"], dtype=np.int64)
+    Cn = np.array(meta["centroids_normed"], dtype=np.float64)
+    assigned = _assign_cells(
+        _as_double(new_vectors, vec_col), cell_ids, Cn, id_col, vec_col
+    )
+    dest = out / "deltas" / f"batch={batch_id}"
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(dest))
+    )
+    report = (
+        spark.read.parquet(str(dest))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {
+        "batch_id": batch_id,
+        "n_appended": int(sum(r["n"] for r in report)),
+        "cells_touched": sorted(int(r["cell"]) for r in report),
+    }
+
+
+def _index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(rid, v, cell) across base + any delta batches, cell-prunable
+    on both sides."""
+    from pathlib import Path
+
+    base = spark.read.parquet(str(Path(index_dir) / "cells")).select(
+        "rid", "v", "cell"
+    )
+    delta_root = Path(index_dir) / "deltas"
+    if delta_root.exists() and any(delta_root.iterdir()):
+        deltas = spark.read.parquet(str(delta_root)).select(
+            "rid", "v", "cell"
+        )
+        return base.unionByName(deltas)
+    return base
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold accumulated deltas into the base cell layout (one
+    partitioned rewrite), then drop the delta directories — the
+    compaction half of the LSM shape. Serving before and after
+    compaction is IDENTICAL by construction (same rows, same cells);
+    ivf_maintain_report asserts that equality exactly."""
+    import shutil
+    from pathlib import Path
+
+    out = Path(index_dir)
+    delta_root = out / "deltas"
+    if not delta_root.exists():
+        return {"compacted": 0}
+    merged = _index_cells(spark, str(out)).localCheckpoint()
+    n = merged.count()
+    (
+        merged.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(out / "cells"))
+    )
+    shutil.rmtree(delta_root)
+    return {"compacted": n}
 
 
 def query_ivf_index(
@@ -1284,9 +1392,9 @@ def query_ivf_index(
         "rid long, v array<double>, cell int",
     )
     probe_cells = sorted({int(cell_ids[j]) for row in probe_idx for j in row})
-    base_cells = spark.read.parquet(
-        str(Path(index_dir) / "cells")
-    ).filter(F.col("cell").isin(probe_cells))
+    base_cells = _index_cells(spark, index_dir).filter(
+        F.col("cell").isin(probe_cells)
+    )
 
     def score(key, a_pdf, q_pdf):
         import pandas as pd

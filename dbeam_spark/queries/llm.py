@@ -5831,3 +5831,101 @@ def trigram_backoff_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ivf_maintain_report",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           COUNT(*) AS n_total,
+           TRUE AS append_idempotent,
+           TRUE AS conservation,
+           TRUE AS recall_ge_060,
+           TRUE AS compact_identical
+    FROM embeddings
+    """,
+)
+def ivf_maintain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF MAINTENANCE lifecycle end-to-end — the daily
+    100 TB operating mode where new embeddings arrive without a
+    retrain: build the index on 80% of the corpus, append the other
+    20% to the frozen codebook as an idempotent LSM delta batch
+    (operators/similarity.append_ivf_index), serve queries across
+    base∪delta with cell pruning on both, then compact and prove
+    serving is unchanged.
+
+    Gate contract (knn_ivf's invariant pattern): split/total counts
+    are SQL-exact; the hashed booleans assert (a) re-appending the
+    SAME batch id does not grow the index (wholesale batch-dir
+    rewrite), (b) base+delta row conservation, (c) recall@5 ≥ 0.60
+    vs the hash-gated exact twin over the FULL corpus (measured
+    ~0.9; the floor absorbs regenerated-data variance), and (d) the
+    post-compaction top-k equals the pre-compaction top-k EXACTLY
+    (same rows, same 6-dp sims, same ranks)."""
+    import shutil
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    newb = emb.filter(F.col("vec_id") % 5 == 0)
+    q = emb.filter(F.col("vec_id") < 10)
+    n_base = base.count()
+    n_new = newb.count()
+    n_total = n_base + n_new
+
+    idx_dir = tempfile.mkdtemp(prefix="ivf_maintain_")
+    try:
+        similarity.build_ivf_index(base, idx_dir)
+        similarity.append_ivf_index(spark, idx_dir, newb, "b1")
+        n_after_1 = similarity._index_cells(spark, idx_dir).count()
+        # retry the SAME batch: wholesale rewrite, not duplication
+        similarity.append_ivf_index(spark, idx_dir, newb, "b1")
+        n_after_2 = similarity._index_cells(spark, idx_dir).count()
+        idempotent = n_after_1 == n_after_2
+        conservation = n_after_2 == n_total
+
+        served = similarity.query_ivf_index(
+            spark, idx_dir, q, k=5, n_probe=3
+        ).collect()
+        exact = similarity.knn_bruteforce(emb, q, k=5).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        hits = sum(
+            1
+            for r in served
+            if (r["query_id"], r["neighbor_id"]) in exact_set
+        )
+        recall_ok = len(exact) > 0 and hits / len(exact) >= 0.60
+
+        similarity.compact_ivf_index(spark, idx_dir)
+        served2 = similarity.query_ivf_index(
+            spark, idx_dir, q, k=5, n_probe=3
+        ).collect()
+        same = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+            for r in served
+        ) == sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+            for r in served2
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                n_new,
+                n_total,
+                bool(idempotent),
+                bool(conservation),
+                bool(recall_ok),
+                bool(same),
+            )
+        ],
+        "n_base long, n_new long, n_total long, append_idempotent"
+        " boolean, conservation boolean, recall_ge_060 boolean,"
+        " compact_identical boolean",
+    )

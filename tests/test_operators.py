@@ -1624,3 +1624,43 @@ def test_knn_int8_recall_floor(spark):
     # loses little ranking fidelity (measured 0.98 at sf0.01)
     assert set(per_q.values()) == {5}
     assert hits / tot >= 0.7, hits / tot
+
+
+def test_ivf_index_append_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        query_ivf_index,
+        _index_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    newb = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "ivf_m")
+    build_ivf_index(base, idx, n_cells=8)
+    rep = append_ivf_index(spark, idx, newb, "b1")
+    assert rep["n_appended"] == newb.count()
+    total = emb.count()
+    assert _index_cells(spark, idx).count() == total
+    # idempotent retry: same batch id, no growth
+    append_ivf_index(spark, idx, newb, "b1")
+    assert _index_cells(spark, idx).count() == total
+    q = emb.filter(F.col("vec_id") < 5)
+    before = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in query_ivf_index(spark, idx, q, k=3, n_probe=3).collect()
+    )
+    # appended vectors are servable (some neighbor from the delta)
+    assert any(nid % 5 == 0 for (_, _, nid, _) in before)
+    compact_ivf_index(spark, idx)
+    assert not (tmp_path / "ivf_m" / "deltas").exists()
+    after = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in query_ivf_index(spark, idx, q, k=3, n_probe=3).collect()
+    )
+    assert before == after
+    assert _index_cells(spark, idx).count() == total
