@@ -58,10 +58,21 @@ def _events_stream(
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
-    # The file source wants a directory; expose the single parquet
-    # file through a temp dir symlink.
+    # The file source wants a directory of FILES; expose a single
+    # parquet file through a temp-dir symlink, and a directory-shaped
+    # table (e.g. the 10x scale replica, written by Spark) by
+    # symlinking each part file — a directory symlink named
+    # *.parquet is skipped by the file-stream lister (0-row stream).
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(src, os.path.join(stream_dir, "a_events.parquet"))
+    if os.path.isdir(src):
+        import glob as _glob
+
+        for i, p in enumerate(
+            sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        ):
+            os.symlink(p, os.path.join(stream_dir, f"a_{i:05d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stream_dir, "a_events.parquet"))
     schema = spark.read.parquet(src).schema
     ts_type = schema["ts"].dataType
     reader = spark.readStream.schema(schema)

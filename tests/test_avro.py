@@ -486,3 +486,53 @@ def test_read_avro_with_evolved_reader_schema(spark, tmp_path):
         map(tuple, read_avro(spark, d, reader_schema=reader).collect())
     )
     assert got == [(1, "a", None), (2, "b", 9)]
+
+
+def test_java_avro_reads_python_ocf(spark, tmp_path):
+    """Cross-implementation compatibility: files produced by the
+    pure-Python OCF writer must be readable by the REFERENCE Java
+    Avro implementation (org.apache.avro on Spark's own classpath —
+    the same library dbeam-core's writer uses), codec included.
+    This is the jar-backed byte-compatibility check: a wrong sync
+    marker, block framing, zigzag varint or deflate stream makes
+    DataFileReader throw, and value round-trips are compared."""
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'alpha', CAST(1.5 AS DOUBLE), true), "
+        "(2, NULL, CAST(-2.25 AS DOUBLE), false), "
+        "(3, 'gamma', CAST(NULL AS DOUBLE), NULL) "
+        "AS t(id, s, d, b)"
+    ).coalesce(1)
+    avro = spark_schema_to_avro(df.schema, "t")
+    for codec in ("null", "deflate6", "bzip2"):
+        out = str(tmp_path / f"jref_{codec}")
+        write_avro(df, out, avro, codec=codec)
+        part = sorted(glob.glob(out + "/part-*.avro"))[0]
+        jvm = spark._jvm
+        jfile = jvm.java.io.File(part)
+        dreader = jvm.org.apache.avro.generic.GenericDatumReader()
+        freader = jvm.org.apache.avro.file.DataFileReader(jfile, dreader)
+        expect_meta = {"null": "null", "deflate6": "deflate",
+                       "bzip2": "bzip2"}[codec]
+        assert freader.getMetaString("avro.codec") == expect_meta
+        got = {}
+        while freader.hasNext():
+            rec = freader.next()
+            rid = int(str(rec.get("id")))
+            sval = rec.get("s")
+            dval = rec.get("d")
+            got[rid] = (
+                None if sval is None else str(sval),
+                None if dval is None else float(str(dval)),
+                rec.get("b"),
+            )
+        freader.close()
+        assert got == {
+            1: ("alpha", 1.5, True),
+            2: (None, -2.25, False),
+            3: ("gamma", None, None),
+        }, got
+        # schema fidelity through the reference parser
+        jschema = freader.getSchema()
+        names = [str(f.name()) for f in jschema.getFields()]
+        assert names == ["id", "s", "d", "b"]
