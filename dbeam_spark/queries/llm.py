@@ -5929,3 +5929,114 @@ def ivf_maintain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " boolean, conservation boolean, recall_ge_060 boolean,"
         " compact_identical boolean",
     )
+
+
+@register(
+    "embedding_health",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id,
+             v IS NULL AS is_null,
+             CASE WHEN v IS NULL THEN 0 ELSE len(v) END AS dim,
+             CASE WHEN v IS NULL THEN 0
+                  ELSE len(list_filter(v, x -> isnan(x) OR isinf(x)))
+             END AS n_bad,
+             CASE WHEN v IS NULL THEN 0.0
+                  ELSE sqrt(list_inner_product(v, v)) END AS nrm
+      FROM e
+    )
+    SELECT COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_vec,
+           CAST(MIN(dim) FILTER (WHERE NOT is_null) AS BIGINT) AS dim_min,
+           CAST(MAX(dim) FILTER (WHERE NOT is_null) AS BIGINT) AS dim_max,
+           CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(SUM(CASE WHEN NOT is_null AND n_bad = 0 AND nrm = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(FLOOR(MIN(nrm) FILTER (WHERE NOT is_null AND n_bad = 0)
+                      * 1000000) AS BIGINT) AS norm_min_x1e6,
+           CAST(FLOOR(quantile_cont(nrm, 0.5)
+                        FILTER (WHERE NOT is_null AND n_bad = 0)
+                      * 1000000) AS BIGINT) AS norm_p50_x1e6,
+           CAST(FLOOR(MAX(nrm) FILTER (WHERE NOT is_null AND n_bad = 0)
+                      * 1000000) AS BIGINT) AS norm_max_x1e6
+    FROM m
+    """,
+)
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-ANN data-quality gate: null / non-finite / zero-norm
+    vector counts, dimension consistency, and the norm distribution
+    (min/median/max, 1e-6 quantized) in ONE linear scan — the checks
+    every index build should refuse to start without (a single NaN
+    vector poisons a centroid; a zero-norm vector makes cosine
+    undefined; a dim mismatch crashes the matmul mid-job).
+
+    Exactness: norms fold left-to-right (bit-identical to DuckDB's
+    list_inner_product), Spark `percentile` is quantile_cont's exact
+    interpolation, and every float lands through FLOOR(·×1e6) before
+    the hash. Map-only + one global aggregate; no shuffle of the
+    vectors themselves."""
+    emb = _emb(spark, sf_dir)
+    m = emb.select(
+        F.col("embedding").isNull().alias("is_null"),
+        F.when(F.col("embedding").isNull(), 0)
+        .otherwise(F.size("embedding"))
+        .alias("dim"),
+        F.when(F.col("embedding").isNull(), 0)
+        .otherwise(
+            F.expr(
+                "size(filter(embedding, x -> isnan(x)"
+                " OR abs(x) = CAST('Infinity' AS DOUBLE)))"
+            )
+        )
+        .alias("n_bad"),
+        F.when(F.col("embedding").isNull(), F.lit(0.0))
+        .otherwise(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> acc"
+                    " + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                )
+            )
+        )
+        .alias("nrm"),
+    )
+    ok = ~F.col("is_null") & (F.col("n_bad") == 0)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("is_null"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_vec"),
+        F.min(F.when(~F.col("is_null"), F.col("dim")))
+        .cast("long")
+        .alias("dim_min"),
+        F.max(F.when(~F.col("is_null"), F.col("dim")))
+        .cast("long")
+        .alias("dim_max"),
+        F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.sum(F.when(ok & (F.col("nrm") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.floor(F.min(F.when(ok, F.col("nrm"))) * 1000000)
+        .cast("long")
+        .alias("norm_min_x1e6"),
+        F.floor(
+            F.expr(
+                "percentile(CASE WHEN NOT is_null AND n_bad = 0"
+                " THEN nrm END, 0.5)"
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("norm_p50_x1e6"),
+        F.floor(F.max(F.when(ok, F.col("nrm"))) * 1000000)
+        .cast("long")
+        .alias("norm_max_x1e6"),
+    )

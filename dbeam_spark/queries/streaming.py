@@ -1524,3 +1524,106 @@ def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_x1e6"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "stream_cms_heavy_users",
+    oracle="""
+    WITH tk AS (
+      SELECT CAST(user_id AS VARCHAR) AS tok FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tk),
+    nu AS (SELECT COUNT(DISTINCT tok) AS u FROM tk),
+    buck AS (
+      SELECT tok, r, substr(md5(CAST(r AS VARCHAR) || tok), 1, 2) AS b
+      FROM tk, range(4) AS t(r)
+    ),
+    counters AS (SELECT r, b, COUNT(*) AS c FROM buck GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT tok, r,
+             substr(md5(CAST(r AS VARCHAR) || tok), 1, 2) AS b
+      FROM tk, range(4) AS t(r)
+    ),
+    est AS (
+      SELECT cand.tok, MIN(c.c) AS est_count
+      FROM cand JOIN counters c ON c.r = cand.r AND c.b = cand.b
+      GROUP BY cand.tok
+    ),
+    exact AS (SELECT tok, COUNT(*) AS exact_count FROM tk GROUP BY tok)
+    SELECT CAST(e.tok AS BIGINT) AS user_id,
+           CAST(x.exact_count AS BIGINT) AS exact_count,
+           CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(e.est_count - x.exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x USING (tok), tot, nu
+    WHERE e.est_count * nu.u * 10 >= 12 * tot.n
+    ORDER BY user_id
+    """,
+)
+def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter monitor with CONSTANT state: a count-min
+    sketch (d=4 × 256 md5-prefix buckets) maintained as a complete-
+    mode streaming aggregation — 1024 counter rows of state no matter
+    how many distinct users flow past, versus the O(users) state of
+    stream_stateful_user_stats. Flagged: users whose sketch ESTIMATE
+    is ≥1.2× the mean events-per-user (an integer compare on exact
+    counts, SF-portable), with the exact count joined back batch-side
+    so the (est − exact) overcount column exposes collision inflation
+    instead of hiding it.
+
+    The sketch is engine-portable by construction (string md5-prefix
+    bucketing — heavy_hitters_cms's scheme), and counting is
+    order-insensitive, so the STREAMED counters equal the batch SQL's
+    bit-for-bit and the whole report is hash-gated."""
+    ensure_utc(spark)
+    name = f"scms_{uuid.uuid4().hex[:8]}"
+    rows4 = F.explode(F.array(*[F.lit(r) for r in range(4)])).alias("r")
+    counters_stream = (
+        _events_stream(spark, sf_dir)
+        .select(F.col("user_id").cast("string").alias("tok"))
+        .select("tok", rows4)
+        .withColumn(
+            "b",
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))),
+                1,
+                2,
+            ),
+        )
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _run_stream(counters_stream, name, "complete")
+    counters = spark.table(name)
+
+    ev = load_table(spark, sf_dir, "events")
+    tk = ev.select(F.col("user_id").cast("string").alias("tok"))
+    exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    scalars = tk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("tok").alias("u"),
+    )
+    cand = exact.select("tok").select("tok", rows4).withColumn(
+        "b",
+        F.substring(
+            F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))), 1, 2
+        ),
+    )
+    est = (
+        cand.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.join(exact, "tok")
+        .crossJoin(F.broadcast(scalars))
+        .filter(F.col("est_count") * F.col("u") * 10 >= 12 * F.col("n"))
+        .select(
+            F.col("tok").cast("long").alias("user_id"),
+            F.col("exact_count").cast("long"),
+            F.col("est_count").cast("long"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
