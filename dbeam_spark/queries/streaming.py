@@ -1627,3 +1627,163 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _docs_shard_stream(spark: SparkSession, sf_dir: str, n_shards: int):
+    """File-source stream over `documents`, replayed as n_shards
+    micro-batches (doc_id % n_shards sharding, one file per
+    trigger) — the arrival pattern of a crawl feed."""
+    docs = load_table(spark, sf_dir, "documents")
+    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    import glob as _glob
+    import shutil as _shutil
+
+    for s in range(n_shards):
+        tmp = os.path.join(stream_dir, "_build")
+        (
+            docs.filter(F.col("doc_id") % n_shards == s)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        _shutil.move(part, os.path.join(stream_dir, f"a_{s}.parquet"))
+        _shutil.rmtree(tmp)
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+
+
+@register(
+    "stream_dedup_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jraw
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(3 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS no_false_pairs,
+           TRUE AS high_sim_all_found
+    FROM jac WHERE jraw >= 0.5
+    """,
+)
+def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup against the persisted MinHash index —
+    the LLM-ingest topology end-to-end: the corpus arrives as 3
+    micro-batches (a file-source stream), and each foreachBatch call
+    runs operators/dedup.incremental_minhash_index — new docs are
+    signed map-only, checked against ALL previously indexed batches
+    via band buckets (candidates scale with the batch, never the
+    corpus), and appended to the index idempotently. Discovered
+    pairs land in a parquet ledger per batch.
+
+    The pair SET is arrival-order independent — a pair is discovered
+    exactly once, when the later of its docs arrives — so the final
+    ledger carries the same contract as the batch dedup_incremental
+    gate: SQL-exact corpus/pair counts plus the wide-margin estimator
+    invariants (no found pair below exact J ≥ 0.35 = τ−4σ; every
+    exact J ≥ 0.8 pair found, where banding miss is ~5e-8)."""
+    import tempfile as _tf
+
+    from dbeam_spark.operators.dedup import (
+        incremental_minhash_index,
+        ngram_jaccard_pairs,
+    )
+
+    ensure_utc(spark)
+    index_dir = _tf.mkdtemp(prefix="sidx_stream_") + "/idx"
+    ledger_dir = _tf.mkdtemp(prefix="sidx_ledger_") + "/pairs"
+
+    def per_batch(batch_df, bid):
+        pairs = incremental_minhash_index(batch_df, index_dir, 0.5)
+        (
+            pairs.select("id_a", "id_b", "est_jaccard_x1e4")
+            .write.mode("append")
+            .parquet(ledger_dir)
+        )
+
+    checkpoint = _tf.mkdtemp(prefix="ckpt_sidx_")
+    q = (
+        _docs_shard_stream(spark, sf_dir, 3)
+        .writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    docs = load_table(spark, sf_dir, "documents")
+    found = (
+        spark.read.parquet(ledger_dir)
+        .select("id_a", "id_b", F.lit(1).alias("in_found"))
+        .distinct()
+    )
+    truth = ngram_jaccard_pairs(docs, 0.35).localCheckpoint(eager=True)
+    marked = truth.select(
+        "id_a",
+        "id_b",
+        F.lit(1).alias("in_loose"),
+        F.when(F.col("jaccard") >= 0.5, 1).alias("in_exact"),
+        F.when(F.col("jaccard") >= 0.8, 1).alias("in_high"),
+    )
+    j = marked.join(found, ["id_a", "id_b"], "full_outer")
+    row = j.agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_found").isNotNull()
+                    & F.col("in_loose").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_false"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("in_high").isNotNull()
+                    & F.col("in_found").isNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_high_missed"),
+    ).collect()[0]
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                3,
+                int(row["n_exact"]),
+                bool(row["n_false"] == 0),
+                bool(row["n_high_missed"] == 0),
+            )
+        ],
+        "n_docs long, n_batches long, n_exact_pairs long,"
+        " no_false_pairs boolean, high_sim_all_found boolean",
+    )
