@@ -470,15 +470,19 @@ def write_avro(
                     "file": [path],
                     "rows": [count_ocf_rows(path)],
                     "bytes": [os.path.getsize(path)],
+                    "crc32": [file_crc32(path)],
                     "skipped": [True],
                 }
             )
             return
         enc = OcfEncoder(schema, codec)
         rows = 0
+        crc = 0
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
-            fh.write(enc.header())
+            hdr = enc.header()
+            fh.write(hdr)
+            crc = zlib.crc32(hdr, crc)
             for pdf in batches:
                 masks = {
                     name: pdf[_NULL_MASK + name]
@@ -487,6 +491,7 @@ def write_avro(
                 }
                 for block in enc.encode_pdf(pdf, masks):
                     fh.write(block)
+                    crc = zlib.crc32(block, crc)
                 rows += len(pdf)
         os.replace(tmp, path)
         yield pd.DataFrame(
@@ -494,11 +499,26 @@ def write_avro(
                 "file": [path],
                 "rows": [rows],
                 "bytes": [os.path.getsize(path)],
+                "crc32": [crc & 0xFFFFFFFF],
                 "skipped": [False],
             }
         )
 
     stats = df.mapInPandas(
-        write_partition, "file string, rows long, bytes long, skipped boolean"
+        write_partition,
+        "file string, rows long, bytes long, crc32 long, skipped boolean",
     ).collect()
     return [r.asDict() for r in stats]
+
+
+def file_crc32(path: str, chunk: int = 1 << 20) -> int:
+    """Streaming CRC32 of a file (constant memory — validator-safe on
+    arbitrarily large part files)."""
+    crc = 0
+    with open(path, "rb") as fh:
+        while True:
+            buf = fh.read(chunk)
+            if not buf:
+                break
+            crc = zlib.crc32(buf, crc)
+    return crc & 0xFFFFFFFF

@@ -167,6 +167,26 @@ def run_export(
     metrics.expose_written(
         sum(s["rows"] for s in stats), sum(s["bytes"] for s in stats)
     )
+    if not opts.dataOnly:
+        # per-file CRC32 sidecar, computed DISTRIBUTED as each
+        # partition streams out (zero extra read); validate_export
+        # re-derives and compares — bit-rot / truncated-copy
+        # detection for the export artifact.
+        (out / "_CHECKSUMS.json").write_text(
+            json.dumps(
+                {
+                    Path(s["file"]).name: {
+                        "crc32": int(s["crc32"]),
+                        "bytes": int(s["bytes"]),
+                        "rows": int(s["rows"]),
+                    }
+                    for s in stats
+                },
+                indent=2,
+                sort_keys=True,
+            )
+            + "\n"
+        )
 
     if not opts.dataOnly:
         metrics.save(str(out))

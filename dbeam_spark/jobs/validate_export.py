@@ -11,11 +11,15 @@ about a number — so the validator is a job, not a test.
 Checks, in dependency order (each failure short-circuits):
 1. `_SUCCESS` exists (incomplete exports must never validate);
 2. `_AVRO_SCHEMA.avsc` parses as an Avro record schema;
-3. every `part-*.avro` decodes, and its writer schema matches the
+3. if `_CHECKSUMS.json` is present, every part file's CRC32 and size
+   match the sidecar the writer computed as the bytes streamed out
+   (bit-rot / truncated-copy detection, cheaper than a decode and
+   able to catch flips the decoder tolerates);
+4. every `part-*.avro` decodes, and its writer schema matches the
    published `_AVRO_SCHEMA.avsc` byte-for-byte after JSON
    normalization (a swapped/corrupted file fails here);
-4. the decoded row count equals `_METRICS.json`'s recordCount;
-5. (optional) `--minRows` floor on the recount.
+5. the decoded row count equals `_METRICS.json`'s recordCount;
+6. (optional) `--minRows` floor on the recount.
 
 Exit codes follow A24: clean = 0, any validation failure = 50
 (FailedValidation), missing dir/files = 41 (IO).
@@ -79,6 +83,36 @@ def validate_export(export_dir: str, min_rows: int = -1) -> ValidationReport:
     parts = sorted(glob.glob(os.path.join(export_dir, "part-*.avro")))
     if not rep.add("has_data_files", bool(parts), "no part-*.avro files"):
         return rep
+
+    cks_path = os.path.join(export_dir, "_CHECKSUMS.json")
+    if os.path.exists(cks_path):
+        from dbeam_spark.avro.writer import file_crc32
+
+        expected = json.loads(open(cks_path).read())
+        bad = []
+        for p in parts:
+            name = os.path.basename(p)
+            want = expected.get(name)
+            if want is None:
+                bad.append(f"{name}: not in _CHECKSUMS.json")
+                continue
+            got_crc = file_crc32(p)
+            got_bytes = os.path.getsize(p)
+            if got_crc != want["crc32"] or got_bytes != want["bytes"]:
+                bad.append(
+                    f"{name}: crc/bytes {got_crc}/{got_bytes}"
+                    f" != recorded {want['crc32']}/{want['bytes']}"
+                )
+        missing = sorted(
+            set(expected) - {os.path.basename(p) for p in parts}
+        )
+        for name in missing:
+            bad.append(f"{name}: recorded but absent")
+        rep.add(
+            "file_checksums",
+            not bad,
+            "; ".join(bad) if bad else f"{len(parts)} files verified",
+        )
 
     norm = json.dumps(published, sort_keys=True)
     total = 0

@@ -534,3 +534,40 @@ def test_schema_export_isolates_per_table_failures(
     assert report["tables"]["NO_SUCH_TABLE"]["status"] == "failed"
     assert not (out / "_SUCCESS").exists()  # fleet not green
     assert (out / "coffees" / "_SUCCESS").exists()  # but COFFEES is
+
+
+def test_export_checksums(spark, derby_db, tmp_path):
+    """_CHECKSUMS.json: distributed per-file CRC32 sidecar, verified
+    by the standalone validator; a single flipped byte that keeps the
+    Avro stream decodable is still caught by the CRC."""
+    from dbeam_spark.avro.writer import file_crc32
+    from dbeam_spark.jobs.validate_export import validate_export
+
+    out = tmp_path / "cks"
+    run_export(spark, opts_for(derby_db, out))
+    cks = json.loads((out / "_CHECKSUMS.json").read_text())
+    parts = sorted(glob.glob(str(out / "part-*.avro")))
+    assert set(cks) == {Path(p).name for p in parts}
+    for p in parts:
+        rec = cks[Path(p).name]
+        assert rec["crc32"] == file_crc32(p)
+        assert rec["bytes"] == Path(p).stat().st_size
+    assert sum(r["rows"] for r in cks.values()) == 1000
+    rep = validate_export(str(out))
+    assert rep.ok
+    assert any(c["check"] == "file_checksums" and c["ok"] for c in rep.checks)
+
+    # flip ONE payload byte (keep size identical): only the CRC check
+    # can see it
+    p0 = parts[0]
+    data = bytearray(Path(p0).read_bytes())
+    data[-20] ^= 0xFF
+    Path(p0).write_bytes(bytes(data))
+    rep = validate_export(str(out))
+    bad = [c for c in rep.checks if c["check"] == "file_checksums"]
+    assert bad and not bad[0]["ok"]
+
+    # a file recorded but deleted is reported too
+    Path(p0).unlink()
+    rep = validate_export(str(out))
+    assert not rep.ok
