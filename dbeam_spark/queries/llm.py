@@ -6040,3 +6040,80 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("norm_max_x1e6"),
     )
+
+
+@register(
+    "sampling_neyman",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, sx, sxx,
+             CAST(FLOOR(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+                  AS BIGINT) AS neyman_w
+      FROM s
+    ),
+    z AS (SELECT SUM(neyman_w) AS wsum FROM w)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           sx, sxx, neyman_w,
+           CAST(FLOOR(neyman_w * 1000000 / wsum) AS BIGINT)
+             * 200 // 1000000 AS n_take
+    FROM w, z
+    ORDER BY source
+    """,
+)
+def sampling_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation sampling design: a fixed 200-doc audit budget
+    split across sources proportional to N_h·σ_h — high-variance
+    feeds get more inspection budget than uniform or size-proportional
+    allocation would give them (THE classical minimum-variance
+    stratified design, and the principled way to spend a labeling
+    budget across crawl feeds).
+
+    Exactness: N_h·σ_pop,h = sqrt(n·Σx² − (Σx)²), so the weight is
+    sqrt of an EXACT integer — bit-identical across engines — floor-
+    quantized before the normalizing sum (the sampling_weights rule:
+    never float-sum across groups). One map-side-combinable rollup +
+    a 1-row broadcast total; int64-safe through ~100× (n·Σx² ≈ 1e16
+    at sf1-per-source volumes)."""
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    w = s.withColumn(
+        "neyman_w",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_docs") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                ).cast("double")
+            )
+        ).cast("long"),
+    )
+    z = w.agg(F.sum("neyman_w").alias("wsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "sx",
+            "sxx",
+            "neyman_w",
+            F.expr(
+                "CAST(FLOOR(neyman_w * 1000000 / wsum) AS BIGINT)"
+                " * 200 DIV 1000000"
+            ).alias("n_take"),
+        )
+        .orderBy("source")
+    )
