@@ -100,6 +100,21 @@ def compact_runs(
     rows = sum(s["rows"] for s in stats)
     nbytes = sum(s["bytes"] for s in stats)
     (tmp / "_AVRO_SCHEMA.avsc").write_text(json.dumps(avro_schema, indent=2))
+    (tmp / "_CHECKSUMS.json").write_text(
+        json.dumps(
+            {
+                os.path.basename(s["file"]): {
+                    "crc32": int(s["crc32"]),
+                    "bytes": int(s["bytes"]),
+                    "rows": int(s["rows"]),
+                }
+                for s in stats
+            },
+            indent=2,
+            sort_keys=True,
+        )
+        + "\n"
+    )
     (tmp / "_METRICS.json").write_text(
         json.dumps(
             {
