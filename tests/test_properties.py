@@ -199,3 +199,20 @@ def test_bpe_merge_apply_consistency(texts):
         ws = [w for w in re.split(r"\s+", txt.lower()) if w]
         assert n_tok >= len(ws) or not ws  # >= one token per word
         assert n_tok <= sum(len(w) + 1 for w in ws)  # <= chars + marks
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    blob=st.binary(max_size=4096),
+    chunk=st.integers(1, 512),
+)
+def test_file_crc32_streaming_equals_whole(tmp_path_factory, blob, chunk):
+    """file_crc32 streams in chunks; any chunking must equal the
+    one-shot zlib.crc32 of the full content."""
+    import zlib
+
+    from dbeam_spark.avro.writer import file_crc32
+
+    p = tmp_path_factory.mktemp("crc") / "f.bin"
+    p.write_bytes(blob)
+    assert file_crc32(str(p), chunk=chunk) == (zlib.crc32(blob) & 0xFFFFFFFF)
