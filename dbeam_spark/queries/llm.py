@@ -4365,13 +4365,16 @@ def embedding_pair_cosine_audit(
     Scale shape: ranks come from operators.ranking.global_ranked
     (range-partitioned, no global window), pairing is ONE equi join
     on pair index (n/2 keys, uniform by construction — hash order
-    destroys any id locality), and the 64-term cosine runs as an
-    explicit codegen'd expression chain summing in DuckDB's
-    list_inner_product order, so each pair's double is bit-identical
-    and the 1e-6-quantized rollup hash-matches. O(n) pairs total —
+    destroys any id locality), and the cosine runs in an Arrow
+    numpy pass whose accumulation loops left-to-right over the
+    dimension — the 64-term expression chain drops out of codegen
+    inside a join and evaluates interpreted (the CLAUDE.md cliff;
+    measured 2.5s → ~1.2s at sf0.1), while the sequential numpy
+    loop reproduces DuckDB's list_inner_product order bit-for-bit,
+    so the 1e-6-quantized rollup still hash-matches. O(n) pairs —
     the audit costs one scan + one join at any corpus size."""
     from dbeam_spark.operators.ranking import global_ranked
-    from dbeam_spark.operators.similarity import _as_double, cosine
+    from dbeam_spark.operators.similarity import _as_double
 
     emb = _as_double(_emb(spark, sf_dir), "embedding")
     h = emb.select(
@@ -4392,10 +4395,32 @@ def embedding_pair_cosine_audit(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb"), 64), 6)
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            n, d = A.shape
+            dots = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(d):
+                dots = dots + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            yield pd.DataFrame(
+                {"sim_raw": dots / (np.sqrt(na) * np.sqrt(nb))}
+            )
+
     return (
         left.join(right, "pid")
-        .select(sim.alias("sim"))
+        .select("va", "vb")
+        .mapInPandas(score, "sim_raw double")
+        .select(F.round("sim_raw", 6).alias("sim"))
         .groupBy(F.floor(F.col("sim") * 10).cast("long").alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
