@@ -1535,13 +1535,13 @@ def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n FROM tk),
     nu AS (SELECT COUNT(DISTINCT tok) AS u FROM tk),
     buck AS (
-      SELECT tok, r, substr(md5(CAST(r AS VARCHAR) || tok), 1, 2) AS b
+      SELECT tok, r, substr(md5(CAST(r AS VARCHAR) || tok), 1, 3) AS b
       FROM tk, range(4) AS t(r)
     ),
     counters AS (SELECT r, b, COUNT(*) AS c FROM buck GROUP BY 1, 2),
     cand AS (
       SELECT DISTINCT tok, r,
-             substr(md5(CAST(r AS VARCHAR) || tok), 1, 2) AS b
+             substr(md5(CAST(r AS VARCHAR) || tok), 1, 3) AS b
       FROM tk, range(4) AS t(r)
     ),
     est AS (
@@ -1550,25 +1550,30 @@ def stream_ewma_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY cand.tok
     ),
     exact AS (SELECT tok, COUNT(*) AS exact_count FROM tk GROUP BY tok)
-    SELECT CAST(e.tok AS BIGINT) AS user_id,
-           CAST(x.exact_count AS BIGINT) AS exact_count,
-           CAST(e.est_count AS BIGINT) AS est_count,
-           CAST(e.est_count - x.exact_count AS BIGINT) AS overcount
-    FROM est e JOIN exact x USING (tok), tot, nu
-    WHERE e.est_count * nu.u * 10 >= 12 * tot.n
-    ORDER BY user_id
+    SELECT user_id, exact_count, est_count, overcount FROM (
+      SELECT CAST(e.tok AS BIGINT) AS user_id,
+             CAST(x.exact_count AS BIGINT) AS exact_count,
+             CAST(e.est_count AS BIGINT) AS est_count,
+             CAST(e.est_count - x.exact_count AS BIGINT) AS overcount
+      FROM est e JOIN exact x USING (tok)
+      ORDER BY est_count DESC, user_id LIMIT 20
+    ) ORDER BY user_id
     """,
 )
 def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy-hitter monitor with CONSTANT state: a count-min
-    sketch (d=4 × 256 md5-prefix buckets) maintained as a complete-
-    mode streaming aggregation — 1024 counter rows of state no matter
+    sketch (d=4 × 4096 md5-prefix buckets) maintained as a complete-
+    mode streaming aggregation — 16k counter rows of state no matter
     how many distinct users flow past, versus the O(users) state of
-    stream_stateful_user_stats. Flagged: users whose sketch ESTIMATE
-    is ≥1.2× the mean events-per-user (an integer compare on exact
-    counts, SF-portable), with the exact count joined back batch-side
-    so the (est − exact) overcount column exposes collision inflation
-    instead of hiding it.
+    stream_stateful_user_stats. Reported: the TOP-20 users by sketch
+    estimate (deterministic est-desc/user_id order — SF-stable output,
+    unlike a mean-multiple cut, which the 10× probe showed degrades
+    to "everyone" once cardinality passes the sketch width and the
+    collision term dominates a near-uniform distribution), with the
+    exact count joined back batch-side so the (est − exact) overcount
+    column exposes collision inflation instead of hiding it. Sizing
+    rule at 100 TB: width ≳ expected distinct-heavy count / ε — widen
+    the prefix, state stays trivially small.
 
     The sketch is engine-portable by construction (string md5-prefix
     bucketing — heavy_hitters_cms's scheme), and counting is
@@ -1586,7 +1591,7 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(
                 F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))),
                 1,
-                2,
+                3,
             ),
         )
         .groupBy("r", "b")
@@ -1598,14 +1603,10 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     tk = ev.select(F.col("user_id").cast("string").alias("tok"))
     exact = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
-    scalars = tk.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("tok").alias("u"),
-    )
     cand = exact.select("tok").select("tok", rows4).withColumn(
         "b",
         F.substring(
-            F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))), 1, 2
+            F.md5(F.concat(F.col("r").cast("string"), F.col("tok"))), 1, 3
         ),
     )
     est = (
@@ -1615,8 +1616,6 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         est.join(exact, "tok")
-        .crossJoin(F.broadcast(scalars))
-        .filter(F.col("est_count") * F.col("u") * 10 >= 12 * F.col("n"))
         .select(
             F.col("tok").cast("long").alias("user_id"),
             F.col("exact_count").cast("long"),
@@ -1625,6 +1624,8 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("overcount"),
         )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
         .orderBy("user_id")
     )
 

@@ -113,6 +113,19 @@ PROBES = [
     "chi2_type_dow",
     "rrf_hybrid_search",
     "dedup_source_flow",
+    # round-4 closing block: quantized ANN serving, centroid-distance
+    # outliers, held-out trigram backoff LM, the IVF maintenance
+    # lifecycle, Neyman allocation, and the streaming CMS/dedup-index
+    # monitors (streaming queries probe correctly now that the
+    # replica's directory-shaped events table streams)
+    "knn_int8_recall",
+    "embedding_outliers",
+    "trigram_backoff_fluency",
+    "ivf_maintain_report",
+    "sampling_neyman",
+    "embedding_health",
+    "stream_ewma_alert",
+    "stream_cms_heavy_users",
 ]
 
 
