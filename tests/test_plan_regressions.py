@@ -162,3 +162,38 @@ def test_part_skyline_windows_are_partitioned(spark):
     plan = plan_of(spark, "part_skyline")
     for frag in plan.split("windowspecdefinition(")[1:]:
         assert frag.lstrip().startswith("_pm_pid"), frag[:80]
+
+
+def test_knn_int8_scoring_is_map_only(spark):
+    # int8 codes ship in the closure; the base is scored map-only
+    # (one rebalance exchange is the only shuffle before the per-query
+    # top-k window) and the recall join against the exact twin is a
+    # broadcast of queries×k rows — never a sort-merge join
+    plan = plan_of(spark, "knn_int8_recall")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    # the (label, pos) centroid rollup is labels×dim rows — it must
+    # come back as a broadcast join onto the exploded stream, never a
+    # shuffle join of the data-scaled side
+    plan = plan_of(spark, "embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not _unpartitioned_windows(plan)
+
+
+def test_pair_cosine_audit_uses_arrow_kernel(spark):
+    # the 64-term cosine chain drops out of codegen inside the pair
+    # join (the CLAUDE.md cliff): scoring must run as the Arrow numpy
+    # stage, and the pairing join stays an equi join
+    plan = plan_of(spark, "embedding_pair_cosine_audit")
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_health_is_single_scan(spark):
+    plan = plan_of(spark, "embedding_health")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
