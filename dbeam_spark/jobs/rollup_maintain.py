@@ -62,13 +62,32 @@ def maintain_rollup(
     ts_col: str,
     group_cols: list[str],
     sum_cols: list[str],
+    primary_key: str | None = None,
+    op_col: str | None = None,
 ) -> dict:
     """Bring the rollup up to date with `runs_root`'s `run_*` dirs.
 
     The rollup schema is (day, *group_cols, n_rows, sum_<c>...),
     hive-partitioned by `day` (a date-truncated timestamp). Returns
     {"new_runs": [...], "rebuilt_days": [...]}.
-    """
+
+    CDC mode (`primary_key` + `op_col`): runs may carry UPDATES and
+    DELETES of earlier rows — each delta row is the full record plus
+    an op marker ('I'/'U'/'D'). Within the touched days the
+    contributing runs are first reduced to the LATEST version per key
+    (run order is the CDC order; later run wins), tombstones are
+    dropped, and only then does the day aggregate run — materialized-
+    view maintenance under retractions, still by recomputation: a
+    delta is never "subtracted" from the standing rollup, so crash
+    replay converges to identical bytes exactly as in append-only
+    mode. The reduction stays bounded: it runs over the touched-day
+    slice of the contributing runs, never the whole history.
+
+    CDC contract: `ts_col` (the day grain) is immutable per key —
+    updates/deletes carry the original event time (the usual CDC
+    envelope), so every version of a key lands in the same day slice
+    and last-writer-wins is complete. Group/measure columns may
+    change freely between versions."""
     root, out = Path(runs_root), Path(rollup_dir)
     out.mkdir(parents=True, exist_ok=True)
     state = _load_state(out)
@@ -105,10 +124,25 @@ def maintain_rollup(
     frames = []
     for r in contributing:
         df = _read_run(spark, root / r).withColumn("day", day)
+        if primary_key is not None:
+            # run order IS the CDC order; all_runs is name-sorted
+            df = df.withColumn("__run", F.lit(all_runs.index(r)))
         frames.append(df.filter(F.col("day").isin(sorted(new_days))))
     union = frames[0]
     for f in frames[1:]:
         union = union.unionByName(f)
+
+    if primary_key is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(primary_key).orderBy(F.col("__run").desc())
+        union = (
+            union.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__run")
+        )
+        if op_col is not None:
+            union = union.filter(F.col(op_col) != "D").drop(op_col)
 
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
         F.sum(c).alias(f"sum_{c}") for c in sum_cols

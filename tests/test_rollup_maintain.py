@@ -157,3 +157,70 @@ def test_rollup_over_real_incremental_export(spark, tmp_path):
         n, s = expect.get((d, k), (0, 0))
         expect[(d, k)] = (n + 1, s + i * 10)
     assert got == expect
+
+
+def _mk_cdc_run(spark, root, idx, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string,"
+        " cents long, op string",
+    ).coalesce(1)
+    schema = spark_schema_to_avro(df.schema, use_logical_types=True)
+    out = root / f"run_{idx:05d}"
+    out.mkdir(parents=True)
+    write_avro(df, str(out), schema)
+
+
+def _cdc_rows(day, etype, n, base_id, cents, op="I"):
+    return [r + (op,) for r in _rows(day, etype, n, base_id, cents)]
+
+
+def test_cdc_rollup_updates_and_deletes(spark, tmp_path):
+    """CDC mode: later runs update and delete earlier rows; the rollup
+    must equal the live-rows recompute, and only touched days
+    rebuild."""
+    runs = tmp_path / "cdc_runs"
+    roll = tmp_path / "cdc_rollup"
+    kw = dict(primary_key="event_id", op_col="op")
+    # day1: 3 views @10; day2: 2 buys @50
+    _mk_cdc_run(
+        spark, runs, 0,
+        _cdc_rows(1, "view", 3, 0, 10) + _cdc_rows(2, "buy", 2, 10, 50),
+    )
+    maintain_rollup(
+        spark, str(runs), str(roll), "ts", ["event_type"], ["cents"], **kw
+    )
+    # run 1: update one day-2 buy to 80 cents, delete one day-1 view
+    _mk_cdc_run(
+        spark, runs, 1,
+        _cdc_rows(2, "buy", 1, 10, 80, op="U")
+        + _cdc_rows(1, "view", 1, 0, 10, op="D"),
+    )
+    r = maintain_rollup(
+        spark, str(runs), str(roll), "ts", ["event_type"], ["cents"], **kw
+    )
+    assert r["rebuilt_days"] == ["2024-01-01", "2024-01-02"]
+    got = {
+        (str(r2["day"])[:10], r2["event_type"]): (
+            r2["n_rows"], r2["sum_cents"],
+        )
+        for r2 in read_rollup(spark, str(roll)).collect()
+    }
+    assert got == {
+        ("2024-01-01", "view"): (2, 20),   # one view deleted
+        ("2024-01-02", "buy"): (2, 130),   # 80 + 50
+    }, got
+    # crash replay: wipe the state and re-run both batches — identical
+    import os
+
+    os.remove(roll / "_ROLLUP_STATE.json")
+    maintain_rollup(
+        spark, str(runs), str(roll), "ts", ["event_type"], ["cents"], **kw
+    )
+    got2 = {
+        (str(r2["day"])[:10], r2["event_type"]): (
+            r2["n_rows"], r2["sum_cents"],
+        )
+        for r2 in read_rollup(spark, str(roll)).collect()
+    }
+    assert got2 == got
