@@ -2401,3 +2401,104 @@ def chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_cells, dof, g, chi2_x1e4)],
         "n_cells long, dof long, g_total long, chi2_x1e4 long",
     )
+
+
+@register(
+    "cdc_rollup_demo",
+    oracle="""
+    WITH live AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type,
+             CASE WHEN event_id % 97 = 0 AND event_id % 101 <> 0
+                  THEN 2 * CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      FROM events
+      WHERE event_id % 101 <> 0
+    )
+    SELECT day, event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM live
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def cdc_rollup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 end-to-end on real data: events land as two insert runs
+    (split by event_id parity), then a CDC run UPDATES every
+    97-divisible event (cents doubled) and DELETES every
+    101-divisible one; maintain_rollup(primary_key, op_col) folds all
+    three incrementally — touched days reduce to last-writer-wins,
+    tombstones drop, only touched day partitions rewrite — and the
+    final rollup must equal the SQL restatement of the LIVE rows.
+    Every transformation is deterministic integer math, so the whole
+    maintained view is hash-gated (the A36 append-only twin is
+    pytest-gated; this is the retraction path under the gate)."""
+    import shutil
+    import tempfile
+
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.jobs.rollup_maintain import (
+        maintain_rollup,
+        read_rollup,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="cdc_demo_")
+    runs = f"{base}/runs"
+    roll = f"{base}/rollup"
+    try:
+        import os as _os
+
+        def _land(df, idx):
+            out = f"{runs}/run_{idx:05d}"
+            _os.makedirs(out)
+            d = df.withColumn("op", F.lit("I") if idx < 2 else F.col("op"))
+            schema = spark_schema_to_avro(d.schema, use_logical_types=True)
+            write_avro(d.coalesce(4), out, schema)
+
+        _land(ev.filter(F.col("event_id") % 2 == 0), 0)
+        _land(ev.filter(F.col("event_id") % 2 == 1), 1)
+        upd = ev.filter(
+            (F.col("event_id") % 97 == 0) & (F.col("event_id") % 101 != 0)
+        ).withColumn("cents", F.col("cents") * 2).withColumn(
+            "op", F.lit("U")
+        )
+        dele = ev.filter(F.col("event_id") % 101 == 0).withColumn(
+            "op", F.lit("D")
+        )
+        _land(upd.unionByName(dele), 2)
+
+        for _ in range(2):  # second call is a no-op (state caught up)
+            maintain_rollup(
+                spark,
+                runs,
+                roll,
+                "ts",
+                ["event_type"],
+                ["cents"],
+                primary_key="event_id",
+                op_col="op",
+            )
+        out = (
+            read_rollup(spark, roll)
+            .select(
+                F.col("day").cast("string").alias("day"),
+                "event_type",
+                F.col("n_rows").cast("long"),
+                F.col("sum_cents").cast("long"),
+            )
+            .orderBy("day", "event_type")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "day string, event_type string, n_rows long, sum_cents long"
+    )
