@@ -52,6 +52,10 @@ EXTENDED = [
     "session_hour_overlap",
     "ks_price_by_priority",
     "embedding_pair_cosine_audit",
+    # round-4 closing flagships: quantized ANN serving, held-out
+    # trigram LM scoring
+    "knn_int8_recall",
+    "trigram_backoff_fluency",
 ]
 
 

@@ -6142,3 +6142,89 @@ def sampling_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "embedding_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(list_transform(
+               range(1, len(embedding) + 1),
+               i -> {'pos': i,
+                     'xq': CAST(ROUND(embedding[i]::DOUBLE * 10000)
+                                AS BIGINT)})) AS u
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, label, u.pos AS pos, u.xq AS xq FROM ex
+    ),
+    m AS (
+      SELECT label, pos,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN xq END) * 1000
+                  // COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END)
+                  AS BIGINT) AS m_a,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN xq END) * 1000
+                  // COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END)
+                  AS BIGINT) AS m_b,
+             COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+      FROM flat GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(SUM((m_a - m_b) * (m_a - m_b)) AS BIGINT) AS drift_d2q
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoder-drift monitor: per-label squared distance between the
+    centroid of cohort A (even vec_ids) and cohort B (odd) — the
+    check you run when embeddings from two encoder versions or two
+    ingest periods land in one table (a silent encoder change shifts
+    every centroid; a healthy re-run leaves drift at noise level).
+
+    Exactness: per-dim means are TRUNCATED integer milli-units of the
+    ROUND(x·1e4) coordinates — SQL DIV truncates toward zero in both
+    engines (unlike Python //), and means don't grow with cohort
+    size, so the Σdiff² stays ~7e15 max at ANY corpus size — no
+    overflow staging needed, unlike the (n·x−S) cross form whose
+    products pass int64 already at sf0.1 cohort sizes. One
+    (label, pos) rollup (labels×dim rows), one per-label reduce."""
+    emb = _emb(spark, sf_dir)
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xf").cast("double") * 10000)
+        .cast("long")
+        .alias("xq"),
+    )
+    even = F.col("vec_id") % 2 == 0
+    m = flat.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN xq END) * 1000"
+            " DIV COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS LONG)"
+        ).alias("m_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN xq END) * 1000"
+            " DIV COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS LONG)"
+        ).alias("m_b"),
+        F.count(F.when(even, 1)).alias("n_a"),
+        F.count(F.when(~even, 1)).alias("n_b"),
+    )
+    d = F.col("m_a") - F.col("m_b")
+    return (
+        m.groupBy("label")
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.sum(d * d).cast("long").alias("drift_d2q"),
+        )
+        .orderBy("label")
+    )

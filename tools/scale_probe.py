@@ -126,6 +126,9 @@ PROBES = [
     "embedding_health",
     "stream_ewma_alert",
     "stream_cms_heavy_users",
+    "stream_dedup_index",
+    "embedding_drift",
+    "cdc_rollup_demo",
 ]
 
 
