@@ -131,6 +131,74 @@ def materialize_zordered(
     )
 
 
+def hilbert_key_pass(col_a: str, col_b: str, bits: int = 16):
+    """mapInPandas factory adding `_h` = Hilbert-curve index of the
+    two non-negative int columns. The Hilbert rotation recurrence
+    cannot be a Catalyst expression (each iteration's (x, y) feed the
+    next through CASEs — the tree grows exponentially when inlined),
+    so the key computes in ONE vectorized numpy pass; everything else
+    about the layout write stays Catalyst."""
+
+    def part(batches):
+        import numpy as np
+
+        n_side = np.int64(1) << bits
+        for pdf in batches:
+            x = pdf[col_a].to_numpy(dtype=np.int64).copy()
+            y = pdf[col_b].to_numpy(dtype=np.int64).copy()
+            d = np.zeros(len(pdf), dtype=np.int64)
+            s = n_side >> 1
+            while s > 0:
+                rx = ((x & s) > 0).astype(np.int64)
+                ry = ((y & s) > 0).astype(np.int64)
+                d += s * s * ((3 * rx) ^ ry)
+                # rotate the quadrant
+                flip = (ry == 0) & (rx == 1)
+                x_f = np.where(flip, s - 1 - x, x)
+                y_f = np.where(flip, s - 1 - y, y)
+                swap = ry == 0
+                x, y = (
+                    np.where(swap, y_f, x_f),
+                    np.where(swap, x_f, y_f),
+                )
+                s >>= 1
+            out = pdf.copy()
+            out["_h"] = d
+            yield out
+
+    return part
+
+
+def materialize_hilbert(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet sorted by the HILBERT-curve index of two columns
+    — Z-order's strictly-better-locality sibling: Hilbert never jumps
+    across the plane between consecutive keys (Morton does at every
+    power-of-two boundary), so per-file min/max boxes are tighter and
+    range predicates on either column prune slightly more row groups
+    for the same write cost. Same contract as materialize_zordered:
+    non-negative int columns (rank/bucket-encode first), one
+    range-partitioned sort at write time, columns must be
+    Arrow-compatible (the key computes in an Arrow pass)."""
+    from pyspark.sql import functions as F
+
+    schema = df.withColumn("_h", F.lit(0).cast("long")).schema
+    (
+        df.mapInPandas(hilbert_key_pass(col_a, col_b, bits), schema)
+        .repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,

@@ -1664,3 +1664,35 @@ def test_ivf_index_append_and_compact(spark, tmp_path):
     )
     assert before == after
     assert _index_cells(spark, idx).count() == total
+
+
+def test_hilbert_layout_prunes_and_roundtrips(spark, tmp_path):
+    """Hilbert layout: same pruning contract as Z-order (both columns
+    stay narrow per file), data intact, and at least Z-order's
+    pruning on the secondary-column predicate."""
+    from dbeam_spark.operators.bucketing import (
+        file_pruning_stats,
+        materialize_hilbert,
+        materialize_zordered,
+    )
+
+    df = spark.range(0, 40_000).selectExpr(
+        "CAST(id % 200 AS LONG) AS a", "CAST(id DIV 200 AS LONG) AS b"
+    )
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    materialize_hilbert(df, hpath, "a", "b", n_files=8, bits=8)
+    materialize_zordered(df, zpath, "a", "b", n_files=8)
+    back = spark.read.parquet(hpath)
+    assert back.count() == 40_000
+    assert back.columns == ["a", "b"]
+    assert back.agg(F.sum("a"), F.sum("b")).collect() == df.agg(
+        F.sum("a"), F.sum("b")
+    ).collect()
+    pred = {"b": (0, 24)}
+    h = file_pruning_stats(hpath, pred)
+    z = file_pruning_stats(zpath, pred)
+    assert h["pruned_fraction"] >= 0.5
+    # Hilbert's locality is at least as good as Morton's here
+    assert h["pruned_fraction"] >= z["pruned_fraction"] - 0.05
+    both = file_pruning_stats(hpath, {"a": (0, 49), "b": (0, 24)})
+    assert both["pruned_fraction"] >= h["pruned_fraction"]
