@@ -6228,3 +6228,126 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS t,
+             length(regexp_replace(text, '\s', '', 'g')) AS word_chars
+      FROM documents
+    ),
+    tw AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ),
+    topw AS (
+      SELECT doc_id, MAX(c) AS max_tok FROM (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tw GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    m AS (
+      SELECT k.doc_id, k.source,
+             len(k.t) AS n_words,
+             k.word_chars,
+             (len(list_filter(k.t,
+                x -> x IN ('the', 'a', 'of', 'and', 'is'))) >= 2)
+               AS r_stop,
+             (len(k.t) BETWEEN 50 AND 100000) AS r_count,
+             (3 * len(k.t) <= k.word_chars
+              AND k.word_chars <= 10 * len(k.t)) AS r_meanlen,
+             (tp.max_tok * 5 <= len(k.t)) AS r_topshare
+      FROM toks k JOIN topw tp USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r_count THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_word_count,
+           CAST(SUM(CASE WHEN r_meanlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_mean_word_len,
+           CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_stopwords,
+           CAST(SUM(CASE WHEN r_topshare THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_top_word_share,
+           CAST(SUM(CASE WHEN r_count AND r_meanlen AND r_stop
+                          AND r_topshare THEN 1 ELSE 0 END) AS BIGINT)
+             AS pass_all
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule bundle (Rae et al. 2021 §A1.1, adapted to the
+    corpus): per-source pass counts for the four discriminating
+    document-quality gates — word count in [50, 1e5], mean word
+    length in [3, 10] (as the integer cross-multiplication
+    3n ≤ chars ≤ 10n — no float division), ≥2 distinct stopwords,
+    and max single-word share ≤ 20% (the repetition gate, as
+    5·max_count ≤ n). One explode + per-(doc, word) rollup feeds the
+    repetition gate; everything else is map-only — the standard
+    pre-training filter report, entirely in exact integer compares."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.col("text")), r"\s+").alias("t"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias(
+            "word_chars"
+        ),
+    )
+    topw = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    n_words = F.size("t")
+    n_stop = F.size(
+        F.expr(
+            "filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is'))"
+        )
+    )
+    m = toks.join(topw, "doc_id").select(
+        "source",
+        n_words.alias("n_words"),
+        "word_chars",
+        (n_stop >= 2).alias("r_stop"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("r_count"),
+        (
+            (3 * n_words <= F.col("word_chars"))
+            & (F.col("word_chars") <= 10 * n_words)
+        ).alias("r_meanlen"),
+        (F.col("max_tok") * 5 <= n_words).alias("r_topshare"),
+    )
+    one = F.lit(1)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(one).alias("n_docs"),
+            F.sum(F.when(F.col("r_count"), one).otherwise(0))
+            .cast("long")
+            .alias("pass_word_count"),
+            F.sum(F.when(F.col("r_meanlen"), one).otherwise(0))
+            .cast("long")
+            .alias("pass_mean_word_len"),
+            F.sum(F.when(F.col("r_stop"), one).otherwise(0))
+            .cast("long")
+            .alias("pass_stopwords"),
+            F.sum(F.when(F.col("r_topshare"), one).otherwise(0))
+            .cast("long")
+            .alias("pass_top_word_share"),
+            F.sum(
+                F.when(
+                    F.col("r_count")
+                    & F.col("r_meanlen")
+                    & F.col("r_stop")
+                    & F.col("r_topshare"),
+                    one,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pass_all"),
+        )
+        .orderBy("source")
+    )
