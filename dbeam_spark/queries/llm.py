@@ -6351,3 +6351,78 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "phrase_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS phrase
+      FROM toks WHERE len(t) >= 2
+    ),
+    top AS (
+      SELECT phrase FROM (
+        SELECT phrase, COUNT(*) AS c FROM bg GROUP BY phrase
+        ORDER BY c DESC, phrase LIMIT 1
+      )
+    ),
+    hits AS (
+      SELECT b.doc_id, b.phrase, COUNT(*) AS tf
+      FROM bg b JOIN top USING (phrase)
+      GROUP BY b.doc_id, b.phrase
+    )
+    SELECT doc_id, phrase, CAST(tf AS BIGINT) AS tf,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk
+      FROM hits
+    ) WHERE rk <= 10
+    ORDER BY rk
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval: docs ranked by exact-adjacency
+    occurrences of the corpus's most frequent 2-word phrase (chosen
+    deterministically — max count, lexicographic tie-break — so the
+    query survives testdata regeneration). The adjacency stream IS
+    the positional-postings join a phrase index serves: keyword_search
+    covers the term-OR shape, this covers ordered adjacency — the
+    other half of a lexical search engine.
+
+    Scale: one combinable bigram rollup picks the phrase (a 1-row
+    broadcast), the hit count reuses the same linear bigram stream
+    map-side, and the top-10 is a distributed TakeOrdered. All
+    integer math, fully hash-gated."""
+    docs = _docs(spark, sf_dir)
+    bg = dedup.shingle_table(docs, "doc_id", "text", 2, distinct=False)
+    top = (
+        bg.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "shingle")
+        .limit(1)
+        .select(F.col("shingle").alias("phrase"))
+    )
+    hits = (
+        bg.join(
+            F.broadcast(top), bg["shingle"] == F.col("phrase")
+        )
+        .groupBy(F.col("sid").alias("doc_id"), "phrase")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # TakeOrdered top-10 first (distributed per-partition heads), THEN
+    # rank the bounded 10-row frame — a global ranking window over all
+    # hits would funnel every match through one partition at scale
+    top10 = hits.orderBy(F.desc("tf"), "doc_id").limit(10)
+    w = bounded_grain_window(F.desc("tf"), "doc_id")
+    return top10.select(
+        "doc_id",
+        "phrase",
+        F.col("tf").cast("long"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).orderBy("rk")
