@@ -248,6 +248,88 @@ def knn_int8(
     )
 
 
+def knn_batch_candidates(
+    base: DataFrame,
+    new_batch: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-BASE-row top-k among a small NEW batch: (query_id = base
+    id, neighbor_id = new id, sim) — the update probe of incremental
+    kNN-graph maintenance. Only k new vectors can ever enter an
+    existing node's top-k, so the kernel keeps k candidates per base
+    row IN the Arrow pass: output is ≤ k·|base| rows, the batch ships
+    in the task closure, and the base is scored map-only (knn_bruteforce
+    transposed — same bit-exact sequential dot/norm loops, same 6-dp
+    rounding BEFORE selection so ties break like the full recompute)."""
+    import numpy as np
+
+    base = _as_double(base, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_base")
+    )
+    qrows = (
+        _as_double(new_batch, vec_col)
+        .select(F.col(id_col).alias("rid"), F.col(vec_col).alias("v_q"))
+        .collect()
+    )
+    n_ids = [int(r["rid"]) for r in qrows]
+    n_vecs = [list(r["v_q"]) for r in qrows]
+    if not n_ids:
+        return base.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double"
+        )
+
+    def score(batches):
+        import pandas as pd
+
+        Q = np.array(n_vecs, dtype=np.float64)  # (m × d)
+        m, d = Q.shape
+        nq = np.zeros(m)
+        for j in range(m):
+            acc = 0.0
+            for i in range(d):
+                acc = acc + Q[j, i] * Q[j, i]
+            nq[j] = np.sqrt(acc)
+        new_ids = np.array(n_ids, dtype=np.int64)
+        t = min(k, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.array(list(pdf["v_base"]), dtype=np.float64)
+            n = B.shape[0]
+            dots = np.zeros((n, m))
+            nb = np.zeros(n)
+            for i in range(d):
+                col = B[:, i]
+                dots += col[:, None] * Q.T[i][None, :]
+                nb = nb + col * col
+            nb = np.sqrt(nb)
+            sims = np.round(dots / (nb[:, None] * nq[None, :]), 6)
+            b_ids = pdf["query_id"].to_numpy(dtype=np.int64)
+            # top-k per BASE row on (sim desc, new_id asc) — the same
+            # tie order the full recompute's ranking window uses
+            order = np.lexsort(
+                (np.broadcast_to(new_ids, (n, m)), -sims), axis=1
+            )[:, :t]
+            sel_sims = np.take_along_axis(sims, order, axis=1)
+            sel_ids = new_ids[order]
+            keep = np.repeat(b_ids, t) != sel_ids.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_ids, t)[keep],
+                    "neighbor_id": sel_ids.ravel()[keep],
+                    "sim": sel_sims.ravel()[keep],
+                }
+            )
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    return rebalance_for_arrow(base).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+
+
 def _coarse_centroids(based, n_cells, id_col, vec_col):
     """Deterministic coarse centroids: min-id row of every id-stride —
     a map-side-combinable min_by aggregate. The centroid matrix is

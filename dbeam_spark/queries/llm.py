@@ -6426,3 +6426,66 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("long"),
         F.row_number().over(w).cast("long").alias("rk"),
     ).orderBy("rk")
+
+
+@register(
+    "knn_graph_maintain",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, b.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+      FROM e q JOIN e b ON b.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph maintenance with an EXACT-equality gate:
+    a batch of new vectors (vec_id % 5 = 0) joins an existing graph
+    (built over the other 80%) WITHOUT recomputing it — new nodes get
+    their top-3 from one map-only scan (knn_bruteforce over the full
+    base), and existing nodes merge their standing 3 edges with at
+    most 3 new candidates (operators/similarity.knn_batch_candidates:
+    only k new vectors can enter a node's top-k, so the update probe
+    emits ≤ k·|old| rows from one Arrow pass). The oracle is the
+    from-scratch knn_self_join SQL over the WHOLE corpus — the
+    maintained graph must hash-match a full rebuild edge for edge,
+    sim for sim, which pins both the merge algebra and the tie order.
+
+    At 100 TB this is how the semantic-dedup graph absorbs a daily
+    embedding batch: cost scales with |old|·k + |batch|·|base| scored
+    map-side, never with rebuilding |base|² — and the bit-exact
+    kernels make 'incremental equals rebuild' a checked invariant,
+    not a hope."""
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    g_old = similarity.knn_join(old, k=3)
+    cand = similarity.knn_batch_candidates(old, new, k=3)
+    merged = g_old.select(
+        "query_id", "neighbor_id", "sim"
+    ).unionByName(cand)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    upd_old = (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    new_edges = similarity.knn_bruteforce(emb, new, k=3).select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("int")
+    )
+    return (
+        upd_old.select("query_id", "neighbor_id", "sim", "rank")
+        .unionByName(new_edges)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    )

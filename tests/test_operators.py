@@ -1696,3 +1696,38 @@ def test_hilbert_layout_prunes_and_roundtrips(spark, tmp_path):
     assert h["pruned_fraction"] >= z["pruned_fraction"] - 0.05
     both = file_pruning_stats(hpath, {"a": (0, 49), "b": (0, 24)})
     assert both["pruned_fraction"] >= h["pruned_fraction"]
+
+
+def test_knn_graph_maintain_equals_rebuild(spark):
+    """Incremental graph maintenance must equal the from-scratch
+    self-join for an arbitrary old/new split (here % 3)."""
+    from pyspark.sql import Window, functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    g_old = similarity.knn_join(old, k=3)
+    cand = similarity.knn_batch_candidates(old, new, k=3)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    upd_old = (
+        g_old.select("query_id", "neighbor_id", "sim")
+        .unionByName(cand)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    new_edges = similarity.knn_bruteforce(emb, new, k=3).select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("int")
+    )
+    maintained = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in upd_old.select(
+            "query_id", "neighbor_id", "sim", "rank"
+        ).unionByName(new_edges).collect()
+    )
+    rebuilt = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in similarity.knn_join(emb, k=3).collect()
+    )
+    assert maintained == rebuilt
