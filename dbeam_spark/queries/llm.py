@@ -6464,7 +6464,14 @@ def knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding batch: cost scales with |old|·k + |batch|·|base| scored
     map-side, never with rebuilding |base|² — and the bit-exact
     kernels make 'incremental equals rebuild' a checked invariant,
-    not a hope."""
+    not a hope.
+
+    Probe note: the 10× wall ratio of THIS query tracks the
+    instrumentation, not the operator — g_old is rebuilt in-query
+    (production reads the persisted graph), and that exact self-join
+    carries knn_self_join's documented n² term below its IVF gate.
+    The maintenance delta itself (knn_batch_candidates + the new-edge
+    scan + the ≤6-row merges) is the linear part."""
     emb = _emb(spark, sf_dir)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
