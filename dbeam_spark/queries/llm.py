@@ -6496,3 +6496,132 @@ def knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "keyword_index_maintain",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('spark', 'join', 'hash')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(t.tf * (n.n_docs - d.df + 1)) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf t JOIN df d USING (tok), nd n
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score DESC, n_terms_hit DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    ORDER BY rk
+    """,
+)
+def keyword_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance — the posting-table
+    sibling of ivf_maintain_report: the index is built over 75% of
+    the corpus (doc_id % 4 != 0), the remaining docs arrive as ONE
+    batch whose postings land as an idempotently-rewritten LSM delta
+    (postings_delta/batch=<id>, tok-sorted like the base so row-group
+    pruning holds on BOTH sides), per-term df merges by addition
+    (disjoint doc sets), and serving reads base∪delta through pushed
+    IN probes. The oracle is keyword_search's corpus-scan SQL — the
+    maintained index must reproduce the exact ranking, proving
+    index-maintain ≡ reindex-from-scratch.
+
+    At 100 TB: the delta build is one word-count shuffle over the
+    BATCH only; the base posting table is never rewritten until a
+    compaction folds deltas in (the cells/deltas pattern)."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+
+    def postings_of(d):
+        return (
+            d.select("doc_id", tok)
+            .filter(F.col("tok") != "")
+            .groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    base = tempfile.mkdtemp(prefix="kw_idx_")
+    try:
+        old = docs.filter(F.col("doc_id") % 4 != 0)
+        new = docs.filter(F.col("doc_id") % 4 == 0)
+        (
+            postings_of(old)
+            .repartitionByRange(8, "tok")
+            .sortWithinPartitions("tok")
+            .write.mode("overwrite")
+            .parquet(f"{base}/postings")
+        )
+        # delta batch: idempotent wholesale rewrite of its own dir
+        for _ in range(2):  # retry replaces, never duplicates
+            (
+                postings_of(new)
+                .repartitionByRange(4, "tok")
+                .sortWithinPartitions("tok")
+                .write.mode("overwrite")
+                .parquet(f"{base}/postings_delta/batch=b1")
+            )
+        idx = (
+            spark.read.parquet(f"{base}/postings")
+            .unionByName(
+                spark.read.option(
+                    "basePath", f"{base}/postings_delta"
+                )
+                .parquet(f"{base}/postings_delta")
+                .drop("batch")
+            )
+            .filter(F.col("tok").isin(*SEARCH_TERMS))
+        )
+        dfr = idx.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        scored = (
+            idx.join(F.broadcast(dfr), "tok")
+            .crossJoin(F.broadcast(nd))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.col("tf")
+                    * (F.col("n_docs") - F.col("df") + F.lit(1))
+                ).alias("score"),
+                F.count(F.lit(1)).alias("n_terms_hit"),
+            )
+        )
+        top = scored.orderBy(
+            F.desc("score"), F.desc("n_terms_hit"), "doc_id"
+        ).limit(10)
+        w = bounded_grain_window(
+            F.desc("score"), F.desc("n_terms_hit"), "doc_id"
+        )
+        rows = (
+            top.select(
+                "doc_id",
+                F.col("score").cast("long"),
+                F.col("n_terms_hit").cast("long"),
+                F.row_number().over(w).cast("long").alias("rk"),
+            )
+            .orderBy("rk")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, score long, n_terms_hit long, rk long"
+    )
