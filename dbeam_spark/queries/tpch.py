@@ -5549,3 +5549,93 @@ def ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, intercept_x1e6 long, coef_qty_x1e6 long, "
         "coef_disc_x1e6 long, coef_tax_x1e6 long",
     )
+
+
+@register(
+    "spearman_spend_balance",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+             CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS spend_c
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+    ),
+    ranked AS (
+      SELECT c_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY bal_c, c_custkey) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY spend_c, c_custkey) AS ry
+      FROM spend
+    ),
+    s AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n,
+             CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+      FROM ranked GROUP BY c_nationkey
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(n AS BIGINT) AS n_customers,
+           sum_d2,
+           CAST(1000000 - 6000000 * sum_d2 // (n * (n * n - 1))
+                AS BIGINT) AS rho_x1e6
+    FROM s WHERE n >= 3 ORDER BY nationkey
+    """,
+)
+def spearman_spend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's account balance
+    and their total spend, per nation — the robust (outlier-immune)
+    complement of stats_correlation's Pearson. Ranks are ROW_NUMBER
+    permutations with c_custkey tie-breaks, so both engines hold the
+    IDENTICAL permutation and ρ = 1 − 6Σd²/(n(n²−1)) evaluates in
+    exact integer arithmetic (×1e6, truncated identically).
+
+    Shape: one customer⋈orders rollup (combinable), two ranking
+    windows on the SAME nation partitioning (one exchange), one
+    per-nation reduce. n(n²−1) stays under int64 to ~2M customers
+    per nation ×1e6 scale; restage the quotient before that."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("spend_c")
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            "spend_c",
+        )
+    )
+    wx = Window.partitionBy("c_nationkey").orderBy("bal_c", "c_custkey")
+    wy = Window.partitionBy("c_nationkey").orderBy("spend_c", "c_custkey")
+    ranked = spend.select(
+        "c_nationkey",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d = F.col("rx") - F.col("ry")
+    s = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).cast("long").alias("sum_d2"),
+    )
+    return (
+        s.filter(F.col("n") >= 3)
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("n").cast("long").alias("n_customers"),
+            "sum_d2",
+            F.expr(
+                "CAST(1000000 - 6000000 * sum_d2"
+                " DIV (n * (n * n - 1)) AS LONG)"
+            ).alias("rho_x1e6"),
+        )
+        .orderBy("nationkey")
+    )
