@@ -6625,3 +6625,108 @@ def keyword_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "doc_id long, score long, n_terms_hit long, rk long"
     )
+
+
+_KFOLD_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT id_a, id_b FROM jac WHERE jraw >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    rep AS MATERIALIZED (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS rep_id,
+             ('0x' || substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id)
+                 AS VARCHAR)), 1, 2))::BIGINT % 5 AS fold
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    xleak AS (
+      SELECT COUNT(*) AS n_leak
+      FROM pairs p
+      JOIN rep a ON a.doc_id = p.id_a
+      JOIN rep b ON b.doc_id = p.id_b
+      WHERE a.fold <> b.fold
+    )
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MAX(x.n_leak) AS BIGINT) AS cross_fold_dup_pairs
+    FROM rep, xleak x
+    GROUP BY fold ORDER BY fold
+"""
+
+
+@register("kfold_cluster_assignment", oracle=_KFOLD_ORACLE)
+def kfold_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware k-fold assignment (k=5) for cross-validation:
+    every doc folds by md5 of its near-dup CLUSTER representative, so
+    near-duplicates can never straddle folds — the CV analogue of
+    dataset_split's leakage guard (a per-doc fold hash silently
+    trains on a paraphrase of its own validation set). The report is
+    per-fold balance (docs / clusters / chars) plus the checked
+    invariant cross_fold_dup_pairs, which is 0 BY CONSTRUCTION and
+    verified against the exhaustive pair set in both engines.
+
+    Scale: dedup_clusters' component labels + one map-only fold hash
+    and a |pairs|-bounded leak join."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    clusters = dedup.connected_components(pairs)
+    rep = docs.select("doc_id", "n_chars").join(
+        clusters, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("rep_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    rep = rep.withColumn("fold", fold)
+    leak = (
+        pairs.join(
+            rep.select(F.col("doc_id").alias("id_a"), F.col("fold").alias("fa")),
+            "id_a",
+        )
+        .join(
+            rep.select(F.col("doc_id").alias("id_b"), F.col("fold").alias("fb")),
+            "id_b",
+        )
+        .filter(F.col("fa") != F.col("fb"))
+        .agg(F.count(F.lit(1)).alias("n_leak"))
+    )
+    return (
+        rep.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("rep_id").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "fold",
+            "n_docs",
+            "n_clusters",
+            "n_chars",
+            F.col("n_leak").cast("long").alias("cross_fold_dup_pairs"),
+        )
+        .orderBy("fold")
+    )
