@@ -6730,3 +6730,83 @@ def kfold_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "quantile_normalize_lengths",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars AS pooled_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    ),
+    np AS (SELECT COUNT(*) AS n_p FROM documents),
+    mapped AS (
+      SELECT s.source, s.n_chars,
+             p.pooled_chars AS norm_chars
+      FROM src s
+      CROSS JOIN np
+      JOIN pooled p
+        ON p.pr = (s.r * np.n_p + s.n_s - 1) // s.n_s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_orig_chars,
+           CAST(SUM(norm_chars) AS BIGINT) AS sum_norm_chars
+    FROM mapped GROUP BY source ORDER BY source
+    """,
+)
+def quantile_normalize_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of per-source length distributions onto
+    the POOLED distribution (the batch-effect correction classic,
+    here as the per-feed doc-length alignment before mixing sources):
+    each doc's length maps to the pooled order statistic at its
+    source-relative rank — type-1 inverse CDF, so every mapped value
+    is an ACTUAL pooled value and the whole transform is exact
+    integer order statistics (ceiling division (r·N_p + N_s − 1) DIV
+    N_s keeps positions in [1, N_p] with no float quantiles).
+
+    Scale shape: per-source ranks are partitioned windows; the pooled
+    ranking uses operators.ranking.global_ranked (range-partitioned,
+    no single-partition global window); the map is one equi join on
+    the pooled position."""
+    from dbeam_spark.operators.ranking import global_ranked
+
+    docs = _docs(spark, sf_dir)
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_s"),
+    )
+    pooled, n_p = global_ranked(
+        docs.select("doc_id", F.col("n_chars").alias("pooled_chars")),
+        [F.col("pooled_chars").asc(), F.col("doc_id").asc()],
+        rank_col="pr",
+    )
+    mapped = src.withColumn(
+        "pr",
+        F.expr(f"(r * {n_p} + n_s - 1) DIV n_s").cast("long"),
+    ).join(pooled.select("pr", "pooled_chars"), "pr")
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_orig_chars"),
+            F.sum("pooled_chars").cast("long").alias("sum_norm_chars"),
+        )
+        .orderBy("source")
+    )
