@@ -129,6 +129,12 @@ PROBES = [
     "stream_dedup_index",
     "embedding_drift",
     "cdc_rollup_demo",
+    "keyword_index_maintain",
+    "spearman_spend_balance",
+    "kfold_cluster_assignment",
+    "quantile_normalize_lengths",
+    "phrase_search",
+    "knn_graph_maintain",
 ]
 
 
