@@ -197,3 +197,22 @@ def test_embedding_health_is_single_scan(spark):
     plan = plan_of(spark, "embedding_health")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_phrase_search_topk_is_distributed(spark):
+    # top-10 must be TakeOrderedAndProject; the ranking window runs
+    # only over the bounded 10-row frame
+    plan = plan_of(spark, "phrase_search")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_spearman_windows_are_partitioned(spark):
+    plan = plan_of(spark, "spearman_spend_balance")
+    assert not _unpartitioned_windows(plan)
+
+
+def test_quantile_normalize_no_global_window(spark):
+    # pooled ranking must come from the range-partitioned primitive,
+    # never a single-partition global row_number
+    plan = plan_of(spark, "quantile_normalize_lengths")
+    assert not _unpartitioned_windows(plan)
