@@ -2502,3 +2502,138 @@ def cdc_rollup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "day string, event_type string, n_rows long, sum_cents long"
     )
+
+
+@register(
+    "shapley_attribution",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    masks AS (
+      SELECT fp.user_id,
+             COALESCE(SUM(DISTINCT CASE e.event_type
+               WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0) AS m
+      FROM fp LEFT JOIN events e
+        ON e.user_id = fp.user_id
+       AND e.ts < fp.first_purchase
+       AND e.event_type <> 'purchase'
+      GROUP BY fp.user_id
+    ),
+    cnt AS (SELECT m, COUNT(*) AS c FROM masks GROUP BY m),
+    subsets AS (SELECT unnest(range(16)) AS s),
+    v AS (
+      SELECT s.s, CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS v
+      FROM subsets s LEFT JOIN cnt c ON (c.m & ~s.s & 15) = 0
+      GROUP BY s.s
+    ),
+    channels AS (
+      SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                            ('signup', 4), ('view', 8)) t(ch, bit)
+    ),
+    terms AS (
+      SELECT ch.ch,
+             CASE bit_count(CAST(v0.s AS BIGINT) & 255)
+               WHEN 0 THEN 6 WHEN 1 THEN 2
+               WHEN 2 THEN 2 WHEN 3 THEN 6 END
+               * (v1.v - v0.v) AS t
+      FROM channels ch
+      JOIN v v0 ON (v0.s & ch.bit) = 0
+      JOIN v v1 ON v1.s = v0.s | ch.bit
+    )
+    SELECT ch AS channel,
+           CAST(SUM(t) AS BIGINT) AS shapley_x24,
+           (SELECT v FROM v WHERE s = 15) AS conversions_total
+    FROM terms GROUP BY ch ORDER BY ch
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution — the game-theoretic
+    alternative to first-touch (events_attribution): each converting
+    user's pre-purchase channel SET defines the coalition data, the
+    value of a coalition S is the number of conversions reachable
+    with channels ⊆ S, and each channel's credit is its exact Shapley
+    value. With 4 channels the computation is fully combinatorial —
+    16 coalition values from one 16-group mask rollup, weights
+    |S|!(n−1−|S|)!·(n=4) as integers, φ scaled ×24 (4!) so every
+    number is exact and the whole attribution hash-matches.
+
+    Scale shape: ONE pass over events builds per-user channel masks
+    (first-purchase semi-join + a distinct-bit sum), the mask rollup
+    is ≤16 rows, and the Shapley algebra runs on a 16×4 frame —
+    corpus-scaled work is one shuffle on user_id."""
+    ev = _events(spark, sf_dir)
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    masks = (
+        fp.join(
+            ev.filter(F.col("event_type") != "purchase").select(
+                F.col("user_id").alias("uid"), "ts", "event_type"
+            ),
+            (F.col("uid") == F.col("user_id"))
+            & (F.col("ts") < F.col("first_purchase")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum_distinct(bit), F.lit(0)).alias("m"))
+    )
+    cnt = masks.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cnt),
+            (
+                F.col("m")
+                .cast("int")
+                .bitwiseAND(F.lit(15).bitwiseXOR(F.col("s")))
+            )
+            == 0,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "ch string, bit int",
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    weight = (
+        F.when(F.bit_count(F.col("s0").cast("long").bitwiseAND(255)) == 0, 6)
+        .when(F.bit_count(F.col("s0").cast("long").bitwiseAND(255)) == 1, 2)
+        .when(F.bit_count(F.col("s0").cast("long").bitwiseAND(255)) == 2, 2)
+        .otherwise(6)
+    )
+    terms = (
+        channels.join(v0, (F.col("s0").bitwiseAND(F.col("bit"))) == 0)
+        .join(v1, F.col("s1") == F.col("s0").bitwiseOR(F.col("bit")))
+        .select(
+            "ch", (weight * (F.col("vb") - F.col("va"))).alias("t")
+        )
+    )
+    total = v.filter(F.col("s") == 15).select(
+        F.col("v").alias("conversions_total")
+    )
+    return (
+        terms.groupBy("ch")
+        .agg(F.sum("t").cast("long").alias("shapley_x24"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("ch").alias("channel"),
+            "shapley_x24",
+            "conversions_total",
+        )
+        .orderBy("channel")
+    )
