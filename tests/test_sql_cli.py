@@ -42,3 +42,22 @@ def test_sql_mismatch_detected(spark, capsys):
 def test_register_views_lazy(spark):
     register_views(spark, SF_DIR)
     assert spark.sql("SELECT COUNT(*) FROM region").collect()[0][0] == 5
+
+
+def test_pyproject_entry_points_resolve():
+    """Packaging contract: pyproject.toml parses and every declared
+    console script resolves to an importable callable (an actual
+    `pip install` needs the wheel package, absent in this sandbox —
+    the metadata and targets are what we can and do pin)."""
+    import importlib
+    import tomllib
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    cfg = tomllib.loads((root / "pyproject.toml").read_text())
+    scripts = cfg["project"]["scripts"]
+    assert len(scripts) >= 5
+    for name, target in scripts.items():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), name
+    assert cfg["project"]["name"] == "dbeam-spark"
