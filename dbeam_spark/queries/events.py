@@ -2637,3 +2637,154 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "multi_touch_attribution",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS fp_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pval AS (
+      SELECT e.user_id,
+             CAST(ROUND(MIN_BY(e.value, e.event_id) * 100) AS BIGINT)
+               AS cents
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+        AND e.ts = fp.fp_ts AND e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+               ORDER BY e.ts, e.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n_t
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'
+    ),
+    credit AS (
+      SELECT t.channel,
+             CASE WHEN t.rn = t.n_t THEN p.cents ELSE 0 END AS last_c,
+             p.cents // t.n_t
+               + CASE WHEN t.rn = 1 THEN p.cents % t.n_t ELSE 0 END
+               AS lin_c,
+             CASE
+               WHEN t.n_t = 1 THEN p.cents
+               WHEN t.n_t = 2 THEN
+                 CASE WHEN t.rn = 1
+                      THEN p.cents // 2 + p.cents % 2
+                      ELSE p.cents // 2 END
+               ELSE CASE
+                 WHEN t.rn = 1 THEN p.cents * 4 // 10
+                 WHEN t.rn = t.n_t THEN p.cents * 4 // 10
+                 ELSE (p.cents - 2 * (p.cents * 4 // 10)) // (t.n_t - 2)
+                      + CASE WHEN t.rn = 2
+                             THEN (p.cents - 2 * (p.cents * 4 // 10))
+                                  % (t.n_t - 2)
+                             ELSE 0 END END
+             END AS u_c
+      FROM touches t JOIN pval p USING (user_id)
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(last_c) AS BIGINT) AS last_touch_cents,
+           CAST(SUM(lin_c) AS BIGINT) AS linear_cents,
+           CAST(SUM(u_c) AS BIGINT) AS ushape_cents
+    FROM credit GROUP BY channel ORDER BY channel
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-touch attribution trio beside first-touch
+    (events_attribution) and Shapley (shapley_attribution): each
+    converting user's first-purchase cents are credited across their
+    prior touchpoints under last-touch, linear, and U-shaped (40/40,
+    middles share 20%) rules — all in exact integer cents with
+    DETERMINISTIC remainders (linear's remainder to the first touch;
+    the U-shape's middle remainder to the earliest middle; 2-touch
+    U-shape splits 50/50 with the odd cent to the first), so the
+    cross-engine hash pins every credit-splitting edge case.
+
+    Shape: one user_id window pass over pre-conversion touches, one
+    broadcast-size purchase-value join, one channel rollup."""
+    ev = _events(spark, sf_dir)
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    pval = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("ts") == F.col("fp_ts"))
+            & (F.col("event_type") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.expr("MIN_BY(value, event_id)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    touches = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("fp_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_t"),
+        )
+    )
+    c = touches.join(pval, "user_id")
+    cents, rn, n_t = F.col("cents"), F.col("rn"), F.col("n_t")
+    last_c = F.when(rn == n_t, cents).otherwise(0)
+    lin_c = F.expr("cents DIV n_t") + F.when(
+        rn == 1, F.expr("cents % n_t")
+    ).otherwise(0)
+    forty = F.expr("cents * 4 DIV 10")
+    mid_pool = cents - 2 * forty
+    u_c = (
+        F.when(n_t == 1, cents)
+        .when(
+            n_t == 2,
+            F.when(
+                rn == 1, F.expr("cents DIV 2 + cents % 2")
+            ).otherwise(F.expr("cents DIV 2")),
+        )
+        .otherwise(
+            F.when(rn == 1, forty)
+            .when(rn == n_t, forty)
+            .otherwise(
+                F.expr(
+                    "(cents - 2 * (cents * 4 DIV 10)) DIV (n_t - 2)"
+                )
+                + F.when(
+                    rn == 2,
+                    F.expr(
+                        "(cents - 2 * (cents * 4 DIV 10)) % (n_t - 2)"
+                    ),
+                ).otherwise(0)
+            )
+        )
+    )
+    return (
+        c.select(
+            "channel",
+            last_c.alias("last_c"),
+            lin_c.alias("lin_c"),
+            u_c.alias("u_c"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("last_c").cast("long").alias("last_touch_cents"),
+            F.sum("lin_c").cast("long").alias("linear_cents"),
+            F.sum("u_c").cast("long").alias("ushape_cents"),
+        )
+        .orderBy("channel")
+    )
