@@ -2788,3 +2788,297 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_MRK_STATES = ("s", "c", "e", "g", "v")  # start + channels (alphabetical)
+_MRK_TARGETS = ("c", "e", "g", "v", "p", "x")  # p=conversion, x=null
+
+
+def _mrk_perm_sign(p):
+    s = 1
+    q = list(p)
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            if q[i] > q[j]:
+                s = -s
+    return s
+
+
+def _mrk_entry(fi: str, fj: str, repl: bool):
+    """(I−Q) row scaled by the row sum, as a name-level expression:
+    diagonal = rowsum − self-loop count, off-diagonal = −count;
+    `repl` swaps the column for the conversion-count vector b."""
+    if repl:
+        return f"n_{fi}p", 1
+    if fi == fj:
+        if fi == "s":  # nothing transitions INTO start: n_ss ≡ 0
+            return "r_s", 1
+        return f"(r_{fi} - n_{fi}{fi})", 1
+    if fj == "s":
+        return "ZERO", 0  # column into start is all zeros
+    return f"n_{fi}{fj}", -1
+
+
+def _mrk_det_terms(states, repl_col):
+    """Permutation expansion of det(A) (or the Cramer numerator with
+    column `repl_col` replaced by b) over the named count/rowsum
+    scalars. ONE generator feeds both the DuckDB SQL text and the
+    Python big-int fold, so the algebra cannot drift between
+    engines."""
+    import itertools
+
+    n = len(states)
+    terms = []
+    for perm in itertools.permutations(range(n)):
+        sign = _mrk_perm_sign(perm)
+        names = []
+        for row in range(n):
+            col = perm[row]
+            nm, s = _mrk_entry(
+                states[row], states[col], repl=(col == repl_col)
+            )
+            names.append(nm)
+            sign *= s
+        if sign != 0:  # permutations through the all-zero start
+            terms.append((sign, names))  # column contribute nothing
+    return terms
+
+
+def _mrk_det_sql(states, repl_col):
+    # chunk the 120-term sum into a shallow tree: a left-deep chain of
+    # 120 '+' nodes exceeds DuckDB's binder recursion depth
+    terms = [
+        f"({'' if s > 0 else '-'}{' * '.join(names)})"
+        for s, names in _mrk_det_terms(states, repl_col)
+    ]
+    chunks = [
+        "(" + " + ".join(terms[i: i + 12]) + ")"
+        for i in range(0, len(terms), 12)
+    ]
+    return "(" + " + ".join(chunks) + ")"
+
+
+def _mrk_det_eval(vals, states, repl_col):
+    tot = 0
+    for s, names in _mrk_det_terms(states, repl_col):
+        prod = s
+        for nm in names:
+            if nm.startswith("("):  # "(r_f - n_ff)"
+                f = nm[3]
+                prod *= vals[f"r_{f}"] - vals[f"n_{f}{f}"]
+            else:
+                prod *= vals[nm]
+        tot += prod
+    return tot
+
+
+def _mrk_pivot_sql():
+    cells = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN f = '{f}' AND t = '{t}'"
+        f" THEN n END), 0) AS HUGEINT) AS n_{f}{t}"
+        for f in _MRK_STATES
+        for t in _MRK_TARGETS
+    )
+    sums = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"COALESCE(SUM(CASE WHEN f = '{f}' AND t = '{t}'"
+            f" THEN n END), 0)"
+            for t in _MRK_TARGETS
+        )
+        + f" AS HUGEINT) AS r_{f}"
+        for f in _MRK_STATES
+    )
+    return cells + ", " + sums
+
+
+def _mrk_prob_sql(num_sql: str, den_sql: str, name: str) -> str:
+    return (
+        f"CAST(CASE WHEN (({num_sql}) < 0) <> (({den_sql}) < 0)"
+        f" THEN -1 ELSE 1 END"
+        f" * (ABS({num_sql}) * 1000000 // ABS({den_sql}))"
+        f" AS BIGINT) AS {name}"
+    )
+
+
+def _mrk_oracle() -> str:
+    full = list(_MRK_STATES)
+    probs = [
+        _mrk_prob_sql(_mrk_det_sql(full, 0), _mrk_det_sql(full, None_ := -1)
+                      if False else _mrk_det_sql(full, -1), "p_full_x1e6")
+    ]
+    # -1 = no replacement (det of A itself)
+    variants = []
+    for ch in ("c", "e", "g", "v"):
+        states = [st for st in full if st != ch]
+        variants.append(
+            _mrk_prob_sql(
+                _mrk_det_sql(states, 0),
+                _mrk_det_sql(states, -1),
+                f"p_no_{ch}_x1e6",
+            )
+        )
+    return f"""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS fp_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ev2 AS (
+      SELECT e.user_id, e.ts, e.event_id,
+             CASE e.event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                  WHEN 'signup' THEN 'g' WHEN 'view' THEN 'v' END AS ch,
+             fp.user_id IS NOT NULL AS conv
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.user_id IS NULL OR e.ts < fp.fp_ts)
+    ),
+    seq AS (
+      SELECT user_id, ch, conv,
+             LAG(ch) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rl
+      FROM ev2
+    ),
+    trans AS (
+      SELECT COALESCE(prev, 's') AS f, ch AS t FROM seq
+      UNION ALL
+      SELECT ch AS f, CASE WHEN conv THEN 'p' ELSE 'x' END AS t
+      FROM seq WHERE rl = 1
+      UNION ALL
+      SELECT 's' AS f, 'p' AS t FROM fp
+      WHERE user_id NOT IN (SELECT DISTINCT user_id FROM ev2)
+    ),
+    cnt AS (SELECT f, t, COUNT(*) AS n FROM trans GROUP BY f, t),
+    m AS (SELECT {_mrk_pivot_sql()} FROM cnt),
+    d AS (
+      SELECT {probs[0]}, {", ".join(variants)}
+      FROM m
+    )
+    SELECT ch AS channel, p_full_x1e6,
+           CASE ch WHEN 'click' THEN p_no_c_x1e6
+                   WHEN 'error' THEN p_no_e_x1e6
+                   WHEN 'signup' THEN p_no_g_x1e6
+                   ELSE p_no_v_x1e6 END AS p_removed_x1e6,
+           CAST(1000000 - (CASE ch WHEN 'click' THEN p_no_c_x1e6
+                   WHEN 'error' THEN p_no_e_x1e6
+                   WHEN 'signup' THEN p_no_g_x1e6
+                   ELSE p_no_v_x1e6 END) * 1000000 // p_full_x1e6
+                AS BIGINT) AS removal_effect_x1e6
+    FROM d, (VALUES ('click'), ('error'), ('signup'), ('view')) t(ch)
+    ORDER BY channel
+    """
+
+
+@register("markov_removal_attribution", oracle=_mrk_oracle())
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution (the data-driven standard
+    beside Shapley): user journeys become a first-order chain
+    start → channels → {conversion, null}; a channel's credit is how
+    much the start→conversion absorption probability DROPS when its
+    transitions are redirected to null. The absorption system is
+    solved EXACTLY — each (I−Q)x = r row is scaled by its integer
+    row sum, so Cramer's rule runs over pure transition COUNTS, and
+    one generator emits both the DuckDB permutation-expansion text
+    and the Python big-int fold (the ols_multifeature pattern; the
+    all-zero into-start column prunes 5!→4! terms). Probabilities
+    are ×1e6 truncations; determinant magnitudes are ≤(events)⁵ —
+    HUGEINT-safe past the 10× probe, restage before ~100×.
+
+    Scale shape: journeys need ONE user_id window pass (lag + last-
+    row flag); the chain collapses to a ≤30-cell count frame and the
+    solve is O(1) driver big-int algebra."""
+    ev = _events(spark, sf_dir)
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    ch = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "g")
+        .when(F.col("event_type") == "view", "v")
+    )
+    ev2 = (
+        ev.join(fp, "user_id", "left")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("fp_ts").isNull() | (F.col("ts") < F.col("fp_ts")))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            ch.alias("ch"),
+            F.col("fp_ts").isNotNull().alias("conv"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    seq = ev2.select(
+        "user_id",
+        "ch",
+        "conv",
+        F.lag("ch").over(w).alias("prev"),
+        F.row_number().over(wd).alias("rl"),
+    )
+    inner = seq.select(
+        F.coalesce(F.col("prev"), F.lit("s")).alias("f"),
+        F.col("ch").alias("t"),
+    )
+    last = seq.filter(F.col("rl") == 1).select(
+        F.col("ch").alias("f"),
+        F.when(F.col("conv"), "p").otherwise("x").alias("t"),
+    )
+    zero_touch = fp.join(
+        ev2.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(F.lit("s").alias("f"), F.lit("p").alias("t"))
+    trans = inner.unionByName(last).unionByName(zero_touch)
+    cells = {
+        f"n_{f}{t}": 0
+        for f in _MRK_STATES
+        for t in _MRK_TARGETS
+    }
+    for r in trans.groupBy("f", "t").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect():
+        cells[f"n_{r['f']}{r['t']}"] = int(r["n"])
+    for f in _MRK_STATES:
+        cells[f"r_{f}"] = sum(
+            cells[f"n_{f}{t}"] for t in _MRK_TARGETS
+        )
+
+    def prob_x1e6(states):
+        num = _mrk_det_eval(cells, states, 0)
+        den = _mrk_det_eval(cells, states, -1)
+        sign = -1 if (num < 0) != (den < 0) else 1
+        return sign * (abs(num) * 1000000 // abs(den))
+
+    full = list(_MRK_STATES)
+    p_full = prob_x1e6(full)
+    rows = []
+    for name, code in (
+        ("click", "c"),
+        ("error", "e"),
+        ("signup", "g"),
+        ("view", "v"),
+    ):
+        p_rm = prob_x1e6([st for st in full if st != code])
+        rows.append(
+            (
+                name,
+                p_full,
+                p_rm,
+                1000000 - p_rm * 1000000 // p_full,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_full_x1e6 long, p_removed_x1e6 long,"
+        " removal_effect_x1e6 long",
+    )
