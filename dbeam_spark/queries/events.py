@@ -2903,11 +2903,12 @@ def _mrk_prob_sql(num_sql: str, den_sql: str, name: str) -> str:
 
 def _mrk_oracle() -> str:
     full = list(_MRK_STATES)
+    # repl_col -1 = no replacement (det of A itself)
     probs = [
-        _mrk_prob_sql(_mrk_det_sql(full, 0), _mrk_det_sql(full, None_ := -1)
-                      if False else _mrk_det_sql(full, -1), "p_full_x1e6")
+        _mrk_prob_sql(
+            _mrk_det_sql(full, 0), _mrk_det_sql(full, -1), "p_full_x1e6"
+        )
     ]
-    # -1 = no replacement (det of A itself)
     variants = []
     for ch in ("c", "e", "g", "v"):
         states = [st for st in full if st != ch]
