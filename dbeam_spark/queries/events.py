@@ -3083,3 +3083,153 @@ def markov_removal_attribution(
         "channel string, p_full_x1e6 long, p_removed_x1e6 long,"
         " removal_effect_x1e6 long",
     )
+
+
+def _hw_texts():
+    """Holt-Winters additive (α=0.3 β=0.1 γ=0.2, weekly season):
+    ONE generator emits the fold/seed expression text for BOTH
+    engines — same literals, same association order — so the float
+    recursion stays bit-identical (the holt_forecast_daily
+    argument, extended to a 9-state [level, trend, s1..s7] ring
+    that rotates one seasonal slot per folded day)."""
+
+    def update(l, b, s, x):
+        lp = f"0.3 * ({x} - {s[0]}) + 0.7 * ({l} + {b})"
+        bp = f"0.1 * (({lp}) - {l}) + 0.9 * {b}"
+        sp = f"0.2 * ({x} - ({lp})) + 0.8 * {s[0]}"
+        return lp, bp, sp
+
+    def seeds(v):
+        wk1 = (
+            f"(((((({v(1)} + {v(2)}) + {v(3)}) + {v(4)}) + {v(5)})"
+            f" + {v(6)}) + {v(7)}) / 7.0"
+        )
+        wk2 = (
+            f"(((((({v(8)} + {v(9)}) + {v(10)}) + {v(11)}) + {v(12)})"
+            f" + {v(13)}) + {v(14)}) / 7.0"
+        )
+        l0 = f"({wk1})"
+        b0 = f"(({wk2}) - ({wk1})) / 7.0"
+        s0 = [f"({v(i)} - ({wk1}))" for i in range(1, 8)]
+        return l0, b0, s0
+
+    # DuckDB: acc/element are DOUBLE[]; ring in acc[3..9]
+    dl, db = "acc[1]", "acc[2]"
+    ds = [f"acc[{i}]" for i in range(3, 10)]
+    dlp, dbp, dsp = update(dl, db, ds, "x[1]")
+    d_seed_l, d_seed_b, d_seed_s = seeds(lambda i: f"vals[{i}]")
+    duck_fold = (
+        f"list_reduce([[{d_seed_l}, {d_seed_b}, "
+        + ", ".join(d_seed_s)
+        + "]] || list_transform(vals[8:], x -> [x]),"
+        f" (acc, x) -> [{dlp}, {dbp}, "
+        + ", ".join(ds[1:])
+        + f", {dsp}])"
+    )
+
+    # Spark: struct accumulator, scalar element
+    sl, sb = "acc.l", "acc.b"
+    ss = [f"acc.s{i}" for i in range(1, 8)]
+    slp, sbp, ssp = update(sl, sb, ss, "x")
+    s_seed_l, s_seed_b, s_seed_s = seeds(
+        lambda i: f"element_at(vals, {i})"
+    )
+    spark_fold = (
+        "aggregate(slice(vals, 8, size(vals) - 7), "
+        f"named_struct('l', {s_seed_l}, 'b', {s_seed_b}, "
+        + ", ".join(
+            f"'s{i+1}', {s_seed_s[i]}" for i in range(7)
+        )
+        + "), (acc, x) -> named_struct("
+        f"'l', {slp}, 'b', {sbp}, "
+        + ", ".join(f"'s{i}', acc.s{i+1}" for i in range(1, 7))
+        + f", 's7', {ssp}))"
+    )
+    return duck_fold, spark_fold
+
+
+_HW_DUCK_FOLD, _HW_SPARK_FOLD = _hw_texts()
+
+
+@register(
+    "holt_winters_weekly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(n ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 15
+    ),
+    folded AS (
+      SELECT event_type, len(vals) AS n_days,
+             {_HW_DUCK_FOLD} AS st
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(FLOOR(st[1] * 1000000) AS BIGINT) AS level_x1e6,
+           CAST(FLOOR(st[2] * 1000000) AS BIGINT) AS trend_x1e6,
+           CAST(FLOOR((st[1] + st[2] + st[3]) * 1000000) AS BIGINT)
+             AS forecast_x1e6,
+           CAST(FLOOR((GREATEST(st[3], st[4], st[5], st[6], st[7],
+                                st[8], st[9])
+                       - LEAST(st[3], st[4], st[5], st[6], st[7],
+                               st[8], st[9])) * 1000000) AS BIGINT)
+             AS season_amp_x1e6
+    FROM folded ORDER BY event_type
+    """,
+)
+def holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive forecast with WEEKLY seasonality per
+    event type (α=0.3 β=0.1 γ=0.2) — the step up from
+    holt_forecast_daily when volume has day-of-week structure: a
+    9-state [level, trend, 7-slot seasonal ring] folds over the
+    day-ordered counts, rotating one slot per day, seeded from the
+    first two weeks (l₀ = week-1 mean, b₀ = week-over-week drift/7,
+    s = week-1 deviations). Next-day forecast = level + trend + the
+    incoming seasonal slot; the seasonal amplitude (max−min slot)
+    reads out how much weekly structure the series actually has.
+
+    Exactness: ONE Python generator emits both engines' fold text —
+    identical literals and association order — so the double
+    recursion is bit-identical (the holt/EWMA argument); the fold
+    runs over the CALENDAR-bounded daily rollup."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "n"))),
+                lambda s: s["n"],
+            ).alias("vals")
+        )
+        .filter(F.size("vals") >= 15)
+    )
+    st = F.expr(_HW_SPARK_FOLD)
+    folded = series.select(
+        "event_type",
+        F.size("vals").cast("long").alias("n_days"),
+        st.alias("st"),
+    )
+    smax = F.greatest(*[F.col(f"st.s{i}") for i in range(1, 8)])
+    smin = F.least(*[F.col(f"st.s{i}") for i in range(1, 8)])
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.floor(F.col("st.l") * 1000000).cast("long").alias("level_x1e6"),
+        F.floor(F.col("st.b") * 1000000).cast("long").alias("trend_x1e6"),
+        F.floor(
+            (F.col("st.l") + F.col("st.b") + F.col("st.s1")) * 1000000
+        )
+        .cast("long")
+        .alias("forecast_x1e6"),
+        F.floor((smax - smin) * 1000000)
+        .cast("long")
+        .alias("season_amp_x1e6"),
+    ).orderBy("event_type")
