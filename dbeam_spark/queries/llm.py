@@ -6810,3 +6810,107 @@ def quantile_normalize_lengths(
         )
         .orderBy("source")
     )
+
+
+def _retrieval_eval_oracle() -> str:
+    from dbeam_spark.queries.registry import ORACLES
+
+    kw = ORACLES["keyword_search"]
+    bm = ORACLES["bm25_search"]
+    return f"""
+    WITH rel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents
+      ) WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
+          AND list_contains(t, 'hash')
+    ),
+    kw10 AS (SELECT doc_id FROM ({kw}) ),
+    bm10 AS (SELECT doc_id FROM ({bm}) ),
+    ov AS (
+      SELECT COUNT(*) AS n FROM kw10 JOIN bm10 USING (doc_id)
+    ),
+    nrel AS (SELECT COUNT(*) AS n FROM rel),
+    tf AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x IN ('spark', 'join', 'hash'))) AS termmass
+      FROM documents
+    ),
+    m AS (
+      SELECT 'bm25' AS system,
+             (SELECT COUNT(*) FROM bm10 JOIN rel USING (doc_id)) AS hits,
+             (SELECT SUM(tf.termmass) FROM bm10 JOIN tf USING (doc_id))
+               AS mass
+      UNION ALL
+      SELECT 'tfidf' AS system,
+             (SELECT COUNT(*) FROM kw10 JOIN rel USING (doc_id)) AS hits,
+             (SELECT SUM(tf.termmass) FROM kw10 JOIN tf USING (doc_id))
+               AS mass
+    )
+    SELECT m.system,
+           CAST(m.hits AS BIGINT) AS hits_at_10,
+           CAST(nrel.n AS BIGINT) AS n_relevant,
+           CAST(m.hits * 1000 AS BIGINT) AS p_at_10_x1e4,
+           CAST(m.mass AS BIGINT) AS termmass_at_10,
+           CAST(ov.n AS BIGINT) AS top10_overlap
+    FROM m, nrel, ov
+    ORDER BY m.system
+    """
+
+
+@register("retrieval_eval", oracle=_retrieval_eval_oracle())
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness — measure, don't guess, for the
+    search stack: precision@10 of the tf·idf and BM25 rankings
+    against an EXACT boolean relevance set (docs containing all
+    three query terms), plus the two systems' top-10 overlap (how
+    much the length normalization actually reorders). Composes the
+    hash-gated keyword_search and bm25_search rankings and their
+    oracles verbatim, so the eval itself is engine-exact — the same
+    pattern as dedup_lsh_recall: every approximation/variant ships
+    with its measured quality, not an assumption.
+
+    Scale: both rankings are TakeOrdered top-10s; the metric joins
+    run on ≤10-row frames."""
+    rel = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("t"),
+        )
+        .filter(
+            F.array_contains("t", "spark")
+            & F.array_contains("t", "join")
+            & F.array_contains("t", "hash")
+        )
+        .select("doc_id")
+    )
+    kw10 = keyword_search(spark, sf_dir).select("doc_id")
+    bm10 = bm25_search(spark, sf_dir).select("doc_id")
+    tf = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.expr(
+                "filter(split(lower(text), '\\\\s+'),"
+                " x -> x IN ('spark', 'join', 'hash'))"
+            )
+        ).alias("termmass"),
+    )
+    n_rel = rel.count()
+    hits_kw = kw10.join(rel, "doc_id").count()
+    hits_bm = bm10.join(rel, "doc_id").count()
+    mass_kw = kw10.join(tf, "doc_id").agg(F.sum("termmass")).collect()[0][0]
+    mass_bm = bm10.join(tf, "doc_id").agg(F.sum("termmass")).collect()[0][0]
+    overlap = kw10.join(bm10, "doc_id").count()
+    return spark.createDataFrame(
+        [
+            ("bm25", hits_bm, n_rel, hits_bm * 1000, int(mass_bm), overlap),
+            ("tfidf", hits_kw, n_rel, hits_kw * 1000, int(mass_kw), overlap),
+        ],
+        "system string, hits_at_10 long, n_relevant long,"
+        " p_at_10_x1e4 long, termmass_at_10 long, top10_overlap long",
+    )
