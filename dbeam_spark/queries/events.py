@@ -3233,3 +3233,176 @@ def holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("season_amp_x1e6"),
     ).orderBy("event_type")
+
+
+@register(
+    "srm_check",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             COUNT(*) AS n
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // n AS BIGINT)
+             AS chi2_x1e6,
+           ((n_a - n_b) * (n_a - n_b) * 1000000 // n) <= 3841459
+             AS srm_pass
+    FROM s
+    """,
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the first thing an experiment
+    readout must check before any lift number is trusted: under a
+    50/50 split, χ² = (n_a−n_b)²/n (the 2-cell Pearson statistic
+    collapses to this exact integer form), compared against the
+    α=0.05 critical value 3.8415. A deterministic user-parity
+    assignment makes the check itself hash-gated; swap in the real
+    bucketing hash in production and the query is unchanged.
+
+    Shape: one distinct-user rollup — the cheapest guard in the
+    experimentation stack, and the one most often skipped."""
+    ev = _events(spark, sf_dir)
+    assign = ev.select("user_id").distinct().select(
+        (F.col("user_id") % 2).alias("variant")
+    )
+    s = assign.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi2 = F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV n")
+    return s.select(
+        "n_a",
+        "n_b",
+        chi2.cast("long").alias("chi2_x1e6"),
+        (chi2 <= 3841459).alias("srm_pass"),
+    )
+
+
+@register(
+    "did_revenue",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    cells AS (
+      SELECT user_id % 2 AS treat,
+             CASE WHEN epoch_us(ts) >= bounds.mid_us THEN 1 ELSE 0 END
+               AS post,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events, bounds
+      WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT treat, post,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             COUNT(*) AS n
+      FROM cells GROUP BY treat, post
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN treat = 1 AND post = 1 THEN cents * 10000 // n
+            END) AS t_post,
+        MAX(CASE WHEN treat = 1 AND post = 0 THEN cents * 10000 // n
+            END) AS t_pre,
+        MAX(CASE WHEN treat = 0 AND post = 1 THEN cents * 10000 // n
+            END) AS c_post,
+        MAX(CASE WHEN treat = 0 AND post = 0 THEN cents * 10000 // n
+            END) AS c_pre,
+        CAST(SUM(n) AS BIGINT) AS n_purchases
+      FROM m
+    )
+    SELECT n_purchases,
+           CAST(t_post - t_pre AS BIGINT) AS treat_delta_x1e4,
+           CAST(c_post - c_pre AS BIGINT) AS control_delta_x1e4,
+           CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT)
+             AS did_x1e4
+    FROM w
+    """,
+)
+def did_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value: treatment by
+    deterministic user parity, pre/post split at the event-time
+    midpoint, DID = (post_T − pre_T) − (post_C − pre_C) over per-cell
+    mean cents (×1e4 truncating integer means) — the workhorse causal
+    readout when randomization is doubtful and a parallel-trends
+    baseline exists. Everything is one 4-cell rollup + O(1) algebra;
+    the integer means make the estimate engine-exact.
+
+    Shape: one scan of purchases + a 1-row time-bounds broadcast."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr(
+            "(unix_micros(MIN(ts)) + unix_micros(MAX(ts))) DIV 2"
+        ).alias("mid_us")
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("user_id") % 2).alias("treat"),
+            F.when(F.unix_micros(F.col("ts")) >= F.col("mid_us"), 1)
+            .otherwise(0)
+            .alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    m = cells.groupBy("treat", "post").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = m.agg(
+        F.max(
+            F.when(
+                (F.col("treat") == 1) & (F.col("post") == 1),
+                F.expr("cents * 10000 DIV n"),
+            )
+        ).alias("t_post"),
+        F.max(
+            F.when(
+                (F.col("treat") == 1) & (F.col("post") == 0),
+                F.expr("cents * 10000 DIV n"),
+            )
+        ).alias("t_pre"),
+        F.max(
+            F.when(
+                (F.col("treat") == 0) & (F.col("post") == 1),
+                F.expr("cents * 10000 DIV n"),
+            )
+        ).alias("c_post"),
+        F.max(
+            F.when(
+                (F.col("treat") == 0) & (F.col("post") == 0),
+                F.expr("cents * 10000 DIV n"),
+            )
+        ).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_purchases"),
+    )
+    return w.select(
+        "n_purchases",
+        (F.col("t_post") - F.col("t_pre"))
+        .cast("long")
+        .alias("treat_delta_x1e4"),
+        (F.col("c_post") - F.col("c_pre"))
+        .cast("long")
+        .alias("control_delta_x1e4"),
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        )
+        .cast("long")
+        .alias("did_x1e4"),
+    )
