@@ -6903,8 +6903,14 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rel = rel.count()
     hits_kw = kw10.join(rel, "doc_id").count()
     hits_bm = bm10.join(rel, "doc_id").count()
-    mass_kw = kw10.join(tf, "doc_id").agg(F.sum("termmass")).collect()[0][0]
-    mass_bm = bm10.join(tf, "doc_id").agg(F.sum("termmass")).collect()[0][0]
+    mass_kw = (
+        kw10.join(tf, "doc_id").agg(F.sum("termmass")).collect()[0][0]
+        or 0
+    )
+    mass_bm = (
+        bm10.join(tf, "doc_id").agg(F.sum("termmass")).collect()[0][0]
+        or 0
+    )
     overlap = kw10.join(bm10, "doc_id").count()
     return spark.createDataFrame(
         [

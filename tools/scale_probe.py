@@ -135,6 +135,13 @@ PROBES = [
     "quantile_normalize_lengths",
     "phrase_search",
     "knn_graph_maintain",
+    "shapley_attribution",
+    "multi_touch_attribution",
+    "markov_removal_attribution",
+    "holt_winters_weekly",
+    "retrieval_eval",
+    "srm_check",
+    "did_revenue",
 ]
 
 
