@@ -3406,3 +3406,98 @@ def did_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_x1e4"),
     )
+
+
+@register(
+    "experiment_power",
+    oracle="""
+    WITH per_user AS (
+      SELECT u.user_id, u.user_id % 2 AS variant,
+             CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+               THEN ROUND(e.value * 100) END), 0) AS BIGINT) AS cents
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN events e ON e.user_id = u.user_id
+      GROUP BY u.user_id
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(cents * cents) AS BIGINT) AS sxx,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sx * 10000 // n AS BIGINT) AS mean_cents_x1e4,
+           CAST(FLOOR(2.801585 * sqrt(
+             2.0 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+             / LEAST(n_a, n_b)) * 10000) AS BIGINT)
+             AS mde_cents_x1e4,
+           CAST(FLOOR(2.801585 * sqrt(
+             2.0 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+             / LEAST(n_a, n_b))
+             / (CAST(sx AS DOUBLE) / n) * 1000000) AS BIGINT)
+             AS mde_rel_x1e6
+    FROM s
+    """,
+)
+def experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a user-split revenue experiment
+    (α=0.05 two-sided, power 0.8): MDE = 2.801585·√(2s²/n) over
+    per-user purchase cents (intent-to-treat — non-purchasers count
+    as 0), with s² from EXACT integer sufficient stats and the one
+    float division/sqrt evaluated as the same expression text in
+    both engines. The answer every "how long must this test run"
+    question needs — and it completes the experiment toolkit
+    (srm_check → power → Welch/χ² → CUPED → DID → bootstrap).
+
+    Shape: one distinct-user left join + a 1-row sufficient-stats
+    reduce; O(1) algebra after."""
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    per_user = (
+        users.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.round(F.col("value") * 100).alias("c"),
+            ),
+            "user_id",
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("cents"))
+        .select("cents", (F.col("user_id") % 2).alias("variant"))
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    var_expr = (
+        "(CAST(n * sxx - sx * sx AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (n - 1)))"
+    )
+    mde = (
+        f"2.801585 * sqrt(2.0 * {var_expr} / LEAST(n_a, n_b))"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("sx * 10000 DIV n").cast("long").alias("mean_cents_x1e4"),
+        F.expr(f"CAST(FLOOR({mde} * 10000) AS BIGINT)").alias(
+            "mde_cents_x1e4"
+        ),
+        F.expr(
+            f"CAST(FLOOR({mde} / (CAST(sx AS DOUBLE) / n) * 1000000)"
+            " AS BIGINT)"
+        ).alias("mde_rel_x1e6"),
+    )
