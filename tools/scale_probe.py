@@ -142,6 +142,7 @@ PROBES = [
     "retrieval_eval",
     "srm_check",
     "did_revenue",
+    "experiment_power",
 ]
 
 
