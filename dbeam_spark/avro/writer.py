@@ -270,6 +270,167 @@ def _column_cells(s, avro_type, null_mask):
     return None
 
 
+# ------------------------------------------------------- arrow fast path
+#
+# Cell encoders that read Arrow buffers directly (validity bitmap +
+# data/offset buffers) instead of going through pandas. Two wins over
+# the pandas path: (1) no Arrow→pandas conversion per batch, and
+# (2) SQL NULL vs float NaN is distinguished natively by the validity
+# bitmap, so the _NULL_MASK projection the pandas path needs for
+# double/float columns disappears entirely.
+
+
+def _arrow_null_mask(arr):
+    """Boolean numpy array: True where the Arrow array slot is null."""
+    import numpy as np
+
+    n = len(arr)
+    if arr.null_count == 0:
+        return np.zeros(n, dtype=bool)
+    buf = arr.buffers()[0]
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), bitorder="little"
+    )
+    return bits[arr.offset:arr.offset + n] == 0
+
+
+def _arrow_data(arr, dtype):
+    """Zero-copy view of a fixed-width Arrow array's data buffer."""
+    import numpy as np
+
+    n = len(arr)
+    return np.frombuffer(arr.buffers()[1], dtype=dtype)[
+        arr.offset:arr.offset + n
+    ]
+
+
+def _arrow_bits(arr, buffer_index, bit_offset):
+    """Unpack a bit-packed Arrow buffer (bool data) to numpy bool."""
+    import numpy as np
+
+    n = len(arr)
+    bits = np.unpackbits(
+        np.frombuffer(arr.buffers()[buffer_index], dtype=np.uint8),
+        bitorder="little",
+    )
+    return bits[bit_offset:bit_offset + n] == 1
+
+
+def _varlen_cells(offs, data, null):
+    """Vectorized cells for var-length payloads (string/binary): union
+    branch + zigzag-varint length + raw bytes, all assembled in one
+    shared numpy buffer (no per-cell Python string objects)."""
+    import numpy as np
+
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    lens = np.where(null, 0, lens)  # null slots may carry garbage offsets
+    z = lens.astype(np.uint64) << np.uint64(1)  # zigzag of non-negative
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (z >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    cell_len = np.where(null, 1, 1 + nb + lens)
+    ends = np.cumsum(cell_len)
+    starts = ends - cell_len
+    buf = np.zeros(int(ends[-1]) if n else 0, dtype=np.uint8)
+    nn = ~null
+    buf[starts[nn]] = 2
+    for k in range(10):
+        sel = nn & (nb > k)
+        if not sel.any():
+            break
+        byte = (z[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[sel] > k + 1).astype(np.uint64) << np.uint64(7)
+        buf[starts[sel] + 1 + k] = (byte | cont).astype(np.uint8)
+    total_payload = int(lens.sum())
+    if total_payload:
+        # scatter payload bytes: for every byte of every cell, dst =
+        # src + per-cell shift (one fancy-index assignment, no loop)
+        src_start = offs[:-1].astype(np.int64)
+        shift = starts + 1 + nb - src_start
+        reps = lens
+        src_idx = np.repeat(src_start, reps) + (
+            np.arange(total_payload, dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        dst_idx = src_idx + np.repeat(shift, reps)
+        buf[dst_idx] = data[src_idx]
+    raw = buf.tobytes()
+    return [raw[a:b] for a, b in zip(starts.tolist(), ends.tolist())]
+
+
+_TS_DIVISOR = {"s": None, "ms": 1, "us": 1_000, "ns": 1_000_000}
+
+
+def _arrow_column_cells(arr, avro_type):
+    """Per-cell encoded bytes for one Arrow array, or None if this
+    column needs the scalar fallback path (arrays, decimals, ...)."""
+    import numpy as np
+    import pyarrow as pa
+
+    t = avro_type
+    if isinstance(t, dict) and "logicalType" in t:
+        t = t["type"]
+    at = arr.type
+    if t in ("long", "int"):
+        if pa.types.is_timestamp(at):
+            null = _arrow_null_mask(arr)
+            us = _arrow_data(arr, np.int64)
+            div = _TS_DIVISOR.get(at.unit)
+            if div is None:  # seconds
+                ms = us * 1000
+            else:
+                ms = us // div
+            return _varint_cells(np.where(null, 0, ms), null)
+        if pa.types.is_date32(at):
+            null = _arrow_null_mask(arr)
+            days = _arrow_data(arr, np.int32).astype(np.int64)
+            return _varint_cells(
+                np.where(null, 0, days * 86_400_000), null
+            )
+        widths = {
+            pa.int64(): np.int64, pa.int32(): np.int32,
+            pa.int16(): np.int16, pa.int8(): np.int8,
+        }
+        dt = widths.get(at)
+        if dt is not None:
+            null = _arrow_null_mask(arr)
+            vals = _arrow_data(arr, dt).astype(np.int64)
+            return _varint_cells(np.where(null, 0, vals), null)
+        return None
+    if t == "double" and at == pa.float64():
+        null = _arrow_null_mask(arr)
+        return _fixed_cells(_arrow_data(arr, np.float64), null, 8, "<f8")
+    if t == "float" and at == pa.float32():
+        null = _arrow_null_mask(arr)
+        return _fixed_cells(_arrow_data(arr, np.float32), null, 4, "<f4")
+    if t == "boolean" and at == pa.bool_():
+        null = _arrow_null_mask(arr)
+        vals = _arrow_bits(arr, 1, arr.offset)
+        lut = (b"\x02\x00", b"\x02\x01")
+        return [
+            b"\x00" if nu else lut[v]
+            for nu, v in zip(null.tolist(), vals.tolist())
+        ]
+    if t in ("string", "bytes") and (
+        pa.types.is_string(at) or pa.types.is_large_string(at)
+        or pa.types.is_binary(at) or pa.types.is_large_binary(at)
+    ):
+        null = _arrow_null_mask(arr)
+        odt = (
+            np.int64
+            if pa.types.is_large_string(at) or pa.types.is_large_binary(at)
+            else np.int32
+        )
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+            arr.offset:arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        return _varlen_cells(offs, data, null)
+    return None
+
+
 def _codec_compress(codec: str):
     if codec in (None, "", "null"):
         return "null", lambda b: b
@@ -385,6 +546,44 @@ class OcfEncoder:
             data = self._compress(block)
             yield _zigzag(end - start) + _zigzag(len(data)) + data + self.sync
 
+    def encode_batch(self, rb) -> Iterator[bytes]:
+        """Yield OCF blocks straight from an Arrow RecordBatch.
+
+        Fastest path: cells are built from Arrow buffers (validity
+        bitmap + data/offset arrays) with no pandas conversion and no
+        per-cell Python objects for fixed-width and string/binary
+        columns. SQL NULL vs float NaN comes from the validity bitmap,
+        so no external null mask is needed. Columns the Arrow
+        vectorizer doesn't cover (arrays, decimals) fall back to the
+        scalar encoder via to_pylist — semantics identical."""
+        from itertools import chain
+
+        idx = {n: i for i, n in enumerate(rb.schema.names)}
+        cols = []
+        for f, t, enc in zip(
+            self.schema["fields"], self._field_types, self._encoders
+        ):
+            arr = rb.column(idx[f["columnName"]])
+            cells = _arrow_column_cells(arr, t)
+            if cells is None:  # scalar fallback for this column only
+                import pandas as pd
+
+                cells = [
+                    b"\x00" if v is None else b"\x02" + enc(v)
+                    for v in _normalize_series(pd.Series(arr.to_pandas()), t)
+                ]
+            cols.append(cells)
+        n = rb.num_rows
+        for start in range(0, n, _BLOCK_ROWS):
+            end = min(start + _BLOCK_ROWS, n)
+            block = b"".join(
+                chain.from_iterable(
+                    zip(*(c[start:end] for c in cols))
+                )
+            )
+            data = self._compress(block)
+            yield _zigzag(end - start) + _zigzag(len(data)) + data + self.sync
+
     def encode_rows(self, columns: list[list]) -> Iterator[bytes]:
         """Yield OCF blocks for rows given as normalized columns."""
         n = len(columns[0]) if columns else 0
@@ -426,34 +625,21 @@ def write_avro(
     counting block headers (no payload read)."""
     os.makedirs(output_dir, exist_ok=True)
     schema_json = json.dumps(avro_schema)
-    field_names = [f["columnName"] for f in avro_schema["fields"]]
-
-    # Float/double columns need an explicit SQL-NULL mask: the Arrow →
-    # pandas hop inside mapInPandas turns both NULL and NaN into NaN,
-    # and the two must encode differently (null branch vs NaN double).
-    plain = [
-        f["type"][1] if isinstance(f["type"], list) else f["type"]
-        for f in avro_schema["fields"]
-    ]
-    plain = [t["type"] if isinstance(t, dict) else t for t in plain]
-    float_fields = frozenset(
-        n for n, t in zip(field_names, plain) if t in ("double", "float")
-    )
-    if float_fields:
-        from pyspark.sql import functions as F
-
-        df = df.select(
-            "*",
-            *[
-                F.isnull(n).alias(_NULL_MASK + n)
-                for n in field_names
-                if n in float_fields
-            ],
-        )
 
     def write_partition(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
+
+        def stat(path, rows, crc, skipped):
+            return pa.RecordBatch.from_pydict(
+                {
+                    "file": [path],
+                    "rows": [rows],
+                    "bytes": [os.path.getsize(path)],
+                    "crc32": [crc],
+                    "skipped": [skipped],
+                }
+            )
 
         pid = TaskContext.get().partitionId()
         schema = json.loads(schema_json)
@@ -465,15 +651,7 @@ def write_avro(
             # consume its input), then credit the landed file
             for _ in batches:
                 pass
-            yield pd.DataFrame(
-                {
-                    "file": [path],
-                    "rows": [count_ocf_rows(path)],
-                    "bytes": [os.path.getsize(path)],
-                    "crc32": [file_crc32(path)],
-                    "skipped": [True],
-                }
-            )
+            yield stat(path, count_ocf_rows(path), file_crc32(path), True)
             return
         enc = OcfEncoder(schema, codec)
         rows = 0
@@ -483,28 +661,15 @@ def write_avro(
             hdr = enc.header()
             fh.write(hdr)
             crc = zlib.crc32(hdr, crc)
-            for pdf in batches:
-                masks = {
-                    name: pdf[_NULL_MASK + name]
-                    for name in field_names
-                    if name in float_fields
-                }
-                for block in enc.encode_pdf(pdf, masks):
+            for rb in batches:
+                for block in enc.encode_batch(rb):
                     fh.write(block)
                     crc = zlib.crc32(block, crc)
-                rows += len(pdf)
+                rows += rb.num_rows
         os.replace(tmp, path)
-        yield pd.DataFrame(
-            {
-                "file": [path],
-                "rows": [rows],
-                "bytes": [os.path.getsize(path)],
-                "crc32": [crc & 0xFFFFFFFF],
-                "skipped": [False],
-            }
-        )
+        yield stat(path, rows, crc & 0xFFFFFFFF, False)
 
-    stats = df.mapInPandas(
+    stats = df.mapInArrow(
         write_partition,
         "file string, rows long, bytes long, crc32 long, skipped boolean",
     ).collect()

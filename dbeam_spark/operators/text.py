@@ -149,10 +149,14 @@ def kgram_positions(docs, k: int, id_col: str = "doc_id",
 
         ws = re.compile(r"\s+")
         P = np.int64(1000003)
-        # kernel[j] = P^(k-1-j) with int64 wraparound
+        # kernel[j] = P^(k-1-j) with int64 wraparound — the mod-2^64
+        # wrap IS the hash arithmetic (tests/test_properties.py pins
+        # the kernel against a big-int reference), so silence numpy's
+        # overflow warning by proof, not by luck
         kern = np.ones(k, dtype=np.int64)
-        for j in range(k - 2, -1, -1):
-            kern[j] = kern[j + 1] * P
+        with np.errstate(over="ignore"):
+            for j in range(k - 2, -1, -1):
+                kern[j] = kern[j + 1] * P
         for pdf in batches:
             ids, nts, poss, grams = [], [], [], []
             for sid, txt in zip(pdf[id_col], pdf[text_col]):

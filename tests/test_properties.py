@@ -134,6 +134,111 @@ def test_vectorized_encoder_matches_scalar(rows):
         assert fast2 == scalar
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            _longs,
+            st.one_of(
+                st.none(),
+                st.floats(allow_infinity=False, width=64),  # NaN allowed
+            ),
+            _strings,
+            _bools,
+            _blobs,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_arrow_encoder_matches_scalar(rows):
+    """encode_batch (Arrow-buffer fast path) must be byte-identical to
+    the scalar encode_rows for longs/doubles/strings/bools/binary,
+    including None, real NaN doubles (validity bitmap distinguishes
+    NULL from NaN — the pandas path needed an external mask for this),
+    negative varint edges, and unicode."""
+    import pyarrow as pa
+
+    schema = spark_schema_to_avro(
+        T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("d", T.DoubleType()),
+                T.StructField("s", T.StringType()),
+                T.StructField("b", T.BooleanType()),
+                T.StructField("e", T.BinaryType()),
+            ]
+        ),
+        "prop",
+    )
+    enc = OcfEncoder(schema, "null")
+    cols = list(map(list, zip(*rows)))
+    scalar = b"".join(enc.encode_rows(cols))
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols[0], type=pa.int64()),
+            pa.array(cols[1], type=pa.float64()),
+            pa.array(cols[2], type=pa.string()),
+            pa.array(cols[3], type=pa.bool_()),
+            pa.array(cols[4], type=pa.binary()),
+        ],
+        names=["a", "d", "s", "b", "e"],
+    )
+    assert b"".join(enc.encode_batch(rb)) == scalar
+    # sliced batches exercise non-zero Arrow buffer offsets (validity
+    # bit offsets, offset-buffer views); block boundaries differ so
+    # compare decoded rows, not bytes
+    if rb.num_rows >= 2:
+        import tempfile
+
+        half = rb.num_rows // 2
+        sliced = (
+            enc.header()
+            + b"".join(enc.encode_batch(rb.slice(0, half)))
+            + b"".join(enc.encode_batch(rb.slice(half)))
+        )
+        with tempfile.NamedTemporaryFile(suffix=".avro") as fh:
+            fh.write(sliced)
+            fh.flush()
+            _, got = read_avro_file(fh.name)
+        want = [
+            tuple(None if v is None else v for v in r) for r in rows
+        ]
+        for (a, d, s, b, e), (ga, gd, gs, gb, ge) in zip(want, got):
+            assert ga == a and gs == s and gb == b
+            assert ge == (bytes(e) if e is not None else None)
+            assert gd == d or (d != d and gd != gd)  # NaN-safe
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    us=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-(2**55), 2**55),  # epoch micros, pre/post 1970
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_arrow_encoder_timestamp_millis(us):
+    """Arrow timestamp columns encode as epoch millis identically to
+    the scalar path's floor-division semantics (negative = pre-1970)."""
+    import pyarrow as pa
+
+    schema = spark_schema_to_avro(
+        T.StructType([T.StructField("t", T.TimestampType())]), "prop"
+    )
+    enc = OcfEncoder(schema, "null")
+    scalar = b"".join(
+        enc.encode_rows([[None if v is None else v // 1000 for v in us]])
+    )
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(us, type=pa.timestamp("us", tz="UTC"))], names=["t"]
+    )
+    assert b"".join(enc.encode_batch(rb)) == scalar
+
+
 @given(
     st.lists(
         st.text(
@@ -216,3 +321,51 @@ def test_file_crc32_streaming_equals_whole(tmp_path_factory, blob, chunk):
     p = tmp_path_factory.mktemp("crc") / "f.bin"
     p.write_bytes(blob)
     assert file_crc32(str(p), chunk=chunk) == (zlib.crc32(blob) & 0xFFFFFFFF)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    k=st.integers(2, 32),
+    toks=st.lists(st.text(min_size=1, max_size=12), min_size=2, max_size=40),
+)
+def test_kgram_rolling_hash_kernel_is_mod_2_64(k, toks):
+    """The K-gram polynomial hash wraps mod 2^64 BY DESIGN (numpy
+    int64 overflow is the arithmetic, not a bug): pin both the kernel
+    powers and the full windowed hash against an exact big-int
+    reference so any future change to the numpy expression that
+    alters the wrap semantics fails loudly here."""
+    import zlib
+
+    import numpy as np
+
+    P = 1000003
+    MASK = (1 << 64) - 1
+
+    def to_i64(x: int) -> int:  # two's-complement int64 view
+        x &= MASK
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    # the kernel construction exactly as operators/text.py builds it
+    kern = np.ones(k, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(k - 2, -1, -1):
+            kern[j] = kern[j + 1] * np.int64(P)
+    for j in range(k):
+        assert int(kern[j]) == to_i64(pow(P, k - 1 - j, 1 << 64))
+
+    if len(toks) < k:
+        return
+    h = np.fromiter(
+        (zlib.crc32(t.encode()) for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+    win = np.lib.stride_tricks.sliding_window_view(h, k)
+    with np.errstate(over="ignore"):
+        g = (win * kern).sum(axis=1)
+    for i in range(len(toks) - k + 1):
+        exact = sum(
+            zlib.crc32(toks[i + j].encode()) * pow(P, k - 1 - j, 1 << 64)
+            for j in range(k)
+        )
+        assert int(g[i]) == to_i64(exact)
