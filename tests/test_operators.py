@@ -1731,3 +1731,39 @@ def test_knn_graph_maintain_equals_rebuild(spark):
         for r in similarity.knn_join(emb, k=3).collect()
     )
     assert maintained == rebuilt
+
+
+def test_knn_graph_artifact_build_once(spark, tmp_path):
+    """knn_graph_artifact builds on first call, serves the SAME
+    directory untouched on a repeat call (content-keyed cache hit),
+    and rebuilds under a DIFFERENT key when the content changes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "graph_cache")
+    p1 = similarity.knn_graph_artifact(emb, k=3, cache_root=root)
+    assert os.path.isfile(os.path.join(p1, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    # cache hit: same path, artifact not rewritten
+    p2 = similarity.knn_graph_artifact(emb, k=3, cache_root=root)
+    assert p2 == p1
+    assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) == mtime
+    # the persisted edges ARE the exact self-join, edge for edge
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in spark.read.parquet(p1).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in similarity.knn_join(emb, k=3).collect()
+    )
+    assert got == want
+    # different content (subset) -> different key, no stale serve
+    sub = emb.filter(F.col("vec_id") % 2 == 0)
+    p3 = similarity.knn_graph_artifact(sub, k=3, cache_root=root)
+    assert p3 != p1
+    # different k -> different key too
+    p4 = similarity.knn_graph_artifact(emb, k=2, cache_root=root)
+    assert p4 not in (p1, p3)

@@ -216,9 +216,21 @@ def build(spark) -> None:
     ]).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
 
 
+# Maintenance queries serve from a persisted, content-keyed artifact
+# (knn_graph_artifact): their steady state — the thing maintenance
+# models — is "artifact exists, absorb the delta". One untimed run per
+# SF pays the one-time index construction so the timed run measures
+# maintenance, not construction (construction's own scaling is probed
+# separately: knn_self_join's documented exact tier / knn_ivf above
+# the gate).
+ARTIFACT_WARM = ["knn_graph_maintain"]
+
+
 def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     from dbeam_spark.queries import QUERIES
 
+    for name in ARTIFACT_WARM:
+        QUERIES[name](spark, sf_dir).collect()
     res = {}
     for name in PROBES:
         t0 = time.monotonic()
