@@ -360,6 +360,7 @@ def minhash_band_buckets_maponly(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    min_parts: int | None = None,
 ) -> DataFrame:
     """(sid, band, sig) bucket rows straight out of ONE Arrow pass:
     the 128 per-doc MinHash values never leave the Python worker —
@@ -423,7 +424,7 @@ def minhash_band_buckets_maponly(
     from dbeam_spark.operators.util import rebalance_for_arrow
 
     return rebalance_for_arrow(
-        docs.select(F.col(id_col), F.col(text_col))
+        docs.select(F.col(id_col), F.col(text_col)), min_parts=min_parts
     ).mapInPandas(part, "sid long, band long, sig long")
 
 
@@ -530,8 +531,19 @@ def minhash_lsh_pairs(
     # full shuffle before the collect. If the raw stream hits the
     # 400k cap the corpus is degenerate and we fall through to the
     # fully distributed verify path below.
+    #
+    # Rebalance width: the signature kernel is LIGHT (~0.15 ms/doc),
+    # so past ~8 local tasks the per-task Python round-trip outweighs
+    # the compute (sf0.1 measured: 8-way 0.74s vs 32-way 0.96s for
+    # the whole bucket job). At cluster scale inputs arrive in many
+    # splits and rebalance_for_arrow is a no-op either way.
+    sig_parts = max(
+        8, spark.sparkContext.defaultParallelism // 4
+    )
     raw_rows = _candidates_from_buckets(
-        minhash_band_buckets_maponly(docs, id_col, text_col, n),
+        minhash_band_buckets_maponly(
+            docs, id_col, text_col, n, min_parts=sig_parts
+        ),
         max_bucket=1000,
         distinct=False,
     ).limit(400_001).collect()
@@ -550,10 +562,17 @@ def minhash_lsh_pairs(
             # verification is O(pairs) work on O(pairs) docs, so ONE
             # JVM-only collect of the candidate texts (pushed IN
             # filter on the scan) replaces the whole second Python
-            # stage — measured ~0.4s off the sf0.1 wall. Rounding and
-            # thresholding still happen IN SPARK on the scored frame
-            # so ROUND semantics stay engine-identical.
+            # stage — measured ~0.4s off the sf0.1 wall. Threshold
+            # filter and rounding ALSO run driver-side: the result is
+            # a LocalTableScan and the query costs exactly two jobs
+            # (buckets, texts). `round_half_up` is the documented
+            # bit-exact twin of Spark's ROUND on doubles
+            # (BigDecimal.valueOf == Decimal(repr(x));
+            # tests/test_operators.py pins the equivalence against
+            # F.round over random doubles).
             import re as _re
+
+            from dbeam_spark.operators.util import round_half_up
 
             texts = {
                 r[0]: r[1]
@@ -572,23 +591,21 @@ def minhash_lsh_pairs(
 
             gset = {i: _grams(t) for i, t in texts.items()}
             rows = [
-                (
-                    ia,
-                    ib,
-                    len(gset[ia] & gset[ib])
-                    / (len(gset[ia] | gset[ib]) or 1),
+                (ia, ib, round_half_up(jraw, 4))
+                for ia, ib, jraw in (
+                    (
+                        ia,
+                        ib,
+                        len(gset[ia] & gset[ib])
+                        / (len(gset[ia] | gset[ib]) or 1),
+                    )
+                    for ia, ib in ((r[0], r[1]) for r in pair_rows)
+                    if ia in gset and ib in gset
                 )
-                for ia, ib in ((r[0], r[1]) for r in pair_rows)
-                if ia in gset and ib in gset
+                if jraw >= threshold
             ]
-            scored = spark.createDataFrame(
-                rows, "id_a long, id_b long, jraw double"
-            )
-            return (
-                scored.filter(F.col("jraw") >= threshold)
-                .select(
-                    "id_a", "id_b", F.round("jraw", 4).alias("jaccard")
-                )
+            return spark.createDataFrame(
+                rows, "id_a long, id_b long, jaccard double"
             )
         # 10k < pairs <= 200k: distributed Arrow verify over the
         # candidate-only scan (only reached above the driver-verify

@@ -24,6 +24,27 @@ def rebalance_for_arrow(df: DataFrame, min_parts: int | None = None) -> DataFram
     return df.repartition(target)
 
 
+def round_half_up(x: float, scale: int) -> float:
+    """Driver-side twin of Spark's ROUND(double, scale).
+
+    Spark rounds doubles via BigDecimal.valueOf(x).setScale(scale,
+    HALF_UP): BigDecimal.valueOf goes through Double.toString — the
+    SHORTEST decimal repr that round-trips — and Python's repr() is
+    the same shortest repr, so Decimal(repr(x)) reproduces the exact
+    decimal Spark rounds, digit for digit. Used where a bounded
+    driver-side verify step wants to emit final values without paying
+    one more Spark job just for ROUND; the equivalence is pinned by a
+    property test against F.round (tests/test_operators.py)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-scale)
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            q, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def bounded_grain_window(*order_cols):
     """Single-partition window over a frame whose cardinality is
     BOUNDED regardless of data scale — calendar grains (≤366 rows per

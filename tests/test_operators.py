@@ -1767,3 +1767,27 @@ def test_knn_graph_artifact_build_once(spark, tmp_path):
     # different k -> different key too
     p4 = similarity.knn_graph_artifact(emb, k=2, cache_root=root)
     assert p4 not in (p1, p3)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """round_half_up must equal Spark's ROUND(double, n) bit for bit —
+    it is used to emit final values from bounded driver-side verify
+    steps without an extra Spark job. Covers shortest-repr ties
+    (0.00005-style), values near rounding boundaries, and negatives."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.util import round_half_up
+
+    rng = random.Random(20260815)
+    vals = [rng.random() for _ in range(400)]
+    vals += [rng.uniform(-1000, 1000) for _ in range(200)]
+    vals += [0.00005, 0.12345, 0.99995, 2.675, -2.675, 0.1 + 0.2]
+    for scale in (2, 4, 6):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        ).select(F.round("x", scale).alias("r"))
+        got = [r["r"] for r in df.collect()]
+        want = [round_half_up(v, scale) for v in vals]
+        assert got == want
