@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: (a*x+b) stays < 2^62, no int64 overflow.
@@ -137,25 +137,64 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """All pairs with shingle-Jaccard >= threshold, via shingle join
-    (exact; pairs sharing no shingle are never materialized).
+    """All pairs with shingle-Jaccard >= threshold — EXACT, via the
+    AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07) instead of
+    the naive full shingle self-join.
 
-    The intersection count comes straight out of the ONE self-join
-    (groupBy pair, count) — no second verification pass."""
+    Candidate generation joins only each doc's PREFIX shingles: order
+    every doc's shingle set by global document frequency ascending
+    (rarest first, shingle as tie-break — any total order works), and
+    keep the first |d| − ⌈τ·|d|⌉ + 1. Completeness: if J(A,B) ≥ τ,
+    let c be the order-minimal common shingle; were c outside A's
+    prefix, ≥ p_A elements of A would precede c, none common, so
+    |A∩B| ≤ |A| − p_A = ⌈τ|A|⌉ − 1 < τ|A| ≤ τ|A∪B| — contradiction.
+    Symmetrically c is in B's prefix, so the SAME shingle appears in
+    both prefixes and the prefix-prefix equi-join finds every pair.
+
+    Why it scales where the naive join doesn't: a boilerplate shingle
+    shared by k docs used to contribute k² join rows; under the
+    df-ascending order a high-df shingle lands in a doc's prefix only
+    when the doc has almost nothing rarer (each doc contributes just
+    ~(1−τ)·|d|+1 prefix rows), so ubiquitous shingles drop out of
+    candidate generation entirely. Verification then computes the
+    exact intersection for candidates only (_verified_jaccard, AQE
+    picks the join strategy from the candidate volume).
+
+    ⌈τ·|d|⌉ is evaluated in INTEGER arithmetic (exact decimal fraction
+    of the threshold): float ceil(0.8*5) = ceil(4.0000000000000002)
+    = 5 would silently shorten prefixes and lose pairs."""
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     sh = shingle_table(docs, id_col, text_col, n).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("sid").alias("id_a"), "shingle")
-    b = sh.select(F.col("sid").alias("id_b"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        a.join(
-            b,
-            (F.col("shingle") == F.col("shingle_b"))
-            & (F.col("id_a") < F.col("id_b")),
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sid").orderBy("df", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "sid")
+        # r <= sz - ceil(t*sz) + 1, ceil via integer (sz*num+den-1)//den
+        .filter(
+            F.col("r")
+            <= F.col("sz")
+            - F.expr(f"(sz * {num} + {den} - 1) DIV {den}")
+            + F.lit(1)
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("sid", "shingle")
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    pa = pref.select(F.col("sid").alias("id_a"), "shingle")
+    pb = pref.select(F.col("sid").alias("id_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_jaccard(
+        cand, sh, sizes, threshold, broadcast_candidates=False
+    )
 
 
 def minhash_signatures(

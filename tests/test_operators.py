@@ -1791,3 +1791,97 @@ def test_round_half_up_matches_spark_round(spark):
         got = [r["r"] for r in df.collect()]
         want = [round_half_up(v, scale) for v in vals]
         assert got == want
+
+
+def test_ngram_jaccard_prefix_filter_exact(spark):
+    """The prefix-filtered ngram_jaccard_pairs must equal the naive
+    full shingle self-join on a corpus with planted near-dups AND
+    heavy boilerplate (one shingle shared by every doc — the k² join
+    blowup the prefix filter exists to kill)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    boiler = "the quick brown"  # shared 3-shingle in every doc
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choices(vocab, k=30))
+        rows.append((i, f"{boiler} {body}"))
+    # planted near-dups: copy with one word changed
+    for i in range(60, 72):
+        src = rows[i - 60][1].split()
+        src[10] = "CHANGED"
+        rows.append((i, " ".join(src)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (0.5, 0.8, 0.9):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, thr).collect()
+        )
+        # naive exact twin, computed inline
+        sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+        sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col("sid").alias("id_a"), "shingle")
+        b = sh.select(
+            F.col("sid").alias("id_b"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            a.join(
+                b,
+                (F.col("shingle") == F.col("sh_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup._jaccard_from_inter(
+                inter, sizes, thr
+            ).collect()
+        )
+        assert got == want, f"thr={thr}"
+        if thr <= 0.8:  # planted pairs have J≈0.82 (28 of 34 shingles)
+            assert len(got) >= 12
+
+
+def test_ngram_jaccard_prefix_bounds_boilerplate_expansion(spark):
+    """A shingle shared by k docs with otherwise-unique text must NOT
+    appear in candidate prefixes (it is every doc's most frequent
+    shingle, so it sorts last): candidate volume stays ~0, where the
+    naive join would materialize k·(k-1)/2 rows for that shingle."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (i, "shared boiler plate " + " ".join(f"u{i}_{j}" for j in range(20)))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thr = 0.8
+    frac = Fraction(str(thr))
+    num, den = frac.numerator, frac.denominator
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sid").orderBy("df", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "sid")
+        .filter(
+            F.col("r")
+            <= F.col("sz")
+            - F.expr(f"(sz * {num} + {den} - 1) DIV {den}")
+            + F.lit(1)
+        )
+    )
+    # the two boilerplate shingles (df=50) never enter any prefix
+    hot = pref.filter(F.col("df") >= 50).count()
+    assert hot == 0
+    # and the final answer is empty (no true near-dups)
+    assert dedup.ngram_jaccard_pairs(docs, thr).count() == 0
