@@ -1,15 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the actual decode is
-stubbed (`decode_media` raises NotImplementedError; `fake_decode`
-is the deterministic stand-in) — but the Spark-side contract is real:
-binary column + metadata struct in, Arrow-batched `mapInPandas` with
-an explicit output schema out. Swapping `fake_decode` for a PIL/ffmpeg
-call is the only change needed on a real cluster.
+Two tiers of decode:
+
+- REAL decoders for the stdlib-decodable formats — BMP (struct-parsed
+  BITMAPINFOHEADER + bottom-up padded pixel rows) and WAV (RIFF via
+  the `wave` module, PCM frames out). These run genuinely decoded
+  bytes through the same Arrow plumbing the stubs use; encode twins
+  exist so tests plant media and pin pixel/sample round-trips
+  exactly.
+- Stubs for formats whose codecs are absent in this container (JPEG/
+  PNG/MP4 need PIL/pyav): `decode_media` raises NotImplementedError
+  for those, `fake_decode` is the deterministic stand-in. Swapping in
+  a PIL/ffmpeg call is the only change needed on a real cluster — the
+  Spark-side contract (binary column + metadata struct in,
+  Arrow-batched `mapInPandas` with explicit schema out) is identical
+  either way, as the BMP/WAV tier proves.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,10 +45,115 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """Real decoder entry point (PIL / soundfile / pyav on a real
-    cluster). Deliberately unimplemented in this container."""
-    raise NotImplementedError("media codecs are not available in this environment")
+# --------------------------------------------------------- real codecs
+
+def bmp_row_stride(width: int) -> int:
+    """Bytes per 24-bpp BMP pixel row, padded to a 4-byte boundary."""
+    return (width * 3 + 3) & ~3
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 24-bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up).
+
+    `pixels` is width*height*3 BGR bytes in TOP-DOWN row order; rows
+    are written bottom-up with 4-byte padding, as the format requires."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    stride = bmp_row_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        pixels[r * width * 3:(r + 1) * width * 3] + pad
+        for r in range(height - 1, -1, -1)
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return hdr + dib + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a 24-bpp uncompressed BMP: returns (width, height, bpp,
+    pixels) with pixels as TOP-DOWN width*height*3 BGR bytes (padding
+    stripped, bottom-up storage unflipped). Real struct-level decode —
+    magic, header size, compression and bounds are all validated."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError("unsupported DIB header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    flip = height > 0
+    height = abs(height)
+    stride = bmp_row_stride(width)
+    if off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = [
+        payload[off + r * stride: off + r * stride + width * 3]
+        for r in range(height)
+    ]
+    if flip:
+        rows.reverse()
+    return width, height, bpp, b"".join(rows)
+
+
+def encode_wav(samples: bytes, rate: int = 8000, channels: int = 1,
+               sampwidth: int = 2) -> bytes:
+    """PCM WAV container around raw little-endian sample bytes."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Parse a PCM WAV via the stdlib wave module: returns
+    (channels, sampwidth, framerate, n_frames, frames) with frames as
+    the raw PCM bytes."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )
+
+
+def decode_media(payload: bytes, mime: str):
+    """Decoder entry point. BMP and WAV decode for REAL (stdlib
+    struct/wave — see decode_bmp/decode_wav); formats that need
+    external codecs (PIL / soundfile / pyav) raise — deliberately
+    unimplemented in this container. Returns (n_bytes, width, height)
+    for images and (n_bytes, n_frames, framerate) for audio."""
+    payload = bytes(payload)
+    if mime == "image/bmp":
+        w, h, _, _ = decode_bmp(payload)
+        return len(payload), w, h
+    if mime in ("audio/wav", "audio/x-wav"):
+        _, _, rate, n_frames, _ = decode_wav(payload)
+        return len(payload), n_frames, rate
+    raise NotImplementedError(
+        f"codec for {mime!r} is not available in this environment"
+    )
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -72,15 +187,20 @@ def decode_batch(docs_with_payload: DataFrame) -> DataFrame:
     decoded frames fits executor memory.
     """
     cols = docs_with_payload.select("doc_id", "payload", "media_meta.mime")
+    real = {"image/bmp", "audio/wav", "audio/x-wav"}
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [fake_decode(p) for p in pdf["payload"]]
+            decoded = [
+                decode_media(p, m) if m in real else fake_decode(p)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
                     "n_bytes": [d[0] for d in decoded],
+                    # images: (width, height); audio: (n_frames, rate)
                     "width": [d[1] for d in decoded],
                     "height": [d[2] for d in decoded],
                 }
