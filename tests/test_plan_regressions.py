@@ -216,3 +216,82 @@ def test_quantile_normalize_no_global_window(spark):
     # never a single-partition global row_number
     plan = plan_of(spark, "quantile_normalize_lengths")
     assert not _unpartitioned_windows(plan)
+
+
+def test_collect_surface_is_whitelisted():
+    """Driver-side materialization sites in dbeam_spark/queries/ are
+    pinned: every `.collect()` / `.toPandas()` / `.toLocalIterator()`
+    must appear in this whitelist, which only lists sites audited as
+    bounded-by-construction (scalars, enum-bounded frames, top-K, or
+    size-gated with distributed fallbacks — see each call site's
+    comment). A new query that lands an unlisted driver collect fails
+    here until its boundedness is argued and the entry added. Keyed by
+    enclosing top-level function (line numbers churn, names don't)."""
+    import ast
+    import pathlib
+
+    WHITELIST = {
+        "events.py": {
+            "events_markov_stationary": 1,  # |event_types|² frame
+            "chi2_type_dow": 1,  # |types|×7 contingency
+            "cdc_rollup_demo": 1,  # bounded day-grain rollup diff
+            "markov_removal_attribution": 1,  # |channels|² matrix
+        },
+        "llm.py": {
+            "knn_ivf": 1,  # √n centroid matrix (closure ship)
+            "embedding_kmeans": 1,  # k centroids
+            "knn_pq": 1,  # 16×16 codebooks
+            "quality_classifier": 1,  # model coefficients
+            "dedup_incremental": 1,  # batch-id aggregates (3 scalars)
+            "keyword_search_indexed": 1,  # top-10 result
+            "token_count_moments": 1,  # 1-row moments
+            "ivf_maintain_report": 3,  # index manifests + report rows
+            "keyword_index_maintain": 1,  # top-10 result
+            "retrieval_eval": 2,  # probe set + P@10 rows
+        },
+        "streaming.py": {
+            "_events_stream": 1,  # schema probe (1 row)
+            "windowed_late_metrics": 1,  # bounded window rollup
+            "stream_column_stats": 1,  # per-batch stats row
+            "stream_markov_stationary": 1,  # |types|² frame
+            "stream_chi2_type_dow": 1,  # |types|×7 contingency
+            "stream_dedup_index": 1,  # batch-id aggregates
+        },
+        "tpch.py": {
+            "join_view_demo": 1,  # bounded maintained-view diff
+            "customer_gini": 1,  # 1-row scalar
+            "revenue_autocorr": 1,  # ≤lag-row frame
+            "welch_ttest_priority": 1,  # 2-group moments
+            "ols_multifeature": 1,  # (p+1)² normal equations
+        },
+    }
+
+    qdir = pathlib.Path(__file__).parent.parent / "dbeam_spark" / "queries"
+    got: dict[str, dict[str, int]] = {}
+    for p in sorted(qdir.glob("*.py")):
+        sites: dict[str, int] = {}
+        stack: list[str] = []
+
+        class V(ast.NodeVisitor):
+            def visit_FunctionDef(self, node):
+                stack.append(node.name)
+                self.generic_visit(node)
+                stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                if isinstance(node.func, ast.Attribute) and node.func.attr in (
+                    "collect", "toPandas", "toLocalIterator"
+                ):
+                    key = stack[0] if stack else "<module>"
+                    sites[key] = sites.get(key, 0) + 1
+                self.generic_visit(node)
+
+        V().visit(ast.parse(p.read_text()))
+        if sites:
+            got[p.name] = sites
+    assert got == WHITELIST, (
+        "driver-collect surface changed; audit boundedness and update "
+        f"the whitelist. got={got}"
+    )
