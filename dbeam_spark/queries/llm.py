@@ -6624,10 +6624,20 @@ def knn_graph_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a dataset pays the one-time construction, every later run —
     the steady state maintenance actually models — reads edges from
     parquet and computes only the delta. The r4 probe's 10.1× ratio
-    was exactly this construction being re-paid per run."""
+    was exactly this construction being re-paid per run.
+
+    The batch is FIXED-SIZE (vec_id % 5 = 0 below id 2000 — identical
+    to the old 20% split at every gate SF, so hashes are unchanged),
+    not corpus-proportional: a daily ingest batch doesn't grow with
+    the standing corpus, and a %-of-corpus batch made the probe's
+    batch×base scoring term quadratic in replica size (7.7× at 10×)
+    even with the graph served from parquet. With |batch| pinned,
+    every maintenance stage — candidate probe, new-edge scan, merge —
+    is linear in corpus size."""
     emb = _emb(spark, sf_dir)
-    old = emb.filter(F.col("vec_id") % 5 != 0)
-    new = emb.filter(F.col("vec_id") % 5 == 0)
+    is_new = (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 2000)
+    old = emb.filter(~is_new)
+    new = emb.filter(is_new)
     g_old = spark.read.parquet(
         similarity.knn_graph_artifact(old, k=3)
     )

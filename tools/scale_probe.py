@@ -25,6 +25,10 @@ Replication semantics (keys shifted so semantics survive):
 Usage:
   python tools/scale_probe.py            # build (if absent) + run
   python tools/scale_probe.py --rebuild  # force rebuild
+  SCALE_COPIES=30 python tools/scale_probe.py --queries a,b,c
+      # 30x replica (~sf3), probing only the named queries — the
+      # second scale point: 10x->30x should stay ~linear (≤3x wall)
+      # for every operator whose 10x ratio was already linear.
 """
 
 from __future__ import annotations
@@ -35,8 +39,8 @@ import sys
 import time
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/scale10"
-COPIES = 10
+COPIES = int(os.environ.get("SCALE_COPIES", "10"))
+OUT = os.environ.get("SCALE_OUT", f"/tmp/scale{COPIES}")
 
 PROBES = [
     "q1_pricing_summary",
@@ -230,7 +234,8 @@ def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     from dbeam_spark.queries import QUERIES
 
     for name in ARTIFACT_WARM:
-        QUERIES[name](spark, sf_dir).collect()
+        if name in PROBES:
+            QUERIES[name](spark, sf_dir).collect()
     res = {}
     for name in PROBES:
         t0 = time.monotonic()
@@ -259,7 +264,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
 
 
 def main() -> None:
+    global PROBES
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if "--queries" in sys.argv:
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        PROBES = [n for n in names if n]
     from dbeam_spark.session import get_spark
 
     # local-mode driver hosts the executors: size the single JVM for
