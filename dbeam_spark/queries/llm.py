@@ -7085,3 +7085,238 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "system string, hits_at_10 long, n_relevant long,"
         " p_at_10_x1e4 long, termmass_at_10 long, top10_overlap long",
     )
+
+
+@register(
+    "source_lexical_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    toks2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM toks2 GROUP BY 1, 2),
+    corpus AS (SELECT tok, SUM(c) AS cc FROM sc GROUP BY tok),
+    totals AS (
+      SELECT s.source, SUM(s.c) AS ns FROM sc s GROUP BY s.source
+    ),
+    n AS (SELECT SUM(cc) AS nn FROM corpus),
+    const AS (
+      SELECT SUM(cc * 1000000 // nn) AS qc FROM corpus, n
+    ),
+    per AS (
+      SELECT s.source,
+             SUM(ABS(s.c * 1000000 // t.ns - c.cc * 1000000 // x.nn))
+               AS present_abs,
+             SUM(c.cc * 1000000 // x.nn) AS present_corpus
+      FROM sc s
+      JOIN corpus c USING (tok)
+      JOIN totals t USING (source), n x
+      GROUP BY s.source
+    )
+    SELECT p.source,
+           CAST(t.ns AS BIGINT) AS n_tokens,
+           CAST((p.present_abs + (k.qc - p.present_corpus)) // 2
+                AS BIGINT) AS tvd_x1e6
+    FROM per p JOIN totals t USING (source), const k
+    ORDER BY source
+    """,
+)
+def source_lexical_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix monitoring: per-source lexical drift vs the whole
+    corpus as TOTAL VARIATION DISTANCE between unigram distributions —
+    the integer-exact divergence (0.5·Σ|p−q| is rational, unlike
+    KL/JS whose logs can't cross engines bit-exactly). Each frequency
+    is quantized to parts-per-million with truncating integer
+    division IDENTICALLY in both engines, and the Σ over tokens the
+    source never uses folds into one corpus constant
+    (Σ_vocab q − Σ_present q), so the join only touches (source, tok)
+    pairs that exist.
+
+    Scale: two combinable word-count aggregations (source-grain and
+    corpus-grain), one join keyed on present tokens, a per-source
+    rollup — all linear, no driver state. The op a data-mix dashboard
+    runs daily to catch a source whose crawl drifted."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    sc = (
+        docs.select("source", tok)
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = sc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    totals = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    n = corpus.agg(F.sum("cc").alias("nn"))
+    const = corpus.crossJoin(F.broadcast(n)).agg(
+        F.sum(F.expr("cc * 1000000 DIV nn")).alias("qc")
+    )
+    per = (
+        sc.join(corpus, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("c * 1000000 DIV ns")
+                    - F.expr("cc * 1000000 DIV nn")
+                )
+            ).alias("present_abs"),
+            F.sum(F.expr("cc * 1000000 DIV nn")).alias("present_corpus"),
+        )
+    )
+    return (
+        per.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(const))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            F.expr(
+                "(present_abs + (qc - present_corpus)) DIV 2"
+            ).cast("long").alias("tvd_x1e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "contamination_fuzzy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, md5(text) LIKE '0%' AS is_eval,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, is_eval,
+             array_to_string(t[i : i + 2], ' ') AS left3,
+             array_to_string(t[i + 4 : i + 6], ' ') AS right3
+      FROM toks, unnest(range(1, len(t) - 5)) AS u(i)
+      WHERE len(t) >= 7
+    ),
+    eval_keys AS (
+      SELECT DISTINCT left3, right3 FROM keys WHERE is_eval
+    ),
+    hits AS (
+      SELECT k.doc_id, COUNT(DISTINCT (k.left3, k.right3)) AS n_hits
+      FROM keys k JOIN eval_keys e USING (left3, right3)
+      WHERE NOT k.is_eval
+      GROUP BY k.doc_id
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_fuzzy_hits
+    FROM hits ORDER BY doc_id
+    """,
+)
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: training docs sharing a
+    7-gram with the eval set UP TO one edited center token — the
+    skip-gram key (first 3 tokens, last 3 tokens, middle wildcarded)
+    catches the near-verbatim leaks exact n-gram matching misses
+    (a date changed, a name swapped). Same deterministic md5-prefix
+    eval split as contamination_check, so the two can be read as the
+    exact/fuzzy tiers of one decontamination pass.
+
+    Scale shape identical to the exact tier: the eval key set is tiny
+    (benchmarks are small) and BROADCASTS; training keys probe it
+    map-side; the only shuffle is the per-doc distinct-hit rollup."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).startswith("0").alias("is_eval"),
+        F.filter(toks, lambda x: x != "").alias("t"),
+    ).filter(F.size("t") >= 7)
+    cnt = F.size("t") - 6
+    zipped = F.arrays_zip(
+        *[F.slice("t", i + 1, cnt).alias(f"w{i}") for i in range(7)]
+    )
+    keys = base.select(
+        "doc_id", "is_eval", F.explode(zipped).alias("z")
+    ).select(
+        "doc_id",
+        "is_eval",
+        F.concat_ws(
+            " ", F.col("z.w0"), F.col("z.w1"), F.col("z.w2")
+        ).alias("left3"),
+        F.concat_ws(
+            " ", F.col("z.w4"), F.col("z.w5"), F.col("z.w6")
+        ).alias("right3"),
+    )
+    eval_keys = (
+        keys.filter(F.col("is_eval"))
+        .select("left3", "right3")
+        .distinct()
+    )
+    hits = (
+        keys.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_keys), ["left3", "right3"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("left3", "right3").cast("long")
+            .alias("n_fuzzy_hits")
+        )
+    )
+    return hits.orderBy("doc_id")
+
+
+@register(
+    "sentence_chunks",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             x -> trim(x) <> '')) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN n_sentences = 0 THEN 0
+                ELSE 1 + (GREATEST(n_sentences - 5, 0) + 3) // 4
+                END AS BIGINT) AS n_chunks,
+           CAST(LEAST(n_sentences, 5) AS BIGINT) AS first_chunk_sents
+    FROM s ORDER BY doc_id
+    """,
+)
+def sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-aware RAG chunking geometry: sentences (split on
+    [.!?]+ runs, empties trimmed) greedily packed 5 per chunk with a
+    1-sentence overlap (stride 4) — the retrieval-chunking contract
+    where a chunk never starts mid-sentence and neighboring chunks
+    share context. The oracle recomputes sentence counts and the
+    ceil-by-stride chunk fan-out in SQL, pinning the packing
+    arithmetic exactly; doc_chunks remains the fixed-byte sibling.
+
+    Map-only per doc (one split + one array filter), no shuffle
+    before the final sort — the 100 TB shape of a chunking pass."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda x: F.trim(x) != "",
+        )
+    )
+    return (
+        docs.select("doc_id", sents.alias("n_sentences"))
+        .select(
+            "doc_id",
+            F.col("n_sentences").cast("long"),
+            F.when(F.col("n_sentences") == 0, F.lit(0))
+            .otherwise(
+                1
+                + F.expr(
+                    "(GREATEST(n_sentences - 5, 0) + 3) DIV 4"
+                )
+            )
+            .cast("long")
+            .alias("n_chunks"),
+            F.least(F.col("n_sentences"), F.lit(5))
+            .cast("long")
+            .alias("first_chunk_sents"),
+        )
+        .orderBy("doc_id")
+    )
