@@ -596,6 +596,21 @@ def minhash_lsh_pairs(
         id_list = sorted(
             {r[0] for r in pair_rows} | {r[1] for r in pair_rows}
         )
+
+        def _candidate_docs(cols):
+            """Scan restricted to candidate ids. Small sets ride the
+            parquet scan as a pushed IN filter; past the pushdown-
+            friendly size, Catalyst evaluates `In` as a LINEAR list
+            per row (measured 10s for 14k ids × 150k rows at the 30×
+            probe) — a broadcast semi-join is a hash probe instead."""
+            sel = docs.select(*cols)
+            if len(id_list) <= 1000:
+                return sel.filter(F.col(id_col).isin(id_list))
+            ids_df = spark.createDataFrame(
+                [(i,) for i in id_list], f"{id_col} long"
+            )
+            return sel.join(F.broadcast(ids_df), id_col, "left_semi")
+
         if len(pair_rows) <= 10_000:
             # Tiny near-dup set (the overwhelmingly common regime):
             # verification is O(pairs) work on O(pairs) docs, so ONE
@@ -615,9 +630,7 @@ def minhash_lsh_pairs(
 
             texts = {
                 r[0]: r[1]
-                for r in docs.select(id_col, text_col)
-                .filter(F.col(id_col).isin(id_list))
-                .collect()
+                for r in _candidate_docs([id_col, text_col]).collect()
             }
             ws = _re.compile(r"\s+")
 
@@ -650,7 +663,7 @@ def minhash_lsh_pairs(
         # candidate-only scan (only reached above the driver-verify
         # tier, so pair_rows is never empty here)
         cand = spark.createDataFrame(pair_rows, "id_a long, id_b long")
-        cand_docs = docs.filter(F.col(id_col).isin(id_list))
+        cand_docs = _candidate_docs(docs.columns)
         return _pairwise_text_jaccard(
             cand, cand_docs, id_col, text_col, n, threshold
         )
