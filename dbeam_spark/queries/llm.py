@@ -4310,7 +4310,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by doc. No global sort, no driver state."""
     docs = _docs(spark, sf_dir)
     K = EXACT_SUBSTR_K
-    grams = text.kgram_positions(docs, K)
+    # materialize the K-gram table ONCE: it feeds both the dup-gram
+    # rollup and the semi-join back, and uncheckpointed the Arrow
+    # hashing pass runs twice (measured 2.4s -> 1.8s at sf0.1). The
+    # suffix-array formulation materializes the same 1-row-per-
+    # position volume, so this is the paper's own space tradeoff.
+    grams = text.kgram_positions(docs, K).localCheckpoint(eager=True)
     # "appears in ≥2 docs" as min≠max — map-side-combinable, no
     # per-gram distinct expansion
     dup = (
@@ -4435,7 +4440,9 @@ def dedup_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) is one extra map join against the same island spans."""
     docs = _docs(spark, sf_dir)
     K = EXACT_SUBSTR_K
-    grams = text.kgram_positions(docs, K)
+    # one Arrow hashing pass for both consumers (see
+    # dedup_exact_substring's checkpoint note)
+    grams = text.kgram_positions(docs, K).localCheckpoint(eager=True)
     owner = grams.groupBy("gram").agg(F.min("doc_id").alias("keeper"))
     redundant = grams.join(owner, "gram").filter(
         F.col("doc_id") > F.col("keeper")
