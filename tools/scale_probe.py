@@ -147,6 +147,14 @@ PROBES = [
     "srm_check",
     "did_revenue",
     "experiment_power",
+    # round-5 additions: integer-exact source drift, skip-gram fuzzy
+    # decontamination, sentence-chunk geometry, real-decode multimodal
+    "source_lexical_divergence",
+    "contamination_fuzzy",
+    "sentence_chunks",
+    "multimodal_bmp_decode",
+    "multimodal_wav_windows",
+    "dedup_ngram_jaccard",
 ]
 
 
