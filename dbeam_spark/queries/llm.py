@@ -3005,7 +3005,11 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbeam_spark.operators import graph, similarity
 
     emb = _emb(spark, sf_dir)
-    edges = similarity.knn_join(emb, k=3).select(
+    # served from the shared persisted exact-graph artifact (one
+    # build per dataset feeds pagerank/degrees/kcore/bfs/maintain)
+    edges = spark.read.parquet(
+        similarity.knn_graph_artifact(emb, k=3)
+    ).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     pr = graph.pagerank(edges, n_iter=15)
@@ -3433,7 +3437,8 @@ def knn_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     over k·n edges + a left join against the id projection; output is
     |distinct degrees| rows."""
     emb = _emb(spark, sf_dir)
-    edges = similarity.knn_join(emb, k=3)
+    # shared persisted exact-graph artifact (see embedding_pagerank)
+    edges = spark.read.parquet(similarity.knn_graph_artifact(emb, k=3))
     indeg = (
         emb.select("vec_id")
         .join(
@@ -4742,7 +4747,10 @@ def knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     CURRENT core (monotonically shrinking), with the adjacency frame
     localCheckpointed once — 10 bounded rounds, no driver-side graph."""
     emb = _emb(spark, sf_dir)
-    knn = similarity.knn_join(emb, k=3).select("query_id", "neighbor_id")
+    # shared persisted exact-graph artifact (see embedding_pagerank)
+    knn = spark.read.parquet(
+        similarity.knn_graph_artifact(emb, k=3)
+    ).select("query_id", "neighbor_id")
     und = (
         knn.select(
             F.least("query_id", "neighbor_id").alias("a"),
@@ -5413,7 +5421,10 @@ def knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage never re-derives the graph (the knn_kcore discipline).
     State is O(reachable nodes), all distributed."""
     emb = _emb(spark, sf_dir)
-    knn = similarity.knn_join(emb, k=3).select("query_id", "neighbor_id")
+    # shared persisted exact-graph artifact (see embedding_pagerank)
+    knn = spark.read.parquet(
+        similarity.knn_graph_artifact(emb, k=3)
+    ).select("query_id", "neighbor_id")
     und = (
         knn.select(
             F.least("query_id", "neighbor_id").alias("a"),
