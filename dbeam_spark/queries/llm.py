@@ -7338,3 +7338,301 @@ def sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+             COUNT(*) OVER () AS n_docs,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT tok, MIN(rk) AS first_rk
+      FROM (SELECT rk, unnest(t) AS tok FROM ranked)
+      GROUP BY tok
+    ),
+    deciles AS (
+      SELECT i AS decile, (SELECT MAX(n_docs) FROM ranked) AS n_docs
+      FROM unnest(range(1, 11)) AS u(i)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST((n_docs * decile) // 10 AS BIGINT) AS docs_seen,
+           CAST((SELECT COUNT(*) FROM first_seen f
+                 WHERE f.first_rk <= (d.n_docs * d.decile) // 10)
+                AS BIGINT) AS vocab_size
+    FROM deciles d ORDER BY decile
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: distinct-token count after
+    each decile of the corpus in doc_id order — the tokenizer-budget
+    planning readout (how fast does vocab saturate as the corpus
+    grows; the curve's bend is what a vocab-size decision reads).
+    Integer-exact: each token's FIRST-seen doc rank is a min
+    aggregate, and V(decile) is a count of first_rk below the decile
+    boundary — no logs, no floats, so the full curve hash-gates.
+
+    Scale: one explode + one min-per-token rollup (combinable), then
+    a 10-bucket histogram + running sum over 10 rows. The per-token
+    min is the same shuffle vocabulary_coverage already pays."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    rk = (
+        docs.select("doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy("doc_id")),
+        )
+    )
+    tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    first_seen = (
+        docs.select("doc_id", tok)
+        .filter(F.col("tok") != "")
+        .join(rk, "doc_id")
+        .groupBy("tok")
+        .agg(F.min("rk").alias("first_rk"))
+    )
+    # 10-row histogram: bucket each token by the FIRST decile whose
+    # boundary covers it, then a running sum over the bounded frame
+    bounds = [(i, n_docs * i // 10) for i in range(1, 11)]
+    bucket = F.least(
+        F.lit(10),
+        F.expr(f"CAST(ceil(first_rk * 10.0 / {n_docs}) AS INT)"),
+    )
+    hist = (
+        first_seen.groupBy(bucket.alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_toks"))
+    )
+    # complete the 10-row frame BEFORE the running sum, so deciles
+    # that add no new tokens still carry the cumulative vocab forward
+    frame = spark.createDataFrame(
+        bounds, "decile int, docs_seen long"
+    )
+    w = bounded_grain_window("decile")
+    return (
+        frame.join(hist, "decile", "left")
+        .select(
+            "decile",
+            "docs_seen",
+            F.coalesce(F.col("new_toks"), F.lit(0)).alias("new_toks"),
+        )
+        .select(
+            F.col("decile").cast("long"),
+            "docs_seen",
+            F.sum("new_toks").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long").alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "quality_rule_ablation",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             length(text) >= 100 AS p_len,
+             len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) * 10
+               <= length(text) AS p_sym,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '')) >= 20 AS p_words,
+             length(text) <= 20000 AS p_maxlen
+      FROM documents
+    ),
+    rules AS (
+      SELECT 'max_length' AS rule,
+             COUNT(*) FILTER (WHERE NOT p_maxlen) AS n_fail,
+             COUNT(*) FILTER (
+               WHERE NOT p_maxlen AND p_len AND p_sym AND p_words
+             ) AS n_fail_only
+      FROM d
+      UNION ALL
+      SELECT 'min_length',
+             COUNT(*) FILTER (WHERE NOT p_len),
+             COUNT(*) FILTER (
+               WHERE NOT p_len AND p_sym AND p_words AND p_maxlen)
+      FROM d
+      UNION ALL
+      SELECT 'min_words',
+             COUNT(*) FILTER (WHERE NOT p_words),
+             COUNT(*) FILTER (
+               WHERE NOT p_words AND p_len AND p_sym AND p_maxlen)
+      FROM d
+      UNION ALL
+      SELECT 'symbol_ratio',
+             COUNT(*) FILTER (WHERE NOT p_sym),
+             COUNT(*) FILTER (
+               WHERE NOT p_sym AND p_len AND p_words AND p_maxlen)
+      FROM d
+    )
+    SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_fail_only AS BIGINT) AS n_fail_only,
+           CAST((SELECT COUNT(*) FILTER (
+                   WHERE p_len AND p_sym AND p_words AND p_maxlen)
+                 FROM d) AS BIGINT) AS n_pass_all
+    FROM rules ORDER BY rule
+    """,
+)
+def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-rule ABLATION — the report a pipeline owner reads before
+    tightening a quality gate: for each rule, how many docs fail it at
+    all (n_fail) and how many are dropped ONLY by it (n_fail_only —
+    its unique contribution; a rule whose unique contribution is ~0 is
+    redundant with the rest of the gate). quality_filter_funnel gives
+    the sequential view; this is the marginal one. One scan, four
+    boolean columns, conditional counts — integer-exact thresholds
+    (symbol ratio as count*10 <= length, no float division)."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    n_sym = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[^a-z0-9 ]"), F.lit(0))
+    )
+    p_len = (F.length("text") >= 100).alias("p_len")
+    p_sym = (n_sym * 10 <= F.length("text")).alias("p_sym")
+    p_words = (text.n_ws_tokens(F.col("text")) >= 20).alias("p_words")
+    p_maxlen = (F.length("text") <= 20000).alias("p_maxlen")
+    d = docs.select(p_len, p_sym, p_words, p_maxlen)
+    one = F.lit(1)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, one).otherwise(0)).cast("long")
+
+    flags = {
+        "max_length": "p_maxlen",
+        "min_length": "p_len",
+        "min_words": "p_words",
+        "symbol_ratio": "p_sym",
+    }
+    agg = d.agg(
+        *[
+            cnt(~F.col(c)).alias(f"fail_{r}")
+            for r, c in flags.items()
+        ],
+        *[
+            cnt(
+                ~F.col(c)
+                & F.expr(
+                    " AND ".join(o for o in flags.values() if o != c)
+                )
+            ).alias(f"only_{r}")
+            for r, c in flags.items()
+        ],
+        cnt(
+            F.col("p_len") & F.col("p_sym")
+            & F.col("p_words") & F.col("p_maxlen")
+        ).alias("n_pass_all"),
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rule"),
+                    F.col(f"fail_{r}").alias("n_fail"),
+                    F.col(f"only_{r}").alias("n_fail_only"),
+                    F.col("n_pass_all").alias("n_pass_all"),
+                )
+                for r in flags
+            ]
+        )
+    ).alias("x")
+    return (
+        agg.select(rows)
+        .select("x.rule", "x.n_fail", "x.n_fail_only", "x.n_pass_all")
+        .orderBy("rule")
+    )
+
+
+@register(
+    "source_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.sz AS BIGINT) AS sz_a,
+           CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(n_common * 10000 // LEAST(sa.sz, sb.sz) AS BIGINT)
+             AS containment_x1e4
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level 3-gram containment — the crawl-dedup
+    radar: two sources whose distinct-shingle sets contain each other
+    are mirrors/re-crawls and should be collapsed before per-doc
+    dedup spends quadratic candidate work on them. Containment
+    |A∩B| / min(|A|,|B|) is quantized ×1e4 in truncating integer
+    division, identically in both engines.
+
+    Scale: grams collapse to DISTINCT (source, gram) first, so each
+    gram's posting list is bounded by |sources| (bounded fan-out:
+    the gram join emits ≤ |sources|² rows per gram, with tens of
+    sources, not documents); sizes broadcast back. The whole matrix
+    is |sources|² rows."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingle_table(
+        docs, "source", "text", 3, distinct=True
+    ).withColumnRenamed("sid", "source")
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("shingle").alias("shingle_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long"),
+            F.col("sz_a").cast("long"),
+            F.col("sz_b").cast("long"),
+            F.expr("n_common * 10000 DIV LEAST(sz_a, sz_b)")
+            .cast("long")
+            .alias("containment_x1e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
