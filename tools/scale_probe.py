@@ -155,6 +155,9 @@ PROBES = [
     "multimodal_bmp_decode",
     "multimodal_wav_windows",
     "dedup_ngram_jaccard",
+    "vocab_growth_curve",
+    "quality_rule_ablation",
+    "source_ngram_overlap",
 ]
 
 
