@@ -4094,12 +4094,20 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10k vectors) than exact consumers would: the exact closure path
     is O(n²) by definition, and a cohesion statistic does not justify
     quadratic growth — the oracle scales (≤5k vectors) stay on the
-    exact path, so the hash gate still pins the arithmetic."""
+    exact path, so the hash gate still pins the arithmetic. Below the
+    gate the exact edges come from the SHARED persisted graph
+    artifact (the same build pagerank/degrees/kcore/bfs serve from),
+    so the census is one parquet read + the two-join closure."""
     ensure_utc(spark)
     emb = _emb(spark, sf_dir)
-    knn = similarity.knn_join(emb, k=3, max_broadcast_rows=10_000).select(
-        "query_id", "neighbor_id"
-    )
+    if emb.count() <= 10_000:
+        knn = spark.read.parquet(
+            similarity.knn_graph_artifact(emb, k=3)
+        ).select("query_id", "neighbor_id")
+    else:
+        knn = similarity.knn_join(
+            emb, k=3, max_broadcast_rows=10_000
+        ).select("query_id", "neighbor_id")
     u = knn.select(
         F.least("query_id", "neighbor_id").alias("a"),
         F.greatest("query_id", "neighbor_id").alias("b"),
