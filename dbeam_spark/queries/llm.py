@@ -7644,3 +7644,66 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "avro_roundtrip_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS sum_discount_pct,
+           CAST(SUM(epoch_ms(l_shipdate)) AS BIGINT) AS sum_shipdate_ms,
+           CAST(SUM(length(l_returnflag)) AS BIGINT) AS sum_flag_len
+    FROM lineitem
+    """,
+)
+def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT PATH as a hash-gated query: lineitem is written
+    through the full distributed OCF pipeline (Arrow-buffer cell
+    encoders, deflate blocks, per-partition files) and read back
+    through the Avro reader, and the round-tripped frame's aggregates
+    must match DuckDB reading the ORIGINAL parquet — longs, cent-
+    quantized doubles, epoch-ms timestamps (the writer's long
+    encoding), and string lengths all survive the encode/decode byte
+    path. This puts the engine's flagship surface (the dbeam-parity
+    writer) under the same per-round driver gate as every query —
+    byte-level Java-reader checks live in pytest; THIS pins values
+    end to end against an independent engine.
+
+    Scale shape: the export is map-only over the input splits; the
+    read-back is one file-per-task scan; one aggregate each side."""
+    import tempfile
+
+    from dbeam_spark.avro.schema import spark_schema_to_avro
+    from dbeam_spark.avro.writer import write_avro
+    from dbeam_spark.sources.avro import read_avro
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="avro_roundtrip_")
+    write_avro(
+        li.repartition(8),
+        out,
+        spark_schema_to_avro(li.schema, "lineitem"),
+        codec="deflate6",
+    )
+    # logical_as_timestamp=False: audit the writer's raw encoding
+    # (epoch millis as long) without a decode-side reinterpretation
+    back = read_avro(spark, out, logical_as_timestamp=False)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_orderkey"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).cast("long").alias("sum_price_cents"),
+        F.sum(
+            F.round(F.col("l_discount") * 100).cast("long")
+        ).cast("long").alias("sum_discount_pct"),
+        F.sum("l_shipdate").cast("long").alias("sum_shipdate_ms"),
+        F.sum(F.length("l_returnflag")).cast("long").alias(
+            "sum_flag_len"
+        ),
+    )
