@@ -298,9 +298,35 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv and os.path.exists(OUT):
         shutil.rmtree(OUT)
+    # staleness guard: the driver REGENERATES testdata between rounds
+    # (CLAUDE.md); a replica built from last round's parquet would
+    # silently probe the wrong data. Key the replica to the source
+    # files' (size, mtime) signature and rebuild on mismatch.
+    src_key = repr(
+        sorted(
+            (f, os.path.getsize(os.path.join(BASE, f)),
+             int(os.path.getmtime(os.path.join(BASE, f))))
+            for f in os.listdir(BASE)
+            if f.endswith(".parquet")
+        )
+    )
+    key_file = f"{OUT}/_SOURCE_KEY"
+    stale = (
+        os.path.exists(OUT)
+        and (
+            not os.path.exists(key_file)
+            or open(key_file).read() != src_key
+        )
+    )
+    if stale:
+        print("replica stale vs regenerated testdata - rebuilding",
+              flush=True)
+        shutil.rmtree(OUT)
     if not os.path.exists(f"{OUT}/lineitem.parquet"):
-        print("building 10x replica ...", flush=True)
+        print(f"building {COPIES}x replica ...", flush=True)
         build(spark)
+        with open(key_file, "w") as fh:
+            fh.write(src_key)
 
     # warm codegen + python fleet
     from dbeam_spark.queries import QUERIES
