@@ -130,6 +130,62 @@ def _verified_jaccard(
     return _jaccard_from_inter(inter, sizes, threshold)
 
 
+def _verified_jaccard_arrays(
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via per-doc shingle ARRAYS +
+    an Arrow set-intersection kernel — same semantics as
+    `_verified_jaccard` (distinct shingles, |∩|/|∪|, raw-double
+    threshold then 4-dp round), different physical shape.
+
+    Why: the exploded candidate×shingle join materializes
+    Σ_pairs |A| rows and sort-merges them against the full shingle
+    table — at the 30× probe that's a ~20M-row sort that spills
+    (68s, 4.3× for the last 3× step). Here each doc's shingle set is
+    collected ONCE (one combinable groupBy — the same shuffle the
+    signature stage already pays), candidate pairs pull both arrays
+    through two equi-joins, and the intersection is a C-level set op
+    per pair. Data through the joins is O(pairs × doc_size), never
+    candidates × corpus.
+
+    Exactness: Python's len(a & b) / (|a|+|b|-|∩|) is the same
+    small-int rational as the JVM division, bit-for-bit; rounding
+    stays in Spark so oracle ROUND semantics match."""
+    arrs = sh.groupBy("sid").agg(F.collect_list("shingle").alias("hs"))
+    cand_b = F.broadcast(cand) if broadcast_candidates else cand
+    a = arrs.select(F.col("sid").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = arrs.select(F.col("sid").alias("id_b"), F.col("hs").alias("hs_b"))
+    paired = a.join(cand_b, "id_a").join(b, "id_b")
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jraw = []
+            for ha, hb in zip(pdf["hs_a"], pdf["hs_b"]):
+                sa_, sb_ = set(ha), set(hb)
+                ninter = len(sa_ & sb_)
+                jraw.append(ninter / (len(sa_) + len(sb_) - ninter))
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "jraw": jraw,
+                }
+            )
+
+    scored = paired.mapInPandas(part, "id_a long, id_b long, jraw double")
+    return (
+        scored.filter(F.col("jraw") >= threshold)
+        .select("id_a", "id_b", F.round("jraw", 4).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -162,10 +218,22 @@ def ngram_jaccard_pairs(
 
     ⌈τ·|d|⌉ is evaluated in INTEGER arithmetic (exact decimal fraction
     of the threshold): float ceil(0.8*5) = ceil(4.0000000000000002)
-    = 5 would silently shorten prefixes and lose pairs."""
+    = 5 would silently shorten prefixes and lose pairs. The fraction
+    is bounded to denominator ≤ 10_000 (exact for any realistic
+    threshold like 0.8 or 0.725): an unbounded repr such as 1/3 →
+    6004799503160661/18014398509481984 would make the generated
+    `sz * num` expression overflow int64 under ANSI mode for docs
+    with ≳2,700 shingles."""
     from fractions import Fraction
 
-    frac = Fraction(str(threshold))
+    exact = Fraction(str(threshold))
+    frac = exact.limit_denominator(10_000)
+    if frac > exact:
+        # never round the filter threshold UP: a larger τ' shortens
+        # prefixes / tightens bounds and could drop a true pair.
+        # Stepping down ≤1e-4 only admits a few extra candidates,
+        # which the exact verify stage then rejects.
+        frac = Fraction(frac.numerator - 1, frac.denominator)
     num, den = frac.numerator, frac.denominator
     # eager checkpoint, not cache(): sizes/dfreq/prefix/verify all
     # consume the shingle table, and with a lazy cache their stages
@@ -223,7 +291,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_jaccard(cand, sh, sizes, threshold)
+    return _verified_jaccard_arrays(cand, sh, threshold)
 
 
 def minhash_signatures(

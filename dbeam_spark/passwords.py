@@ -1,8 +1,8 @@
 """Database password resolution.
 
 Re-expresses reference options/PasswordReader.java and
-options/KmsDecrypter.java: plaintext > passwordFile >
-passwordFileKmsEncrypted.
+options/KmsDecrypter.java. Precedence matches the reference's
+readPassword: passwordFileKmsEncrypted > passwordFile > plaintext.
 
 `KmsDecrypter` implements the reference's full Cloud KMS decrypt flow
 — key-name formatting (projects/{p}/locations/{l}/keyRings/{r}/
@@ -134,15 +134,18 @@ def read_password(
     password_file_kms_encrypted: str | None = None,
     decrypt: Callable[[bytes], str] = _kms_unavailable,
 ) -> str | None:
-    """Resolve the password with dbeam's precedence; None if nothing
-    was configured (dbeam's --username default covers user)."""
-    if password is not None:
-        return password
-    if password_file is not None:
-        return Path(password_file).read_text().rstrip("\n")
+    """Resolve the password with dbeam's precedence — the KMS-encrypted
+    file wins over the plaintext file, which wins over the inline
+    password (reference PasswordReader.readPassword checks in exactly
+    that order); None if nothing was configured (dbeam's --username
+    default covers user)."""
     if password_file_kms_encrypted is not None:
         ciphertext = base64.b64decode(
             Path(password_file_kms_encrypted).read_bytes()
         )
         return decrypt(ciphertext).rstrip("\n")
+    if password_file is not None:
+        return Path(password_file).read_text().rstrip("\n")
+    if password is not None:
+        return password
     return None

@@ -7386,16 +7386,16 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one explode + one min-per-token rollup (combinable), then
     a 10-bucket histogram + running sum over 10 rows. The per-token
-    min is the same shuffle vocabulary_coverage already pays."""
+    min is the same shuffle vocabulary_coverage already pays. The
+    doc rank comes from ``global_ranked`` (range-partitioned rank,
+    not a single-task ``Window.orderBy`` — the pattern the plan
+    guard bans repo-wide)."""
+    from dbeam_spark.operators.ranking import global_ranked
+
     ensure_utc(spark)
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    rk = (
-        docs.select("doc_id")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy("doc_id")),
-        )
+    rk, n_docs = global_ranked(
+        docs.select("doc_id"), [F.col("doc_id")], rank_col="rk"
     )
     tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     first_seen = (
@@ -7655,7 +7655,8 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS sum_price_cents,
            CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
                 AS BIGINT) AS sum_discount_pct,
-           CAST(SUM(epoch_ms(l_shipdate)) AS BIGINT) AS sum_shipdate_ms,
+           CAST(SUM(epoch_ms(l_shipdate) // 86400000) AS BIGINT)
+             AS sum_shipdate_day,
            CAST(SUM(length(l_returnflag)) AS BIGINT) AS sum_flag_len
     FROM lineitem
     """,
@@ -7674,8 +7675,19 @@ def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end against an independent engine.
 
     Scale shape: the export is map-only over the input splits; the
-    read-back is one file-per-task scan; one aggregate each side."""
+    read-back is one file-per-task scan; one aggregate each side.
+
+    The export lands in a CONTENT-KEYED directory (source parquet
+    path + size + mtime) promoted by atomic rename, so the repeated
+    gate/bench/probe runs reuse one export per dataset instead of
+    leaking a fresh multi-MB mkdtemp per invocation; shipdate sums
+    are epoch-DAYS, not millis — an int64 millis sum crosses the
+    ANSI overflow line around 11M rows (the 30x probe)."""
+    import glob
+    import os
+    import shutil
     import tempfile
+    import uuid
 
     from dbeam_spark.avro.schema import spark_schema_to_avro
     from dbeam_spark.avro.writer import write_avro
@@ -7683,13 +7695,30 @@ def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="avro_roundtrip_")
-    write_avro(
-        li.repartition(8),
-        out,
-        spark_schema_to_avro(li.schema, "lineitem"),
-        codec="deflate6",
-    )
+    sig_parts = []
+    for p in sorted(glob.glob(os.path.join(sf_dir, "lineitem.parquet*"))):
+        st = os.stat(p)
+        sig_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    import hashlib
+
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "dbeam_avro_roundtrip")
+    out = os.path.join(root, key)
+    if not os.path.isfile(os.path.join(out, "_ROUNDTRIP_OK")):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        write_avro(
+            li.repartition(8),
+            tmp,
+            spark_schema_to_avro(li.schema, "lineitem"),
+            codec="deflate6",
+        )
+        with open(os.path.join(tmp, "_ROUNDTRIP_OK"), "w") as fh:
+            fh.write(key)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     # logical_as_timestamp=False: audit the writer's raw encoding
     # (epoch millis as long) without a decode-side reinterpretation
     back = read_avro(spark, out, logical_as_timestamp=False)
@@ -7702,7 +7731,9 @@ def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.round(F.col("l_discount") * 100).cast("long")
         ).cast("long").alias("sum_discount_pct"),
-        F.sum("l_shipdate").cast("long").alias("sum_shipdate_ms"),
+        F.sum(F.expr("l_shipdate DIV 86400000")).cast("long").alias(
+            "sum_shipdate_day"
+        ),
         F.sum(F.length("l_returnflag")).cast("long").alias(
             "sum_flag_len"
         ),

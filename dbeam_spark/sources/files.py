@@ -31,25 +31,39 @@ TABLES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
-# (session, sf_dir, name) -> lazy DataFrame. spark.read.parquet pays
-# footer/schema inference on EVERY call (~0.1s of driver time per
-# table per query); the testdata tables are immutable within a
-# session, so the lazy plan is reusable. A new session is a new key,
-# so restarted-session tests never see a stale plan.
-_TABLE_CACHE: dict = {}
+# WeakKeyDictionary[session] -> {(sf_dir, name, file_sig): DataFrame}.
+# spark.read.parquet pays footer/schema inference on EVERY call
+# (~0.1s of driver time per table per query); the testdata tables are
+# immutable within a session, so the lazy plan is reusable. Keying the
+# outer map on a WEAK session reference means stopped sessions (test
+# suites create/stop many) release their plans instead of pinning the
+# JVM-side state for the process lifetime, and the (size, mtime_ns)
+# file signature in the inner key makes a regenerated parquet file a
+# cache MISS even inside a live session.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _file_sig(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (0, 0)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name, _file_sig(path))
+    df = per_session.get(key)
     if df is None:
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:
-            df = spark.read.parquet(
-                os.path.join(sf_dir, f"{name}.parquet")
-            )
-        _TABLE_CACHE[key] = df
+            df = spark.read.parquet(path)
+        per_session[key] = df
     return df
 
 

@@ -5,6 +5,14 @@ import tempfile
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow_sweep: whole-registry plan sweep (minutes); deselect "
+        "with -m 'not slow_sweep' for a quick iteration loop",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from dbeam_spark.session import get_spark

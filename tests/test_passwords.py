@@ -7,8 +7,29 @@ import pytest
 from dbeam_spark.passwords import read_password
 
 
-def test_plaintext_wins():
-    assert read_password(password="pw", password_file="/nope") == "pw"
+def test_password_file_wins_over_plaintext(tmp_path):
+    # reference PasswordReader checks KMS file, then file, then
+    # plaintext — the file must win when both are configured
+    f = tmp_path / "pw"
+    f.write_text("from-file\n")
+    assert (
+        read_password(password="inline", password_file=str(f))
+        == "from-file"
+    )
+
+
+def test_kms_file_wins_over_password_file(tmp_path):
+    enc = tmp_path / "pw.encrypted"
+    enc.write_bytes(base64.b64encode(b"cipherbytes"))
+    plain = tmp_path / "pw"
+    plain.write_text("from-file\n")
+    got = read_password(
+        password="inline",
+        password_file=str(plain),
+        password_file_kms_encrypted=str(enc),
+        decrypt=lambda ct: "from-kms",
+    )
+    assert got == "from-kms"
 
 
 def test_password_file(tmp_path):

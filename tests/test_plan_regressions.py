@@ -218,6 +218,61 @@ def test_quantile_normalize_no_global_window(spark):
     assert not _unpartitioned_windows(plan)
 
 
+# Queries whose executed plan is ALLOWED to contain an unpartitioned
+# ordered window, each with the boundedness argument for its frame.
+# Every site below goes through operators.util.bounded_grain_window
+# (or an explicit partitionBy(lit(0)) with the same argument in a
+# comment) — Catalyst folds the constant partition key back out, so
+# the plan alone can't distinguish them from the banned data-scaled
+# global sort; this list is the documented exemption the sweep checks.
+BOUNDED_GLOBAL_WINDOW_OK = {
+    "abc_classification": "per-part rollup frame (reduced dimension "
+    "cardinality, documented single-partition by design)",
+    "basket_rules": "rules over order-type pairs (enumeration-bounded)",
+    "bootstrap_median_ci": "resample-median frame (n_boot rows) + "
+    "calendar-bounded daily frame",
+    "embedding_pagerank": "ranking the 20-row limit() output",
+    "event_trigrams": "event-type trigrams (|types|^3, enum-bounded)",
+    "hll_rolling_users": "day-grain rolling frame (calendar-bounded)",
+    "keyword_search": "ranking the TakeOrderedAndProject top-10 frame",
+    "lorenz_deciles_customers": "10-row decile frame",
+    "phrase_search": "ranking the TakeOrderedAndProject top-10 frame",
+    "revenue_changepoint": "day-grain CUSUM (calendar-bounded)",
+    "revenue_islands": "day-grain gaps-and-islands (calendar-bounded)",
+    "revenue_moving_avg": "day-grain MA7 (calendar-bounded)",
+    "revenue_trailing_7d": "day-grain trailing window (calendar-bounded)",
+    "rrf_hybrid_search": "fusing two bounded top-K result frames",
+    "stream_changepoint": "day-grain CUSUM (calendar-bounded)",
+    "vocab_growth_curve": "10-row decile frame (doc ranks come from "
+    "global_ranked since r6)",
+    "yoy_revenue_growth": "year-grain lag (calendar-bounded)",
+}
+
+
+@pytest.mark.slow_sweep
+def test_no_unpartitioned_window_in_any_registered_query(spark):
+    """Registry-wide sweep: EVERY registered query's executed plan is
+    checked for `WindowExec: No Partition Defined` (a data-scaled
+    single-task sort — the pattern that cannot survive a 100x
+    scale-up). Round 5 proved a named-list guard leaks: a new query
+    (vocab_growth_curve) landed the banned shape because it wasn't on
+    the list. Any query not in BOUNDED_GLOBAL_WINDOW_OK (with a
+    written boundedness argument) fails here."""
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        u = _unpartitioned_windows(plan)
+        if u and name not in BOUNDED_GLOBAL_WINDOW_OK:
+            offenders[name] = u[0][:160]
+    assert not offenders, (
+        "unpartitioned ordered window(s) in registered queries — "
+        "either repartition the window (global_ranked / partitionBy) "
+        "or add a documented bounded-grain exemption: "
+        f"{offenders}"
+    )
+
+
 def test_collect_surface_is_whitelisted():
     """Driver-side materialization sites in dbeam_spark/queries/ are
     pinned: every `.collect()` / `.toPandas()` / `.toLocalIterator()`

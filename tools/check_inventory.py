@@ -30,6 +30,19 @@ def main() -> int:
     missing_in_survey = sorted(registered - claimed)
 
     ok = True
+    # §2.A row ids must be unique so round directives can cite rows
+    # unambiguously (round 5 shipped two A41s/A42s/A43s)
+    from collections import Counter
+
+    a_ids = Counter(
+        m.group(1)
+        for line in text.splitlines()
+        if (m := re.match(r"\|\s*(A\d+[a-z]*)\s*\|", line))
+    )
+    dup_ids = sorted(k for k, n in a_ids.items() if n > 1)
+    if dup_ids:
+        ok = False
+        print(f"duplicate SURVEY §2.A row ids: {dup_ids}")
     if missing_in_registry:
         ok = False
         print("claimed in SURVEY §2 but NOT registered:")

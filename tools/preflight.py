@@ -37,6 +37,49 @@ EXPECTED = {
 TYPE_VARIANT = {("events", "ts")}
 
 
+def check_probe_replicas(
+    pattern: str | None = None, base: str | None = None
+) -> int:
+    """Hard-fail on STALE scale-probe replicas: a replica directory
+    whose `_SOURCE_KEY` is missing or doesn't match the live source
+    signature was built from last round's (regenerated) testdata —
+    probing it would quietly flatten every ratio. scale_probe rebuilds
+    on mismatch itself; this check catches replicas created or kept by
+    any other path. Returns the number of stale replicas found."""
+    import glob
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_probe import source_key
+
+    base = base or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    pattern = pattern or os.environ.get(
+        "SCALE_REPLICA_GLOB", "/tmp/scale*"
+    )
+    want = source_key(base)
+    stale = 0
+    for d in sorted(glob.glob(pattern)):
+        if not os.path.isdir(d) or not os.path.exists(
+            os.path.join(d, "lineitem.parquet")
+        ):
+            continue
+        key_file = os.path.join(d, "_SOURCE_KEY")
+        have = open(key_file).read() if os.path.exists(key_file) else None
+        if have != want:
+            print(
+                f"HARD  probe replica {d} is STALE vs {base} "
+                "(missing/mismatched _SOURCE_KEY) — delete it or rerun "
+                "tools/scale_probe.py (it rebuilds on mismatch)"
+            )
+            stale += 1
+    if not stale:
+        print("ok    probe replicas: none stale")
+    return stale
+
+
 def main() -> int:
     hard = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -66,6 +109,7 @@ def main() -> int:
         for sf in ("sf0.001", "sf0.01", "sf0.1")
     }
     print(f"info  events.ts physical types (loader-normalized): {ts_types}")
+    hard += check_probe_replicas()
     if hard:
         print(f"\n{hard} HARD drift(s) — fix loaders/queries before gating")
         return 1

@@ -161,6 +161,22 @@ PROBES = [
 ]
 
 
+def source_key(base: str = BASE) -> str:
+    """Content signature of the probe's source tables: (name, size,
+    mtime) per parquet file. A replica whose ``_SOURCE_KEY`` doesn't
+    match this is stale (the driver regenerated testdata) and must be
+    rebuilt — tools/preflight.py hard-fails on such replicas so a
+    stale one can never quietly flatten a probe ratio."""
+    return repr(
+        sorted(
+            (f, os.path.getsize(os.path.join(base, f)),
+             int(os.path.getmtime(os.path.join(base, f))))
+            for f in os.listdir(base)
+            if f.endswith(".parquet")
+        )
+    )
+
+
 def build(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -302,14 +318,7 @@ def main() -> None:
     # (CLAUDE.md); a replica built from last round's parquet would
     # silently probe the wrong data. Key the replica to the source
     # files' (size, mtime) signature and rebuild on mismatch.
-    src_key = repr(
-        sorted(
-            (f, os.path.getsize(os.path.join(BASE, f)),
-             int(os.path.getmtime(os.path.join(BASE, f))))
-            for f in os.listdir(BASE)
-            if f.endswith(".parquet")
-        )
-    )
+    src_key = source_key(BASE)
     key_file = f"{OUT}/_SOURCE_KEY"
     stale = (
         os.path.exists(OUT)
