@@ -669,10 +669,31 @@ def write_avro(
         os.replace(tmp, path)
         yield stat(path, rows, crc & 0xFFFFFFFF, False)
 
-    stats = df.mapInArrow(
+    plan = df.mapInArrow(
         write_partition,
         "file string, rows long, bytes long, crc32 long, skipped boolean",
-    ).collect()
+    )
+    # Round-robin repartitions upstream of the writer normally SORT
+    # the whole input partition first (sortBeforeRepartition=true) to
+    # canonicalize the row->partition assignment under task retries.
+    # For a one-shot export that sort is pure overhead — Spark marks
+    # the unsorted exchange indeterminate and recomputes the whole
+    # stage on a fetch failure, which is the right trade for an
+    # export (a serial 600k-row sort costs ~0.5s per single-split
+    # input; a retry is rare). resume=True keeps the sort: its
+    # crash-recovery contract needs run-to-run assignment determinism
+    # even for sources that return rows in arbitrary order (JDBC).
+    spark = df.sparkSession
+    conf_key = "spark.sql.execution.sortBeforeRepartition"
+    if resume:
+        stats = plan.collect()
+    else:
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            stats = plan.collect()
+        finally:
+            spark.conf.set(conf_key, prev)
     return [r.asDict() for r in stats]
 
 

@@ -3,18 +3,19 @@
 Two tiers of decode:
 
 - REAL decoders for the stdlib-decodable formats — BMP (struct-parsed
-  BITMAPINFOHEADER + bottom-up padded pixel rows) and WAV (RIFF via
-  the `wave` module, PCM frames out). These run genuinely decoded
-  bytes through the same Arrow plumbing the stubs use; encode twins
-  exist so tests plant media and pin pixel/sample round-trips
-  exactly.
+  BITMAPINFOHEADER + bottom-up padded pixel rows), PNG (chunk walk
+  with CRC validation, zlib inflate, full Sub/Up/Average/Paeth
+  scanline reconstruction) and WAV (RIFF via the `wave` module, PCM
+  frames out). These run genuinely decoded bytes through the same
+  Arrow plumbing the stubs use; encode twins exist so tests plant
+  media and pin pixel/sample round-trips exactly.
 - Stubs for formats whose codecs are absent in this container (JPEG/
-  PNG/MP4 need PIL/pyav): `decode_media` raises NotImplementedError
-  for those, `fake_decode` is the deterministic stand-in. Swapping in
-  a PIL/ffmpeg call is the only change needed on a real cluster — the
+  MP4 need PIL/pyav): `decode_media` raises NotImplementedError for
+  those, `fake_decode` is the deterministic stand-in. Swapping in a
+  PIL/ffmpeg call is the only change needed on a real cluster — the
   Spark-side contract (binary column + metadata struct in,
   Arrow-batched `mapInPandas` with explicit schema out) is identical
-  either way, as the BMP/WAV tier proves.
+  either way, as the BMP/PNG/WAV tier proves.
 """
 
 from __future__ import annotations
@@ -106,6 +107,170 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, bpp, b"".join(rows)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal but REAL PNG encoder: 8-bit truecolor (color type 2),
+    one zlib IDAT, per-scanline filters. `pixels` is width*height*3
+    TOP-DOWN RGB bytes. By default scanline r uses filter r % 5, so a
+    ≥5-row image exercises ALL five PNG filter types (None/Sub/Up/
+    Average/Paeth) — the decoder's reconstruction math gets a full
+    workout on every planted asset.
+
+    Filtering is vectorized: PNG filters predict from the RAW bytes of
+    the current/previous scanline, so ENCODING has no sequential
+    dependency (only decoding reconstructs left-to-right)."""
+    import zlib as _z
+
+    import numpy as np
+
+    stride = width * 3
+    if len(pixels) != height * stride:
+        raise ValueError("pixels must be width*height*3 bytes")
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, stride).astype(np.int16)
+    if filters is None:
+        filters = [r % 5 for r in range(height)]
+    parts = []
+    prev = np.zeros(stride, np.int16)
+    for r in range(height):
+        ft = filters[r]
+        line = arr[r]
+        left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+        up_left = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prev
+        elif ft == 3:
+            filt = line - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - up_left
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, up_left),
+            )
+            filt = line - pred
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        parts.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = _z.compress(b"".join(parts), 6)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes, list[int]]:
+    """REAL PNG decode for 8-bit truecolor: signature + chunk walk
+    with CRC32 validation per chunk, IHDR field checks, multi-IDAT
+    concatenation, zlib inflate, and per-scanline filter
+    RECONSTRUCTION (None/Sub/Up/Average/Paeth — Sub/Average/Paeth
+    reconstruct left-to-right against already-reconstructed bytes, as
+    the spec requires). Returns (width, height, bit_depth, pixels,
+    filters) with pixels as TOP-DOWN width*height*3 RGB bytes and
+    filters the per-row filter types seen (so callers can assert the
+    asset actually exercised the reconstruction paths)."""
+    import zlib as _z
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 12 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if _z.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            (width, height, depth, ctype_i, comp, filt, inter) = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype_i != 2 or comp or filt or inter:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype_i})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + ln
+    if width is None or not saw_end:
+        raise ValueError("missing IHDR/IEND")
+    raw = _z.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (1 + stride):
+        raise ValueError("bad inflated stream length")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    filters: list[int] = []
+    for r in range(height):
+        ft = raw[r * (1 + stride)]
+        filters.append(ft)
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (1 + stride) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            recon = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = int(recon[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                c = int(prev[x - 3]) if x >= 3 else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ft}")
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    return width, height, 8, out.tobytes(), filters
+
+
 def encode_wav(samples: bytes, rate: int = 8000, channels: int = 1,
                sampwidth: int = 2) -> bytes:
     """PCM WAV container around raw little-endian sample bytes."""
@@ -147,6 +312,9 @@ def decode_media(payload: bytes, mime: str):
     payload = bytes(payload)
     if mime == "image/bmp":
         w, h, _, _ = decode_bmp(payload)
+        return len(payload), w, h
+    if mime == "image/png":
+        w, h, _, _, _ = decode_png(payload)
         return len(payload), w, h
     if mime in ("audio/wav", "audio/x-wav"):
         _, _, rate, n_frames, _ = decode_wav(payload)

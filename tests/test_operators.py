@@ -1917,6 +1917,44 @@ def test_bmp_codec_roundtrip():
         decode_bmp(good[:30])  # truncated pixel data
 
 
+def test_png_codec_roundtrip():
+    """encode_png -> decode_png is identity on pixels/geometry across
+    sizes; the default filter schedule (r % 5) covers ALL five PNG
+    filter types so every round-trip exercises the sequential
+    Sub/Average/Paeth reconstruction; each explicit single-filter
+    encoding round-trips too."""
+    import random
+
+    import pytest as _pt
+
+    from dbeam_spark.operators.multimodal import decode_png, encode_png
+
+    rng = random.Random(13)
+    for w, h in [(1, 1), (3, 2), (8, 5), (13, 9), (31, 23)]:
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        payload = encode_png(pixels, w, h)
+        dw, dh, depth, dpix, filters = decode_png(payload)
+        assert (dw, dh, depth) == (w, h, 8)
+        assert dpix == pixels
+        assert filters == [r % 5 for r in range(h)]
+    # each filter type alone round-trips (isolates the reconstruction)
+    pixels = bytes(rng.randrange(256) for _ in range(6 * 4 * 3))
+    for ft in range(5):
+        payload = encode_png(pixels, 6, 4, filters=[ft] * 4)
+        _, _, _, dpix, filters = decode_png(payload)
+        assert dpix == pixels and filters == [ft] * 4, f"filter {ft}"
+    # corruption is rejected by chunk CRC, truncation by length checks
+    good = encode_png(pixels, 6, 4)
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with _pt.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pt.raises(ValueError):
+        decode_png(good[: len(good) - 8])  # IEND gone
+    with _pt.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+
+
 def test_wav_codec_roundtrip():
     """encode_wav -> decode_wav is identity on PCM frames and format
     fields for mono/stereo and 8/16-bit widths."""
@@ -1950,6 +1988,10 @@ def test_decode_media_dispatch():
 
     bmp = encode_bmp(bytes(range(36)) * 1, 4, 3)
     assert decode_media(bmp, "image/bmp") == (len(bmp), 4, 3)
+    from dbeam_spark.operators.multimodal import encode_png
+
+    png = encode_png(bytes(range(60)), 4, 5)
+    assert decode_media(png, "image/png") == (len(png), 4, 5)
     wav = encode_wav(bytes(range(200)), rate=8000)
     assert decode_media(wav, "audio/wav") == (len(wav), 100, 8000)
     with _pt.raises(NotImplementedError):
