@@ -153,8 +153,21 @@ def _verified_jaccard_arrays(
 
     Exactness: Python's len(a & b) / (|a|+|b|-|∩|) is the same
     small-int rational as the JVM division, bit-for-bit; rounding
-    stays in Spark so oracle ROUND semantics match."""
-    arrs = sh.groupBy("sid").agg(F.collect_list("shingle").alias("hs"))
+    stays in Spark so oracle ROUND semantics match.
+
+    The shingle table is SEMI-JOIN filtered to docs that appear in a
+    candidate pair BEFORE the array groupBy — near-dup candidates
+    touch a small fraction of the corpus, and collecting arrays for
+    every doc made the first cut of this function SLOWER than the
+    exploded join it replaced (103s vs 68s at the 30x probe: a 30M-row
+    collect_list shuffle for 15k candidate docs)."""
+    cand_ids = (
+        cand.select(F.col("id_a").alias("sid"))
+        .unionByName(cand.select(F.col("id_b").alias("sid")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_ids), "sid", "left_semi")
+    arrs = sh_c.groupBy("sid").agg(F.collect_list("shingle").alias("hs"))
     cand_b = F.broadcast(cand) if broadcast_candidates else cand
     a = arrs.select(F.col("sid").alias("id_a"), F.col("hs").alias("hs_a"))
     b = arrs.select(F.col("sid").alias("id_b"), F.col("hs").alias("hs_b"))
@@ -243,16 +256,21 @@ def ngram_jaccard_pairs(
     sh = shingle_table(docs, id_col, text_col, n).localCheckpoint(
         eager=True
     )
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df and sz as WINDOW counts, not groupBy+join-back: the join of
+    # the 30x shingle table (30M rows) against its own per-shingle
+    # rollup was the dominant sort — a count over partitionBy(shingle)
+    # needs only the shingle shuffle, and sz shares the sid exchange
+    # the ranking window already pays (same partitioning, Spark plans
+    # one Exchange feeding both WindowExecs).
+    w_df = Window.partitionBy("shingle")
+    w_sz = Window.partitionBy("sid")
     w = Window.partitionBy("sid").orderBy("df", "shingle")
     # checkpointed: the prefix frame feeds BOTH sides of the candidate
-    # self-join; uncheckpointed the df-join + ranking window evaluate
-    # twice
+    # self-join; uncheckpointed the window ladder evaluates twice
     pref = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
         .withColumn("r", F.row_number().over(w))
-        .join(sizes, "sid")
         # r <= sz - ceil(t*sz) + 1, ceil via integer (sz*num+den-1)//den
         .filter(
             F.col("r")

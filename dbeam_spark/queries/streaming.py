@@ -754,17 +754,37 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_hour_us = 3_600_000_000
 
     def throttle(key, pdfs, state: GroupState):
+        import numpy as np
+
         last_us = state.get[0] if state.exists else None
-        delivered = suppressed = 0
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"])
-        for t in rows["ts"]:
-            t_us = int(t.value // 1000)  # pandas ns -> us
-            if last_us is None or t_us - last_us > one_hour_us:
-                delivered += 1
-            else:
-                suppressed += 1
-            last_us = t_us  # silence gap measures from ANY event
+        # The silence gap measures from ANY previous event (delivered
+        # or suppressed), so delivery is purely a time-diff predicate
+        # over the sorted timestamps — vectorized numpy, not a Python
+        # loop per event (the 10x probe measured the row-at-a-time
+        # version at 4.0x; tie order within equal timestamps cannot
+        # change a 0-gap verdict, so sorting ts alone is exact).
+        chunks = [
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            for pdf in pdfs
+            if len(pdf)
+        ]
+        if not chunks:  # timeout-only invocation: nothing to score
+            state.update((last_us,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "n_delivered": [0],
+                    "n_suppressed": [0],
+                }
+            )
+            return
+        us = np.sort(np.concatenate(chunks))
+        delivered = int((np.diff(us) > one_hour_us).sum())
+        if last_us is None or int(us[0]) - last_us > one_hour_us:
+            delivered += 1
+        suppressed = int(len(us)) - delivered
+        last_us = int(us[-1])
         state.update((last_us,))
         yield pd.DataFrame(
             {
@@ -980,8 +1000,20 @@ def _orders_stream(spark: SparkSession, sf_dir: str):
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "orders.parquet")
+    # same file-vs-directory handling as _events_stream: a directory
+    # symlink named *.parquet is SKIPPED by the file-stream lister
+    # (the 10x probe caught stream_survival_km reading a 0-row stream
+    # off the directory-shaped replica) — symlink each part file.
     stream_dir = tempfile.mkdtemp(prefix="orders_stream_")
-    os.symlink(src, os.path.join(stream_dir, "a_orders.parquet"))
+    if os.path.isdir(src):
+        import glob as _glob
+
+        for i, p in enumerate(
+            sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        ):
+            os.symlink(p, os.path.join(stream_dir, f"a_{i:05d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stream_dir, "a_orders.parquet"))
     schema = spark.read.parquet(src).schema
     dt = schema["o_orderdate"].dataType
     raw = spark.readStream.schema(schema).parquet(stream_dir)

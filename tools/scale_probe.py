@@ -158,6 +158,10 @@ PROBES = [
     "vocab_growth_curve",
     "quality_rule_ablation",
     "source_ngram_overlap",
+    # round-6 additions: real PNG decode (one Arrow encode+decode
+    # pass per doc), roundtrip export audit (content-keyed reuse dir)
+    "multimodal_png_decode",
+    "avro_roundtrip_audit",
 ]
 
 
