@@ -1848,6 +1848,54 @@ def test_ngram_jaccard_prefix_filter_exact(spark):
             assert len(got) >= 12
 
 
+def test_ngram_jaccard_long_decimal_threshold(spark):
+    """A threshold with an unbounded decimal repr (float 1/3) must
+    neither overflow the generated integer-prefix arithmetic under
+    ANSI mode (Fraction('0.333...') has a ~3.3e15 numerator) nor lose
+    pairs: the bounded fraction is rounded DOWN, so prefixes only
+    lengthen and the exact verify keeps the answer identical to the
+    naive twin."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(21)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(25):
+        rows.append((i, " ".join(rng.choices(vocab, k=25))))
+    for i in range(25, 33):  # near-dups at J well above and below 1/3
+        src = rows[i - 25][1].split()
+        for j in range(0, (i % 3) * 6, 2):
+            src[j] = f"CH{j}"
+        rows.append((i, " ".join(src)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thr = 1 / 3  # repr '0.3333333333333333'
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, thr).collect()
+    )
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("sid").alias("id_a"), "shingle")
+    b = sh.select(F.col("sid").alias("id_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("sh_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup._jaccard_from_inter(inter, sizes, thr).collect()
+    )
+    assert got == want
+    assert len(got) >= 8  # the planted near-dups all clear 1/3
+
+
 def test_ngram_jaccard_prefix_bounds_boilerplate_expansion(spark):
     """A shingle shared by k docs with otherwise-unique text must NOT
     appear in candidate prefixes (it is every doc's most frequent
