@@ -207,11 +207,30 @@ def main() -> None:
 
         print(f"BENCH REGRESSION: {regressions}", file=sys.stderr)
 
-    # Per-run spreads go to a SIDECAR file + an EARLIER stdout line:
-    # round 5 proved the driver's tail-capture budget truncates a
-    # single oversized JSON line (BENCH_r05 "parsed": null), so the
-    # machine-read summary must be the compact LAST line and the
-    # full runs arrays ride along out-of-band.
+    for line in emit_lines(
+        total, per_query, extended, runs, sf, sf_dir,
+        rows_per_minute, regressions,
+    ):
+        print(line)
+
+
+# Kept small enough for the driver's tail capture with margin: the
+# r5 record went unparseable ("parsed": null) when the single line
+# crossed the budget, so the summary size is a tested contract now.
+SUMMARY_LINE_BUDGET = 8192
+
+
+def emit_lines(
+    total, per_query, extended, runs, sf, sf_dir,
+    rows_per_minute, regressions,
+) -> list[str]:
+    """Build the bench's stdout lines. CONTRACT (tested in
+    tests/test_preflight_tools.py): the LAST line is the compact
+    machine-read summary and stays under SUMMARY_LINE_BUDGET bytes;
+    per-run spreads ride on an EARLIER line and in the
+    BENCH_RUNS.json sidecar — round 5's oversized single line made
+    the driver record 'parsed': null, and that failure mode is now
+    structurally impossible."""
     runs_payload = json.dumps({"runs": runs, "sf_dir": sf_dir})
     try:
         with open(
@@ -222,23 +241,24 @@ def main() -> None:
             fh.write(runs_payload + "\n")
     except OSError:
         pass  # sidecar is best-effort; the summary line still prints
-    print(runs_payload)
 
-    # compact summary line LAST — this is what the driver parses
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "extended_queries": extended,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "export_rows_per_minute": rows_per_minute,
-                **({"regressions": regressions} if regressions else {}),
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "extended_queries": extended,
+        "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
+        "export_rows_per_minute": rows_per_minute,
+        **({"regressions": regressions} if regressions else {}),
+    }
+    line = json.dumps(summary)
+    if len(line) > SUMMARY_LINE_BUDGET:
+        # never let the machine-read line grow unbounded: shed the
+        # bulkiest optional dict and retry (headline keys stay)
+        summary.pop("extended_queries", None)
+        line = json.dumps(summary)
+    return [runs_payload, line]
 
 
 if __name__ == "__main__":

@@ -53,3 +53,43 @@ def test_preflight_ignores_non_replica_dirs(tmp_path):
     (tmp_path / "replicas" / "scalejunk").mkdir(parents=True)
     glob_pat = str(tmp_path / "replicas" / "scale*")
     assert check_probe_replicas(glob_pat, str(base)) == 0
+
+
+def test_bench_summary_line_contract(tmp_path, monkeypatch):
+    """The bench's LAST stdout line must be the compact machine-read
+    summary, parseable and under SUMMARY_LINE_BUDGET bytes even with
+    a full-size registry worth of keys — the r5 failure (one
+    oversized line, driver recorded 'parsed': null) can't recur."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    # worst-case realistic payload: 40 headline + 60 extended keys,
+    # 3 runs each with long float reprs
+    per_query = {f"very_long_query_name_{i:03d}": 1.234 for i in range(40)}
+    extended = {f"extended_query_name_{i:03d}": 12.345 for i in range(60)}
+    runs = {
+        k: [1.234, 2.345, 3.456]
+        for k in list(per_query) + list(extended)
+    }
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    lines = bench.emit_lines(
+        total=99.9, per_query=per_query, extended=extended, runs=runs,
+        sf="0.1", sf_dir="/root/testdata/sf0.1",
+        rows_per_minute=50_000_000, regressions=[],
+    )
+    assert len(lines) == 2
+    summary = json.loads(lines[-1])  # LAST line parses
+    assert summary["metric"] == "headline_queries_total"
+    assert summary["value"] == 99.9
+    assert "runs" not in summary  # spreads never ride the summary
+    assert len(lines[-1]) <= bench.SUMMARY_LINE_BUDGET
+    # the spreads line precedes and carries every run array
+    spreads = json.loads(lines[0])
+    assert set(spreads["runs"]) == set(runs)
+    # sidecar landed next to the (monkeypatched) script path
+    assert (tmp_path / "BENCH_RUNS.json").exists()
