@@ -4244,7 +4244,7 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, t.tok, t.tf,
              (SELECT n_docs FROM nd) - d.df + 1 AS w
       FROM tf t JOIN df d USING (tok)
-      WHERE d.df * 20 <= (SELECT n_docs FROM nd)
+      WHERE d.df * 20 <= (SELECT n_docs FROM nd) AND d.df <= 500
     ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -4262,12 +4262,19 @@ def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — each rare term's posting list self-joins (id_a < id_b
     comes free from the join condition), idf-weighted products sum
     per pair, and the top-20 pairs emerge from a distributed
-    TakeOrderedAndProject. Document-frequency pruning (df ≤ 5% of the
-    corpus) is the LSH-bucket-cap analog: it bounds every posting
-    list, hence the per-term pair expansion — common terms carry no
-    similarity signal and would dominate the join quadratically.
-    Integer weights (n_docs − df + 1, keyword_search's linear-idf
-    precedent) keep every dot product exact across engines."""
+    TakeOrderedAndProject. Document-frequency pruning is TWO-TIER —
+    df ≤ 5% of the corpus AND df ≤ 500 ABSOLUTE — the LSH-bucket-cap
+    analog: it bounds every posting list, hence the per-term pair
+    expansion. The fractional cut alone is the %-of-corpus trap
+    (CLAUDE.md): a list allowed to grow WITH the corpus makes pairs
+    quadratic in corpus size — the 30× probe measured 75 GB of
+    shuffle spill (disk exhaustion) from exactly that before the
+    absolute cap landed; with it, a term contributes ≤ 500²/2 pairs
+    regardless of scale. Common terms carry no similarity signal —
+    at 500+ docs the linear idf weight is already ≤ n−499, pennies
+    of the dot product. Integer weights (n_docs − df + 1,
+    keyword_search's linear-idf precedent) keep every dot product
+    exact across engines."""
     ensure_utc(spark)
     docs = _docs(spark, sf_dir)
     tok = F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
@@ -4281,7 +4288,9 @@ def doc_similarity_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         tf.join(F.broadcast(df_), "tok")
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") * 20 <= F.col("n_docs"))
+        .filter(
+            (F.col("df") * 20 <= F.col("n_docs")) & (F.col("df") <= 500)
+        )
         .select(
             "doc_id",
             "tok",
