@@ -137,8 +137,12 @@ def test_multimodal_decode_stub(spark):
     out = multimodal.decode_batch(multimodal.with_payload(df)).collect()[0]
     assert out["n_bytes"] == 5
     assert out["width"] == 5 and out["height"] == 35
-    with pytest.raises(NotImplementedError):
+    # PNG decodes for REAL since r6 — garbage is a codec error now,
+    # not an unimplemented format; JPEG remains the declared stub
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"x", "image/png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "image/jpeg")
 
 
 def test_salted_join_equals_plain_join(spark):
