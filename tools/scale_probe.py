@@ -308,6 +308,13 @@ def main() -> None:
     if "--queries" in sys.argv:
         names = sys.argv[sys.argv.index("--queries") + 1].split(",")
         PROBES = [n for n in names if n]
+    elif "--all" in sys.argv:
+        # exhaustive mode: probe EVERY registered query (the default
+        # list is the curated heavy set; --all sweeps the long tail
+        # where an unprobed data-scaled stage could still hide)
+        from dbeam_spark.queries import QUERIES as _Q
+
+        PROBES = sorted(_Q)
     from dbeam_spark.session import get_spark
 
     # local-mode driver hosts the executors: size the single JVM for
