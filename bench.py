@@ -70,13 +70,16 @@ def main() -> None:
     spark = get_spark("dbeam-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the timed region: run every headline
-    # query once at the smallest SF so whole-stage-codegen compilation
-    # (janino) is cached before timing — standard JIT-bench hygiene.
-    warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    # Untimed warm-up pass per key AT THE BENCH SF, outside the timed
+    # region: whole-stage-codegen (janino) compiles, file listings and
+    # parquet footers cache, and shuffle-size-dependent AQE plans
+    # settle. Round 6 measured four headline keys drifting 5-11%
+    # round-over-round purely on first-run warm-up (BENCH_RUNS.json
+    # spreads showed run-1 dominating) — a small-SF codegen pass
+    # doesn't touch the full-SF artifacts, one full-SF pass does.
+    for name in HEADLINE + EXTENDED:
         try:
-            QUERIES[name](spark, warm_dir).collect()
+            QUERIES[name](spark, sf_dir).collect()
         except Exception:
             pass  # warmup must never fail the bench
 
@@ -144,6 +147,10 @@ def main() -> None:
     avro_schema = spark_schema_to_avro(li.schema, "lineitem")
     export_sec, export_rows = None, 0
     runs["avro_export_lineitem"] = []
+    # untimed warm-up export (same first-run hygiene as the queries)
+    _warm_out = tempfile.mkdtemp(prefix="bench_avro_")
+    write_avro(li, _warm_out, avro_schema, codec="deflate6")
+    shutil.rmtree(_warm_out, ignore_errors=True)
     for _ in range(n_runs):
         out = tempfile.mkdtemp(prefix="bench_avro_")
         t0 = time.monotonic()
@@ -161,6 +168,9 @@ def main() -> None:
     # with BENCH_r1/r2
     extended: dict[str, float] = {}
     li_single = load_table(spark, sf_dir, "lineitem").repartition(P)
+    _warm_out = tempfile.mkdtemp(prefix="bench_avro_")
+    write_avro(li_single, _warm_out, avro_schema, codec="deflate6")
+    shutil.rmtree(_warm_out, ignore_errors=True)
     for _ in range(n_runs):
         for name in EXTENDED:
             t0 = time.monotonic()
@@ -207,10 +217,12 @@ def main() -> None:
 
         print(f"BENCH REGRESSION: {regressions}", file=sys.stderr)
 
-    for line in emit_lines(
+    lines = emit_lines(
         total, per_query, extended, runs, sf, sf_dir,
         rows_per_minute, regressions,
-    ):
+    )
+    write_runs_sidecar(lines[0])
+    for line in lines:
         print(line)
 
 
@@ -220,18 +232,10 @@ def main() -> None:
 SUMMARY_LINE_BUDGET = 8192
 
 
-def emit_lines(
-    total, per_query, extended, runs, sf, sf_dir,
-    rows_per_minute, regressions,
-) -> list[str]:
-    """Build the bench's stdout lines. CONTRACT (tested in
-    tests/test_preflight_tools.py): the LAST line is the compact
-    machine-read summary and stays under SUMMARY_LINE_BUDGET bytes;
-    per-run spreads ride on an EARLIER line and in the
-    BENCH_RUNS.json sidecar — round 5's oversized single line made
-    the driver record 'parsed': null, and that failure mode is now
-    structurally impossible."""
-    runs_payload = json.dumps({"runs": runs, "sf_dir": sf_dir})
+def write_runs_sidecar(runs_payload: str) -> None:
+    """Mirror the spreads line to BENCH_RUNS.json next to this script
+    (best-effort: the stdout summary line is the contract, the sidecar
+    is for round-over-round spread attribution)."""
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -240,13 +244,30 @@ def emit_lines(
         ) as fh:
             fh.write(runs_payload + "\n")
     except OSError:
-        pass  # sidecar is best-effort; the summary line still prints
+        pass
+
+
+def emit_lines(
+    total, per_query, extended, runs, sf, sf_dir,
+    rows_per_minute, regressions,
+) -> list[str]:
+    """Build the bench's stdout lines — PURE (the BENCH_RUNS.json
+    sidecar is written by main via write_runs_sidecar). CONTRACT
+    (tested in tests/test_preflight_tools.py): the LAST line is the
+    compact machine-read summary and ALWAYS stays under
+    SUMMARY_LINE_BUDGET bytes; per-run spreads ride on an EARLIER
+    line and in the sidecar — round 5's oversized single line made
+    the driver record 'parsed': null. The shedding ladder drops
+    optional payload (extended dict, regressions, then individual
+    per-query keys, longest names first) until the line fits, so an
+    oversize line is structurally impossible, not just unlikely."""
+    runs_payload = json.dumps({"runs": runs, "sf_dir": sf_dir})
 
     summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": per_query,
+        "queries": dict(per_query),
         "extended_queries": extended,
         "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
         "export_rows_per_minute": rows_per_minute,
@@ -254,10 +275,20 @@ def emit_lines(
     }
     line = json.dumps(summary)
     if len(line) > SUMMARY_LINE_BUDGET:
-        # never let the machine-read line grow unbounded: shed the
-        # bulkiest optional dict and retry (headline keys stay)
         summary.pop("extended_queries", None)
         line = json.dumps(summary)
+    if len(line) > SUMMARY_LINE_BUDGET and "regressions" in summary:
+        summary["regressions"] = summary["regressions"][:3]
+        line = json.dumps(summary)
+        if len(line) > SUMMARY_LINE_BUDGET:
+            summary.pop("regressions", None)
+            line = json.dumps(summary)
+    while len(line) > SUMMARY_LINE_BUDGET and summary["queries"]:
+        shed = max(summary["queries"], key=len)
+        summary["queries"].pop(shed)
+        summary["queries_shed"] = summary.get("queries_shed", 0) + 1
+        line = json.dumps(summary)
+    assert len(line) <= SUMMARY_LINE_BUDGET, "summary line over budget"
     return [runs_payload, line]
 
 

@@ -22,6 +22,7 @@ import io
 import json
 import os
 import struct
+import threading
 import zlib
 from collections.abc import Iterator
 
@@ -30,6 +31,18 @@ from pyspark.sql import DataFrame
 _MAGIC = b"Obj\x01"
 _BLOCK_ROWS = 4096
 _NULL_MASK = "__dbeam_isnull__"
+
+# Guards the session-conf save/flip/restore window in write_avro
+# against concurrent writers on the same SparkSession (see the
+# comment at the flip site).
+_SORT_CONF_LOCK = threading.Lock()
+
+# Bumped whenever the OCF encoding path changes behavior. Consumers
+# that cache exports keyed on source-data signatures (e.g. the
+# avro_roundtrip_audit query) fold this in so a writer change
+# invalidates their cached exports instead of silently re-validating
+# output produced by the OLD writer.
+WRITER_VERSION = 2
 
 
 # ---------------------------------------------------------------- encoding
@@ -683,17 +696,28 @@ def write_avro(
     # input; a retry is rare). resume=True keeps the sort: its
     # crash-recovery contract needs run-to-run assignment determinism
     # even for sources that return rows in arbitrary order (JDBC).
+    # The flip is a SESSION-wide conf (Spark reads it at shuffle-
+    # dependency creation, from the Dataset's session SQLConf — there
+    # is no per-plan override), so two hazards exist: (a) two
+    # concurrent write_avro calls racing the save/restore, guarded by
+    # the module lock below; (b) an UNRELATED query on the same
+    # SparkSession planned inside the window picks up the disabled
+    # sort. (b) cannot be fenced from here — callers running exports
+    # concurrently with other round-robin-repartitioning work on the
+    # SAME session should isolate via spark.newSession() (separate
+    # SQLConf, shared SparkContext) or pass resume=True (no flip).
     spark = df.sparkSession
     conf_key = "spark.sql.execution.sortBeforeRepartition"
     if resume:
         stats = plan.collect()
     else:
-        prev = spark.conf.get(conf_key, "true")
-        spark.conf.set(conf_key, "false")
-        try:
-            stats = plan.collect()
-        finally:
-            spark.conf.set(conf_key, prev)
+        with _SORT_CONF_LOCK:
+            prev = spark.conf.get(conf_key, "true")
+            spark.conf.set(conf_key, "false")
+            try:
+                stats = plan.collect()
+            finally:
+                spark.conf.set(conf_key, prev)
     return [r.asDict() for r in stats]
 
 

@@ -130,11 +130,19 @@ def _verified_jaccard(
     return _jaccard_from_inter(inter, sizes, threshold)
 
 
+# Above this many candidate pairs the verify stage stops broadcasting
+# the pair frame / its id set and lets AQE plan shuffle joins from
+# runtime sizes. ~1M (id_a, id_b) longs is ~16MB serialized — well
+# inside driver/executor broadcast budgets; a boilerplate-heavy corpus
+# at 100x can exceed it, and an oversized broadcast fails the job.
+_BROADCAST_CAND_MAX = 1_000_000
+
+
 def _verified_jaccard_arrays(
     cand: DataFrame,
     sh: DataFrame,
     threshold: float,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via per-doc shingle ARRAYS +
     an Arrow set-intersection kernel — same semantics as
@@ -160,13 +168,28 @@ def _verified_jaccard_arrays(
     touch a small fraction of the corpus, and collecting arrays for
     every doc made the first cut of this function SLOWER than the
     exploded join it replaced (103s vs 68s at the 30x probe: a 30M-row
-    collect_list shuffle for 15k candidate docs)."""
+    collect_list shuffle for 15k candidate docs).
+
+    broadcast_candidates=None (the default) SIZE-GATES the broadcast:
+    the candidate frame is checkpointed once (it feeds both the id
+    semi-join and the pair join — uncheckpointed, the upstream prefix
+    self-join evaluated twice) and counted; past _BROADCAST_CAND_MAX
+    pairs the hints are dropped and AQE plans shuffle joins. The
+    prefix filter bounds candidates on realistic corpora, but the set
+    is data-dependent — boilerplate-heavy corpora at 30x+ can push it
+    past driver broadcast limits (same size-gate precedent as
+    dedup_embedding's LSH fallback)."""
+    if broadcast_candidates is None:
+        cand = cand.localCheckpoint(eager=True)
+        broadcast_candidates = cand.count() <= _BROADCAST_CAND_MAX
     cand_ids = (
         cand.select(F.col("id_a").alias("sid"))
         .unionByName(cand.select(F.col("id_b").alias("sid")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_ids), "sid", "left_semi")
+    if broadcast_candidates:
+        cand_ids = F.broadcast(cand_ids)
+    sh_c = sh.join(cand_ids, "sid", "left_semi")
     arrs = sh_c.groupBy("sid").agg(F.collect_list("shingle").alias("hs"))
     cand_b = F.broadcast(cand) if broadcast_candidates else cand
     a = arrs.select(F.col("sid").alias("id_a"), F.col("hs").alias("hs_a"))

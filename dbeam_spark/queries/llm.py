@@ -7789,6 +7789,12 @@ def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     import hashlib
 
+    # writer-version token in the key: without it, a writer.py change
+    # would leave the audit validating an export produced by the OLD
+    # encoder — masking regressions in the very component it audits
+    from dbeam_spark.avro.writer import WRITER_VERSION
+
+    sig_parts.append(f"writer_v{WRITER_VERSION}")
     key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "dbeam_avro_roundtrip")
     out = os.path.join(root, key)

@@ -1852,6 +1852,38 @@ def test_ngram_jaccard_prefix_filter_exact(spark):
             assert len(got) >= 12
 
 
+def test_verified_jaccard_broadcast_gate_both_sides(spark, monkeypatch):
+    """The candidate-broadcast size gate must produce identical
+    verified pairs on both sides: hints on (candidates under the cap)
+    and hints dropped (cap forced to 0, AQE shuffle joins). Guards the
+    un-gated-broadcast failure mode: a boilerplate-heavy corpus whose
+    candidate set outgrows the driver broadcast budget."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choices(vocab, k=25))))
+    for i in range(40, 52):  # planted near-dups
+        src = rows[i - 40][1].split()
+        src[7] = "CHANGED"
+        rows.append((i, " ".join(src)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    broadcast_side = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.6).collect()
+    )
+    assert len(broadcast_side) >= 12
+    monkeypatch.setattr(dedup, "_BROADCAST_CAND_MAX", 0)
+    shuffle_side = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.6).collect()
+    )
+    assert shuffle_side == broadcast_side
+
+
 def test_ngram_jaccard_long_decimal_threshold(spark):
     """A threshold with an unbounded decimal repr (float 1/3) must
     neither overflow the generated integer-prefix arithmetic under

@@ -74,9 +74,6 @@ def test_bench_summary_line_contract(tmp_path, monkeypatch):
         k: [1.234, 2.345, 3.456]
         for k in list(per_query) + list(extended)
     }
-    monkeypatch.setattr(
-        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
-    )
     lines = bench.emit_lines(
         total=99.9, per_query=per_query, extended=extended, runs=runs,
         sf="0.1", sf_dir="/root/testdata/sf0.1",
@@ -91,5 +88,40 @@ def test_bench_summary_line_contract(tmp_path, monkeypatch):
     # the spreads line precedes and carries every run array
     spreads = json.loads(lines[0])
     assert set(spreads["runs"]) == set(runs)
-    # sidecar landed next to the (monkeypatched) script path
+    # sidecar write is a separate, explicit step (emit_lines is pure)
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    bench.write_runs_sidecar(lines[0])
     assert (tmp_path / "BENCH_RUNS.json").exists()
+
+
+def test_bench_summary_sheds_to_fit_any_payload():
+    """The shedding ladder must bound the summary line even for a
+    pathological payload (hundreds of long keys + a flood of
+    regressions) — the r5 'parsed: null' failure had exactly one
+    shedding step and no check after it."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    per_query = {
+        f"pathologically_long_query_name_{'x' * 40}_{i:04d}": 1.234
+        for i in range(400)
+    }
+    extended = {f"ext_{'y' * 60}_{i:04d}": 9.87 for i in range(400)}
+    regressions = [f"key_{i} regressed beyond the documented floor" * 3
+                   for i in range(50)]
+    lines = bench.emit_lines(
+        total=1.0, per_query=per_query, extended=extended,
+        runs={}, sf="0.1", sf_dir="/x",
+        rows_per_minute=1, regressions=regressions,
+    )
+    assert len(lines[-1]) <= bench.SUMMARY_LINE_BUDGET
+    summary = json.loads(lines[-1])
+    assert summary["value"] == 1.0  # total always survives
+    assert summary.get("queries_shed", 0) > 0  # ladder reached keys
+    # caller's dict is not mutated by the shedding
+    assert len(per_query) == 400
