@@ -28,33 +28,25 @@ def main() -> None:
         "probe-subset", extra_conf={"spark.driver.memory": "24g"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{sp.OUT}/lineitem.parquet"):
-        print("building 10x replica ...", flush=True)
-        sp.build(spark)
+    sp.ensure_replica(spark)
 
     from dbeam_spark.queries import QUERIES
 
+    for name in sp.ARTIFACT_WARM:
+        if name in names:
+            QUERIES[name](spark, sp.BASE).collect()
+            QUERIES[name](spark, sp.OUT).collect()
+
+    print(f"{'query':28s} {'sf0.1':>8s} {sp.COPIES:>6d}x {'ratio':>6s}"
+          "  rows(big)", flush=True)
     for name in names:
         QUERIES[name](spark, "/root/testdata/sf0.001").collect()
-
-    base = {}
-    big = {}
-    import time
-
-    for name in names:
-        t0 = time.monotonic()
-        rows = QUERIES[name](spark, sp.BASE).collect()
-        base[name] = (round(time.monotonic() - t0, 2), len(rows))
-        t0 = time.monotonic()
-        rows = QUERIES[name](spark, sp.OUT).collect()
-        big[name] = (round(time.monotonic() - t0, 2), len(rows))
-
-    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}  rows(10x)")
-    for name in names:
-        b, _ = base[name]
-        g, nrows = big[name]
+        b, _ = sp.time_one(spark, sp.BASE, name)
+        g, nrows = sp.time_one(spark, sp.OUT, name)
         ratio = g / b if b else float("nan")
-        print(f"{name:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}  {nrows}")
+        print(f"{name:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}  {nrows}",
+              flush=True)
+        sp._update_scale_json(name, b, g, nrows, sp.COPIES)
     spark.stop()
 
 

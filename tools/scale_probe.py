@@ -14,11 +14,21 @@ Replication semantics (keys shifted so semantics survive):
   (10x users, same events-per-user), group counts grow 10x.
 - customer x10 (it scales WITH facts; the dims region/nation/
   supplier/part stay fixed, as they would at 100 TB).
-- documents x10 with doc_id offset AND a per-copy token suffix
-  (every token t -> t_<i>): within-copy planted near-dups are
-  preserved, cross-copy texts share no shingles — so the near-dup
-  density (the thing LSH cost scales with) stays constant instead of
-  every doc gaining 9 identical twins.
+- documents x10 with doc_id offset AND a per-(token, copy) suffix
+  COIN: token t keeps its surface form in copy i iff
+  pmod(xxhash64(t) + i, 2) = 0, else becomes t_<i>. Each copy's
+  transform is an injective token remap, so within-copy planted
+  near-dup Jaccard is preserved EXACTLY; the same original doc in
+  two copies shares only shingles whose k tokens all land heads in
+  BOTH copies (~(1/2)^k of positions — far below LSH thresholds),
+  so near-dup density (the thing LSH cost scales with) stays
+  constant instead of every doc gaining 9 identical twins. Unlike
+  the old suffix-EVERY-token rule (which diluted each token's
+  corpus share by 1/copies — heavy_hitters_cms measured 0 rows at
+  30x, keyword_search 0 matches), every token keeps a scale-
+  INVARIANT share: present unsuffixed in half the copies, so its
+  share is half its base share at every copy count — the Zipf head
+  survives, token-frequency probes measure real work.
 - embeddings x10 with vec_id offset (used for knn query scoring:
   fixed query set against a 10x base).
 
@@ -165,13 +175,22 @@ PROBES = [
 ]
 
 
+# Bumped whenever replication SEMANTICS change (not just source data):
+# folded into source_key so preflight + the self-rebuild check both
+# treat replicas built by an older builder as stale. v2 = the
+# Zipf-head-preserving token coin (r7).
+BUILDER_VERSION = 2
+
+
 def source_key(base: str = BASE) -> str:
     """Content signature of the probe's source tables: (name, size,
-    mtime) per parquet file. A replica whose ``_SOURCE_KEY`` doesn't
-    match this is stale (the driver regenerated testdata) and must be
-    rebuilt — tools/preflight.py hard-fails on such replicas so a
-    stale one can never quietly flatten a probe ratio."""
-    return repr(
+    mtime) per parquet file, prefixed with the builder version. A
+    replica whose ``_SOURCE_KEY`` doesn't match this is stale (the
+    driver regenerated testdata, or the replication semantics
+    changed) and must be rebuilt — tools/preflight.py hard-fails on
+    such replicas so a stale one can never quietly flatten a probe
+    ratio."""
+    return f"builder_v{BUILDER_VERSION}|" + repr(
         sorted(
             (f, os.path.getsize(os.path.join(base, f)),
              int(os.path.getmtime(os.path.join(base, f))))
@@ -238,10 +257,16 @@ def build(spark) -> None:
         "event_type", "value", "props",
     ]).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
 
-    # per-copy token suffix keeps cross-copy Jaccard at 0
+    # Per-(token, copy) coin (module docstring): injective remap per
+    # copy preserves within-copy Jaccard exactly; every token stays
+    # unsuffixed in half the copies so the Zipf head's corpus share
+    # is scale-invariant. HOF transform is interpreted-per-element
+    # (CLAUDE.md) but the build is one-time and untimed.
     rep(docs, [
         f"doc_id + {{i}} * {d_off} AS doc_id",
-        "regexp_replace(text, '(\\\\S+)', '$1_{i}') AS text",
+        "array_join(transform(split(text, ' '), t -> "
+        "CASE WHEN pmod(xxhash64(t) + {i}, 2) = 0 THEN t "
+        "ELSE concat(t, '_{i}') END), ' ') AS text",
         "lang", "source", "n_chars",
     ]).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
 
@@ -269,18 +294,71 @@ ARTIFACT_WARM = [
 ]
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_JSON = os.path.join(REPO_ROOT, "SCALE.json")
+
+SCALE_JSON_SCHEMA = (
+    "queries.<name> -> {t_base_s (sf0.1 wall), t10x_s/t30x_s (replica "
+    "wall at 10x/30x copies), ratio10x/ratio30x (vs t_base_s), "
+    "rows_10x/rows_30x, b (power-law exponent t=a*n^b fitted on the "
+    "two LARGEST available scale points; when only base+10x exist the "
+    "base point carries ~0.3-0.5s fixed per-job overhead, so b "
+    "overstates sub-second queries), t100x_proj_s (single-node "
+    "projection from the largest point at exponent b)}"
+)
+
+
+def _update_scale_json(
+    name: str, t_base: float, t_big: float, rows_big: int, copies: int
+) -> None:
+    """Merge one probe point into the machine-readable scale record.
+
+    Written incrementally (atomic replace per query) so a crashed
+    exhaustive sweep keeps every completed point, and the driver can
+    trend exponents across rounds the way it trends bench keys."""
+    import json
+    import math
+
+    data: dict = {}
+    if os.path.exists(SCALE_JSON):
+        try:
+            with open(SCALE_JSON) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            data = {}
+    data["schema"] = SCALE_JSON_SCHEMA
+    data["base_sf_dir"] = BASE
+    q = data.setdefault("queries", {}).setdefault(name, {})
+    q["t_base_s"] = t_base
+    q[f"t{copies}x_s"] = t_big
+    q[f"ratio{copies}x"] = round(t_big / t_base, 2) if t_base else None
+    q[f"rows_{copies}x"] = rows_big
+    pts = [(1.0, q.get("t_base_s"))] + [
+        (float(c), q.get(f"t{c}x_s"))
+        for c in (10, 30)
+        if q.get(f"t{c}x_s") is not None
+    ]
+    pts = [(n, t) for n, t in pts if t and t > 0]
+    if len(pts) >= 2:
+        (n0, t0), (n1, t1) = pts[-2], pts[-1]
+        b = math.log(t1 / t0) / math.log(n1 / n0)
+        q["b"] = round(b, 2)
+        q["t100x_proj_s"] = round(t1 * (100.0 / n1) ** b, 1)
+    tmp = SCALE_JSON + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+    os.replace(tmp, SCALE_JSON)
+
+
+def time_one(spark, sf_dir: str, name: str) -> tuple[float, int]:
     from dbeam_spark.queries import QUERIES
 
-    for name in ARTIFACT_WARM:
-        if name in PROBES:
-            QUERIES[name](spark, sf_dir).collect()
-    res = {}
-    for name in PROBES:
-        t0 = time.monotonic()
-        rows = QUERIES[name](spark, sf_dir).collect()
-        res[name] = (round(time.monotonic() - t0, 2), len(rows))
-    # export throughput
+    t0 = time.monotonic()
+    rows = QUERIES[name](spark, sf_dir).collect()
+    return round(time.monotonic() - t0, 2), len(rows)
+
+
+def time_export(spark, sf_dir: str) -> tuple[float, int]:
     import tempfile
 
     from dbeam_spark.avro.schema import spark_schema_to_avro
@@ -296,10 +374,28 @@ def time_queries(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
     )
     el = time.monotonic() - t0
     shutil.rmtree(out, ignore_errors=True)
-    res["avro_export_lineitem"] = (
-        round(el, 2), sum(s["rows"] for s in stats)
+    return round(el, 2), sum(s["rows"] for s in stats)
+
+
+def ensure_replica(spark) -> None:
+    """Build (or rebuild) the COPIES-x replica when absent or stale —
+    the single shared entry point for scale_probe and probe_subset so
+    every build path stamps `_SOURCE_KEY`."""
+    src_key = source_key(BASE)
+    key_file = f"{OUT}/_SOURCE_KEY"
+    stale = os.path.exists(OUT) and (
+        not os.path.exists(key_file)
+        or open(key_file).read() != src_key
     )
-    return res
+    if stale:
+        print("replica stale vs regenerated testdata/builder - "
+              "rebuilding", flush=True)
+        shutil.rmtree(OUT)
+    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+        print(f"building {COPIES}x replica ...", flush=True)
+        build(spark)
+        with open(key_file, "w") as fh:
+            fh.write(src_key)
 
 
 def main() -> None:
@@ -326,42 +422,35 @@ def main() -> None:
     if "--rebuild" in sys.argv and os.path.exists(OUT):
         shutil.rmtree(OUT)
     # staleness guard: the driver REGENERATES testdata between rounds
-    # (CLAUDE.md); a replica built from last round's parquet would
-    # silently probe the wrong data. Key the replica to the source
-    # files' (size, mtime) signature and rebuild on mismatch.
-    src_key = source_key(BASE)
-    key_file = f"{OUT}/_SOURCE_KEY"
-    stale = (
-        os.path.exists(OUT)
-        and (
-            not os.path.exists(key_file)
-            or open(key_file).read() != src_key
-        )
-    )
-    if stale:
-        print("replica stale vs regenerated testdata - rebuilding",
-              flush=True)
-        shutil.rmtree(OUT)
-    if not os.path.exists(f"{OUT}/lineitem.parquet"):
-        print(f"building {COPIES}x replica ...", flush=True)
-        build(spark)
-        with open(key_file, "w") as fh:
-            fh.write(src_key)
+    # (CLAUDE.md), and the builder itself versions its semantics.
+    ensure_replica(spark)
 
-    # warm codegen + python fleet
     from dbeam_spark.queries import QUERIES
 
+    for name in ARTIFACT_WARM:
+        if name in PROBES:
+            QUERIES[name](spark, BASE).collect()
+            QUERIES[name](spark, OUT).collect()
+
+    # Interleaved per-query (warm at sf0.001 -> time base -> time
+    # replica -> print + persist) so a long --all sweep streams
+    # results and a crash loses at most one query's points.
+    print(f"{'query':28s} {'sf0.1':>8s} {COPIES:>6d}x {'ratio':>6s}"
+          "  rows(big)", flush=True)
     for name in PROBES:
         QUERIES[name](spark, "/root/testdata/sf0.001").collect()
-
-    base = time_queries(spark, BASE)
-    big = time_queries(spark, OUT)
-    print(f"{'query':28s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}  rows(10x)")
-    for name in base:
-        b, _ = base[name]
-        g, nrows = big[name]
+        b, _ = time_one(spark, BASE, name)
+        g, nrows = time_one(spark, OUT, name)
         ratio = g / b if b else float("nan")
-        print(f"{name:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}  {nrows}")
+        print(f"{name:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}  {nrows}",
+              flush=True)
+        _update_scale_json(name, b, g, nrows, COPIES)
+    eb, _ = time_export(spark, BASE)
+    eg, erows = time_export(spark, OUT)
+    ratio = eg / eb if eb else float("nan")
+    print(f"{'avro_export_lineitem':28s} {eb:8.2f} {eg:8.2f} "
+          f"{ratio:6.1f}  {erows}", flush=True)
+    _update_scale_json("avro_export_lineitem", eb, eg, erows, COPIES)
     spark.stop()
 
 
