@@ -1198,6 +1198,121 @@ def stream_join_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_completeness_sampled",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id AS u, ts AS pts
+      FROM events
+      WHERE event_type = 'purchase'
+        AND substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    ),
+    v AS (
+      SELECT event_id AS vid, user_id AS u, ts AS vts
+      FROM events
+      WHERE event_type = 'view'
+        AND substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    ),
+    j AS (
+      SELECT p.pid, v.vid
+      FROM p LEFT JOIN v
+        ON v.u = p.u
+       AND v.vts >= p.pts - INTERVAL 1 HOUR
+       AND v.vts <= p.pts
+    )
+    SELECT CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match_rows,
+           CAST(COUNT(DISTINCT CASE WHEN vid IS NOT NULL THEN pid END)
+                AS BIGINT) AS n_matched_purchases,
+           CAST(COUNT(DISTINCT pid)
+                - COUNT(DISTINCT CASE WHEN vid IS NOT NULL THEN pid END)
+                AS BIGINT) AS n_unmatched_purchases
+    FROM j
+    """,
+)
+def stream_join_completeness_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_join_completeness on a DETERMINISTIC ~12.5% key sample —
+    the operating mode the 100x memo prescribes for the audit at
+    scale. The exhaustive twin is per-key independent (the outer join
+    partitions its state by user and no counter crosses users), so
+    gating BOTH streams on the same md5 key range — first hex nibble
+    of md5(user_id) in {0,1}, 2/16 of the key space — yields the
+    exact completeness report for an unbiased 1/8 of users: a sampled
+    user's purchases still see every one of that user's views. State,
+    shuffle, and wall all shrink with the sample while the eviction
+    semantics being audited are exercised unchanged; the exhaustive
+    twin stays registered for the full-corpus gate. The gate is
+    restated verbatim in the oracle (md5-of-string is engine-
+    portable), so even the sampled report is hash-gated.
+
+    Scale shape: the audit's cost is the outer join's state footprint
+    (keys x window); a fixed key fraction caps it at sample_rate x
+    the exhaustive cost at ANY corpus size, and tightening the nibble
+    set walks the rate down as the fleet grows — the knob is a share
+    of KEY SPACE (stable under data growth), not a %-of-corpus row
+    cap."""
+    name = f"sjcs_{uuid.uuid4().hex[:8]}"
+    gate = F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 1
+    ).isin("0", "1")
+    # sentinel rows (user_id < 0) must PASS the pre-watermark filters
+    # or the final windows never flush; dropped again after the join
+    purchases = (
+        _events_stream(spark, sf_dir, flush_sentinel=True)
+        .filter(
+            ((F.col("event_type") == "purchase") & gate)
+            | (F.col("user_id") < 0)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    views = (
+        _events_stream(spark, sf_dir, flush_sentinel=True)
+        .filter(
+            ((F.col("event_type") == "view") & gate)
+            | (F.col("user_id") < 0)
+        )
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    _run_stream(joined, name, "append")
+    return spark.table(name).filter(F.col("user_id") >= 0).agg(
+        F.count_distinct("purchase_id").alias("n_purchases"),
+        F.sum(
+            F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_match_rows"),
+        F.count_distinct(
+            F.when(F.col("view_id").isNotNull(), F.col("purchase_id"))
+        ).alias("n_matched_purchases"),
+        (
+            F.count_distinct("purchase_id")
+            - F.count_distinct(
+                F.when(
+                    F.col("view_id").isNotNull(), F.col("purchase_id")
+                )
+            )
+        ).cast("long").alias("n_unmatched_purchases"),
+    )
+
+
+@register(
     "stream_changepoint",
     oracle="""
     WITH daily AS (
