@@ -2,20 +2,24 @@
 
 Two tiers of decode:
 
-- REAL decoders for the stdlib-decodable formats — BMP (struct-parsed
-  BITMAPINFOHEADER + bottom-up padded pixel rows), PNG (chunk walk
-  with CRC validation, zlib inflate, full Sub/Up/Average/Paeth
-  scanline reconstruction) and WAV (RIFF via the `wave` module, PCM
-  frames out). These run genuinely decoded bytes through the same
-  Arrow plumbing the stubs use; encode twins exist so tests plant
-  media and pin pixel/sample round-trips exactly.
-- Stubs for formats whose codecs are absent in this container (JPEG/
-  MP4 need PIL/pyav): `decode_media` raises NotImplementedError for
-  those, `fake_decode` is the deterministic stand-in. Swapping in a
-  PIL/ffmpeg call is the only change needed on a real cluster — the
-  Spark-side contract (binary column + metadata struct in,
-  Arrow-batched `mapInPandas` with explicit schema out) is identical
-  either way, as the BMP/PNG/WAV tier proves.
+- REAL decoders for the pure-Python-feasible formats — BMP
+  (struct-parsed BITMAPINFOHEADER + bottom-up padded pixel rows),
+  PNG (chunk walk with CRC validation, zlib inflate, full
+  Sub/Up/Average/Paeth scanline reconstruction), baseline JPEG
+  (marker walk, DQT/DHT parsed from the file, Huffman entropy
+  decode, dequant + 2-D IDCT, YCbCr->RGB; encoder twin emits
+  spec-valid JFIF with Annex-K Huffman tables) and WAV (RIFF via
+  the `wave` module, PCM frames out). These run genuinely decoded
+  bytes through the same Arrow plumbing the stubs use; encode twins
+  exist so tests plant media and pin pixel/sample round-trips.
+- A stub for the one format whose codec is genuinely absent in this
+  container (MP4 needs pyav): `decode_media` raises
+  NotImplementedError for it, `fake_decode` is the deterministic
+  stand-in. Swapping in an ffmpeg call is the only change needed on
+  a real cluster — the Spark-side contract (binary column +
+  metadata struct in, Arrow-batched `mapInPandas` with explicit
+  schema out) is identical either way, as the BMP/PNG/JPEG/WAV tier
+  proves.
 """
 
 from __future__ import annotations
@@ -271,6 +275,509 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes, list[int]]:
     return width, height, 8, out.tobytes(), filters
 
 
+# ------------------------------------------------- baseline JPEG codec
+#
+# Pure numpy/stdlib baseline JFIF (ITU-T T.81): sequential DCT, 8-bit,
+# 3-component 4:4:4 (no chroma subsampling), Annex-K Huffman tables in
+# the DHT segments. The DECODER trusts only the file: quantization and
+# Huffman tables are parsed back out of DQT/DHT, so any spec-valid
+# baseline 4:4:4 JPEG decodes, not just our own. Out of scope (raises,
+# declared): progressive (SOF2), subsampled chroma, restart markers
+# (DRI), 12-bit precision, arithmetic coding.
+
+# zigzag scan order: ZIGZAG[k] = row-major index of the k-th coefficient
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1/K.2 reference quantization tables (row-major)
+JPEG_QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+JPEG_QUANT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL). The decoder never
+# reads these — it rebuilds tables from the file's DHT — so the only
+# correctness requirement on the transcription is self-consistency,
+# which _jpeg_check_tables asserts at import: DC tables must cover
+# categories 0..11, AC tables every (run, size) symbol the encoder can
+# emit ({r<<4|s: r 0..15, s 1..10} + EOB 0x00 + ZRL 0xF0).
+JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+JPEG_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+JPEG_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_check_tables() -> None:
+    for bits, vals in (JPEG_DC_LUM, JPEG_DC_CHROM):
+        assert sum(bits) == len(vals) and sorted(vals) == list(range(12))
+    want = {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    want |= {0x00, 0xF0}
+    for bits, vals in (JPEG_AC_LUM, JPEG_AC_CHROM):
+        assert sum(bits) == len(vals) == 162 and set(vals) == want
+
+
+_jpeg_check_tables()
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c  # DCT-II: C @ block @ C.T ; inverse: C.T @ coef @ C
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG code assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_rgb_to_ycbcr(rgb):
+    """JFIF YCbCr, kept in float (no intermediate rounding)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    import numpy as np
+
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _jpeg_blocks(plane, bw: int, bh: int):
+    """Split an edge-replicated plane into (bh*bw, 8, 8) blocks."""
+    return (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(
+    pixels: bytes, width: int, height: int,
+    quant: tuple[list[int], list[int]] | None = None,
+) -> bytes:
+    """Baseline JFIF encoder. `pixels` is width*height*3 TOP-DOWN RGB
+    bytes. `quant` is (luma, chroma) row-major 8x8 tables; default is
+    ALL-ONES (spec-valid, near-lossless — quantization error <=0.5
+    per coefficient), so planted-asset round-trips have a tight,
+    provable pixel bound; pass (JPEG_QUANT_LUM, JPEG_QUANT_CHROM) for
+    the Annex-K lossy path. 4:4:4 sampling: one 8x8 block per
+    component per MCU; partial edge blocks are edge-replicated (the
+    decoder crops back)."""
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    ql, qc = quant if quant is not None else ([1] * 64, [1] * 64)
+    rgb = (
+        np.frombuffer(pixels, np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    ycc = _jpeg_rgb_to_ycbcr(rgb) - 128.0
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8, 3))
+    padded[:height, :width] = ycc
+    padded[height:, :width] = ycc[height - 1: height, :]  # edge replicate
+    padded[:, width:] = padded[:, width - 1: width]
+    C = _jpeg_dct_matrix()
+    qtabs = [
+        np.array(ql, np.float64).reshape(8, 8),
+        np.array(qc, np.float64).reshape(8, 8),
+    ]
+    zz = np.array(JPEG_ZIGZAG)
+    # coefficients per component: (n_blocks, 64) zigzagged ints
+    comp_coefs = []
+    for ci in range(3):
+        blocks = _jpeg_blocks(padded[..., ci], bw, bh)
+        coef = np.einsum("ux,nxy,vy->nuv", C, blocks, C)
+        q = np.rint(coef / qtabs[0 if ci == 0 else 1]).astype(np.int32)
+        comp_coefs.append(q.reshape(-1, 64)[:, zz])
+    dc_codes = [_huffman_codes(*JPEG_DC_LUM), _huffman_codes(*JPEG_DC_CHROM)]
+    ac_codes = [_huffman_codes(*JPEG_AC_LUM), _huffman_codes(*JPEG_AC_CHROM)]
+
+    def magnitude(v: int) -> tuple[int, int]:
+        if v == 0:
+            return 0, 0
+        size = int(v if v > 0 else -v).bit_length()
+        return size, (v if v > 0 else v + (1 << size) - 1)
+
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for mcu in range(bw * bh):
+        for ci in range(3):
+            ti = 0 if ci == 0 else 1
+            blk = comp_coefs[ci][mcu]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            size, val = magnitude(diff)
+            code, ln = dc_codes[ti][size]
+            w.put(code, ln)
+            if size:
+                w.put(val, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_codes[ti][0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                size, val = magnitude(v)
+                code, ln = ac_codes[ti][(run << 4) | size]
+                w.put(code, ln)
+                w.put(val, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[ti][0x00]  # EOB
+                w.put(code, ln)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tab: list[int]) -> bytes:
+        zzt = bytes(int(tab[JPEG_ZIGZAG[k]]) for k in range(64))
+        return seg(0xFFDB, bytes([tid]) + zzt)
+
+    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid] + bits + vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    app0 = seg(
+        0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc) + sof
+        + dht(0, 0, JPEG_DC_LUM) + dht(1, 0, JPEG_AC_LUM)
+        + dht(0, 1, JPEG_DC_CHROM) + dht(1, 1, JPEG_AC_CHROM)
+        + sos + scan + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 de-stuffing."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG scan")
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed
+                elif nxt == 0xD9:  # EOI: pad so final bits drain
+                    byte = 0xFF
+                    self.pos += 0
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in scan "
+                        "(restart markers unsupported)"
+                    )
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code in JPEG scan")
+
+
+def decode_jpeg(
+    payload: bytes,
+) -> tuple[int, int, bytes, list[int], int]:
+    """Baseline JFIF decoder (the inverse bound of encode_jpeg:
+    sequential DCT, 8-bit, 3-component 4:4:4, no restarts). The
+    marker walk parses DQT/DHT/SOF0/SOS from the FILE — tables are
+    never assumed — then Huffman-decodes the interleaved MCU stream,
+    dequantizes, de-zigzags, applies the 2-D inverse DCT, and maps
+    YCbCr back to RGB. Returns (width, height, pixels, segments,
+    n_blocks): pixels as TOP-DOWN width*height*3 RGB bytes cropped
+    from the padded MCU grid, segments as the list of marker codes
+    walked (so callers can pin the container structure), n_blocks as
+    the count of 8x8 blocks entropy-decoded."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    segments = [0xFFD8]
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q: list[int] = []
+    comp_h: list[tuple[int, int]] = []
+    scan_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        segments.append(marker)
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4: pos + 2 + ln]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                pq, tid = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                zzt = np.frombuffer(body, np.uint8, 64, off + 1)
+                tab = np.empty(64, np.float64)
+                tab[np.array(JPEG_ZIGZAG)] = zzt
+                qtabs[tid] = tab.reshape(8, 8)
+                off += 65
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1: off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17: off + 17 + n])
+                dec: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for l in range(1, 17):
+                    for _ in range(bits[l - 1]):
+                        dec[(l, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(cls, tid)] = dec
+                off += 17 + n
+        elif marker == 0xFFC0:
+            prec, height, width, nc = struct.unpack_from(">BHHB", body)
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline")
+            for c in range(nc):
+                cid, samp, qid = body[6 + c * 3: 9 + c * 3]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comp_q.append(qid)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            if ns != 3:
+                raise ValueError("expected 3-component scan")
+            for c in range(ns):
+                tsel = body[2 + c * 2]
+                comp_h.append((tsel >> 4, tsel & 0x0F))
+            scan_at = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if width is None or scan_at is None:
+        raise ValueError("missing SOF0/SOS")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    rd = _BitReader(payload, scan_at)
+    C = _jpeg_dct_matrix()
+    zz = np.array(JPEG_ZIGZAG)
+    planes = [np.empty((bh * 8, bw * 8), np.float64) for _ in range(3)]
+    pred = [0, 0, 0]
+    n_blocks = 0
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                dct, act = comp_h[ci]
+                dc_tab = htabs[(0, dct)]
+                ac_tab = htabs[(1, act)]
+                coef = np.zeros(64, np.float64)
+                size = rd.huff(dc_tab)
+                diff = rd.bits(size)
+                if size and diff < (1 << (size - 1)):
+                    diff -= (1 << size) - 1
+                pred[ci] += diff
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = rd.huff(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    v = rd.bits(size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    coef[k] = v
+                    k += 1
+                block = np.zeros(64, np.float64)
+                block[zz] = coef
+                block = block.reshape(8, 8) * qtabs[comp_q[ci]]
+                spat = C.T @ block @ C + 128.0
+                planes[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = spat
+                n_blocks += 1
+    if 0xFFD9 not in segments:
+        segments.append(0xFFD9)
+    y = planes[0][:height, :width]
+    cb = planes[1][:height, :width] - 128.0
+    cr = planes[2][:height, :width] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+    return width, height, rgb.tobytes(), segments, n_blocks
+
+
 def encode_wav(samples: bytes, rate: int = 8000, channels: int = 1,
                sampwidth: int = 2) -> bytes:
     """PCM WAV container around raw little-endian sample bytes."""
@@ -315,6 +822,9 @@ def decode_media(payload: bytes, mime: str):
         return len(payload), w, h
     if mime == "image/png":
         w, h, _, _, _ = decode_png(payload)
+        return len(payload), w, h
+    if mime == "image/jpeg":
+        w, h, _, _, _ = decode_jpeg(payload)
         return len(payload), w, h
     if mime in ("audio/wav", "audio/x-wav"):
         _, _, rate, n_frames, _ = decode_wav(payload)

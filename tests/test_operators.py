@@ -2039,6 +2039,55 @@ def test_png_codec_roundtrip():
         decode_png(b"\x89PNG\r\n\x1a\njunk")
 
 
+def test_jpeg_codec_roundtrip():
+    """encode_jpeg -> decode_jpeg: geometry/segment/block structure
+    exact; pixels within the provable all-ones-quant bound (measured
+    max 2, asserted <= 8 wide-margin). Covers partial edge blocks,
+    multi-MCU grids, the Annex-K lossy tables (structural), and the
+    declared rejection bounds."""
+    import numpy as np
+    import pytest as _pt
+
+    from dbeam_spark.operators.multimodal import (
+        JPEG_QUANT_CHROM,
+        JPEG_QUANT_LUM,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(29)
+    for w, h in [(1, 1), (8, 8), (7, 5), (16, 9), (31, 23)]:
+        pixels = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        payload = encode_jpeg(pixels, w, h)
+        dw, dh, dpix, segs, blocks = decode_jpeg(payload)
+        assert (dw, dh) == (w, h)
+        assert blocks == 3 * ((w + 7) // 8) * ((h + 7) // 8)
+        # SOI APP0 DQT DQT SOF0 DHT*4 SOS EOI
+        assert len(segs) == 11 and segs[0] == 0xFFD8
+        err = np.abs(
+            np.frombuffer(dpix, np.uint8).astype(np.int16)
+            - np.frombuffer(pixels, np.uint8).astype(np.int16)
+        ).max()
+        assert err <= 8, f"{w}x{h}: err {err}"
+    # Annex-K lossy tables: structurally decodable (no pixel bound)
+    pixels = rng.randint(0, 256, 16 * 16 * 3, dtype=np.uint8).tobytes()
+    payload = encode_jpeg(
+        pixels, 16, 16, quant=(JPEG_QUANT_LUM, JPEG_QUANT_CHROM)
+    )
+    dw, dh, dpix, _, _ = decode_jpeg(payload)
+    assert (dw, dh, len(dpix)) == (16, 16, 16 * 16 * 3)
+    # declared bounds are rejected, not mis-decoded
+    with _pt.raises(ValueError):
+        decode_jpeg(b"\x89PNG")  # bad SOI
+    with _pt.raises(ValueError):
+        decode_jpeg(payload[:40])  # truncated before SOS
+    prog = bytearray(payload)
+    sof_at = payload.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # progressive
+    with _pt.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+
 def test_wav_codec_roundtrip():
     """encode_wav -> decode_wav is identity on PCM frames and format
     fields for mono/stereo and 8/16-bit widths."""
@@ -2078,5 +2127,9 @@ def test_decode_media_dispatch():
     assert decode_media(png, "image/png") == (len(png), 4, 5)
     wav = encode_wav(bytes(range(200)), rate=8000)
     assert decode_media(wav, "audio/wav") == (len(wav), 100, 8000)
+    from dbeam_spark.operators.multimodal import encode_jpeg
+
+    jpg = encode_jpeg(bytes(range(90)) + bytes(90), 6, 10)
+    assert decode_media(jpg, "image/jpeg") == (len(jpg), 6, 10)
     with _pt.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")
+        decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
