@@ -295,7 +295,12 @@ ARTIFACT_WARM = [
 
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALE_JSON = os.path.join(REPO_ROOT, "SCALE.json")
+# SCALE_JSON_PATH lets parallel sweep shards write disjoint sidecars
+# (merged back into SCALE.json by the orchestrator) without
+# read-modify-write races on the shared file.
+SCALE_JSON = os.environ.get(
+    "SCALE_JSON_PATH", os.path.join(REPO_ROOT, "SCALE.json")
+)
 
 SCALE_JSON_SCHEMA = (
     "queries.<name> -> {t_base_s (sf0.1 wall), t10x_s/t30x_s (replica "
