@@ -812,7 +812,22 @@ def knn_join(
     final rank still orders by the SPARK-rounded similarity, and a
     candidate can only be displaced across the rounding boundary by
     a near-tie within 1e-6 — ties deeper than the pad would require
-    nine raw sims inside one rounding ulp."""
+    nine raw sims inside one rounding ulp.
+
+    Kernel shape (the r7 exhaustive probe's catch): the old kernel
+    accumulated an m×n dots array in dim explicit passes — at the
+    200k-row 10x point that is a ~10 GB per-task temp and ~20 TB of
+    DRAM traffic (605 s measured, memory-bound swap storm). Scoring
+    now PRESELECTS with one tiled BLAS matmul over bounded row
+    chunks (temp capped ~128 MB regardless of n) and then RESCORES
+    only the selected pad candidates with the explicit left-to-right
+    accumulation — so every EMITTED sim is still bit-equal to the
+    SQL oracle's list_inner_product, while the O(n²d) part runs at
+    matmul speed. matmul-vs-sequential differences are ~1e-15
+    relative, nine orders below the 1e-6 pad guard, so preselection
+    cannot displace a candidate the pad logic doesn't already
+    absorb; within the preselected pool the original deterministic
+    (-sim, id) lexsort cut is preserved."""
     import numpy as np
 
     d = _as_double(df, vec_col).select(
@@ -837,29 +852,56 @@ def knn_join(
         for i in range(dim):
             nb = nb + B[:, i] * B[:, i]
         nb = np.sqrt(nb)
+        Bt = np.ascontiguousarray(B.T)
+        # cap the m×n preselection temp at ~4M doubles (32 MB): big
+        # enough for dgemm efficiency, small enough that 32 workers'
+        # first-touch doesn't stall in kernel page compaction on a
+        # fragmented box (observed: 28-78s first run vs 4.5s steady
+        # with 128 MB temps after a heavy sweep)
+        chunk_m = max(16, int(4_000_000 // max(n, 1)))
+        # take extra preselection slack so an unstable argpartition
+        # boundary among raw-sim ties cannot drop an id the (-sim,
+        # id) lexsort cut would have kept
+        presel = pad + 8
+
+        def exact_sim(a_row, b_rows, nb_sel, na_j):
+            # left-to-right accumulation, identical to the oracle
+            acc = np.zeros(len(b_rows))
+            for i in range(dim):
+                acc = acc + a_row[i] * b_rows[:, i]
+            return acc / (na_j * nb_sel)
+
         for pdf in batches:
             if not len(pdf):
                 continue
             A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             a_ids = pdf["rid"].to_numpy(dtype=np.int64)
             m = A.shape[0]
-            dots = np.zeros((m, n))
             na = np.zeros(m)
             for i in range(dim):
-                col = A[:, i]
-                dots += col[:, None] * B[:, i][None, :]
-                na = na + col * col
-            sims = dots / (np.sqrt(na)[:, None] * nb[None, :])
+                na = na + A[:, i] * A[:, i]
+            na = np.sqrt(na)
             q_out, n_out, s_out = [], [], []
-            for j in range(m):
-                row = sims[j]
-                mask = b_ids != a_ids[j]
-                cand_ids = b_ids[mask]
-                cand_sims = row[mask]
-                order = np.lexsort((cand_ids, -cand_sims))[:pad]
-                q_out.append(np.full(len(order), a_ids[j]))
-                n_out.append(cand_ids[order])
-                s_out.append(cand_sims[order])
+            for c0 in range(0, m, chunk_m):
+                Ac = A[c0: c0 + chunk_m]
+                approx = (Ac @ Bt) / (
+                    na[c0: c0 + chunk_m, None] * nb[None, :]
+                )
+                take = min(presel, n - 1) if n > 1 else 1
+                idx = np.argpartition(-approx, take - 1, axis=1)[
+                    :, :take + 1
+                ]
+                for cj in range(Ac.shape[0]):
+                    j = c0 + cj
+                    sel = idx[cj]
+                    sel = sel[b_ids[sel] != a_ids[j]]
+                    sims_sel = exact_sim(
+                        A[j], B[sel], nb[sel], na[j]
+                    )
+                    order = np.lexsort((b_ids[sel], -sims_sel))[:pad]
+                    q_out.append(np.full(len(order), a_ids[j]))
+                    n_out.append(b_ids[sel][order])
+                    s_out.append(sims_sel[order])
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(q_out),
