@@ -29,8 +29,18 @@ Replication semantics (keys shifted so semantics survive):
   INVARIANT share: present unsuffixed in half the copies, so its
   share is half its base share at every copy count — the Zipf head
   survives, token-frequency probes measure real work.
-- embeddings x10 with vec_id offset (used for knn query scoring:
-  fixed query set against a 10x base).
+- embeddings x10 with vec_id offset AND a per-(dim, copy) SIGN FLIP
+  (builder v3): copy i multiplies dimension d by -1 iff
+  pmod(xxhash64(d || '|' || i), 2) = 1 (copy 0 is the identity). A
+  diagonal +-1 matrix is orthogonal, so within-copy norms and ALL
+  pairwise cosines are preserved exactly — every cosine-based
+  result replicates per copy — while cross-copy cosine collapses
+  to ~0 (half the dims flip sign between two copies). Without
+  this, every vector has copies-1 EXACT twins: embedding-dedup
+  pair counts explode ~(copies^2/2)x instead of copies-x, and the
+  kNN graph degenerates into copies-cliques of self-twins — the
+  r7 exhaustive sweep measured dedup_embedding at 104k pairs
+  (90k of them cross-copy artifacts) before this landed.
 
 Usage:
   python tools/scale_probe.py            # build (if absent) + run
@@ -178,8 +188,9 @@ PROBES = [
 # Bumped whenever replication SEMANTICS change (not just source data):
 # folded into source_key so preflight + the self-rebuild check both
 # treat replicas built by an older builder as stale. v2 = the
-# Zipf-head-preserving token coin (r7).
-BUILDER_VERSION = 2
+# Zipf-head-preserving token coin; v3 = the per-copy embedding sign
+# flip (both r7).
+BUILDER_VERSION = 3
 
 
 def source_key(base: str = BASE) -> str:
@@ -270,10 +281,26 @@ def build(spark) -> None:
         "lang", "source", "n_chars",
     ]).write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
 
-    rep(emb, [
-        f"vec_id + {{i}} * {v_off} AS vec_id",
-        "embedding", "label",
-    ]).write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    # Per-copy diagonal +-1 sign flip (module docstring): orthogonal,
+    # so within-copy cosines/norms are bit-preserved while cross-copy
+    # cosine collapses — no exact-twin degeneracy. transform() with
+    # the POSITIONAL lambda arg gives the dimension index.
+    emb_parts = []
+    for i in range(COPIES):
+        emb_expr = (
+            "embedding" if i == 0 else (
+                "transform(embedding, (x, d) -> CASE WHEN "
+                f"pmod(xxhash64(concat(cast(d AS STRING), '|', {i})), 2)"
+                " = 0 THEN x ELSE -x END) AS embedding"
+            )
+        )
+        emb_parts.append(emb.selectExpr(
+            f"vec_id + {i} * {v_off} AS vec_id", emb_expr, "label"
+        ))
+    emb_out = emb_parts[0]
+    for p in emb_parts[1:]:
+        emb_out = emb_out.unionByName(p)
+    emb_out.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
 
 
 # Maintenance queries serve from a persisted, content-keyed artifact
