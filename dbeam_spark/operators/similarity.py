@@ -548,21 +548,39 @@ def embedding_dedup_pairs(
         import pandas as pd
 
         b_ids, b_mat = bc.value
+        n_b = len(b_ids)
+        b_mat_t = np.ascontiguousarray(b_mat.T)
+        # cap the m×n similarity temp at ~4M doubles (32 MB): an
+        # Arrow batch (10k rows) against a 200k-row comparison matrix
+        # is otherwise a 16 GB allocation PER TASK — the same
+        # swap-storm shape the r7 exhaustive sweep caught in the kNN
+        # self-join kernel (dedup_embedding measured 20.6x at the 10x
+        # probe before this). Row-chunked dgemm computes each row's
+        # dots with the identical summation order, so emitted sims
+        # are unchanged.
+        chunk_m = max(16, int(4_000_000 // max(n_b, 1)))
         for pdf in batches:
+            if not len(pdf):
+                continue
             a_ids = pdf["pid"].to_numpy(dtype=np.int64)
             a_mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            ia, ib = np.nonzero(
-                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ia],
-                    "id_b": b_ids[ib],
-                    "sim": np.round(sims[ia, ib], 4),
-                }
-            )
+            for c0 in range(0, len(a_ids), chunk_m):
+                ac_ids = a_ids[c0 : c0 + chunk_m]
+                sims = a_mat[c0 : c0 + chunk_m] @ b_mat_t
+                ia, ib = np.nonzero(
+                    (sims >= threshold)
+                    & (ac_ids[:, None] < b_ids[None, :])
+                )
+                if not len(ia):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": ac_ids[ia],
+                        "id_b": b_ids[ib],
+                        "sim": np.round(sims[ia, ib], 4),
+                    }
+                )
 
     from dbeam_spark.operators.util import rebalance_for_arrow
 
@@ -574,10 +592,11 @@ def embedding_dedup_pairs(
 def rh_lsh_embedding_pairs(
     df: DataFrame,
     threshold: float,
-    n_tables: int = 8,
-    n_planes: int = 8,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Random-hyperplane LSH scale path for embedding near-dup pairs.
 
@@ -586,8 +605,25 @@ def rh_lsh_embedding_pairs(
     exact cosine verifies. P[candidate] = 1-(1-(1-θ/π)^k)^L — with
     8×8 that is ≈0.99 at cos 0.95 and ≈0.23 at cos 0.45, so recall is
     governed by the (L, k) knobs while precision stays 1.0 via the
-    exact check. The bucket join replaces `embedding_dedup_pairs`'
-    all-pairs broadcast at 100 TB; the gate is rows-only (recall < 1).
+    exact check. This replaces `embedding_dedup_pairs`' all-pairs
+    broadcast at 100 TB.
+
+    Scale shape (the r7 exhaustive sweep's catch — a FIXED 2^8
+    bucket space made expected bucket occupancy n/256, i.e. the
+    candidate join quadratic in n): both knobs now ADAPT —
+    k = log2(n/32) targets ~32 rows/bucket at any n, so candidate
+    volume is O(L·n·occupancy) = linear, and L grows with k to hold
+    recall (p^k shrinks as k rises; L ≈ k keeps 1-(1-p^k)^L ≳ 0.95
+    at cos 0.95 out to millions of rows). Verification happens
+    INSIDE the (table, bucket) group: one applyInPandas per bucket
+    runs a within-bucket normalized matmul and emits only pairs at
+    or above threshold — no candidate-pair materialization, no
+    join-back of vectors, and no interpreted 64-term Catalyst dot
+    chain (the measured codegen cliff). Cross-table duplicates
+    collapse in one (id_a, id_b) groupBy. `max_bucket` is the
+    ABSOLUTE companion bound (CLAUDE.md's fractional-cap rule) on
+    the per-bucket quadratic: degenerate buckets are truncated to
+    the lowest-id members, deterministically.
     """
     import numpy as np
 
@@ -595,6 +631,11 @@ def rh_lsh_embedding_pairs(
     d = _as_double(df, vec_col).select(
         F.col(id_col).alias("pid"), F.col(vec_col).alias("v")
     )
+    n = d.count()
+    if n_planes is None:
+        n_planes = max(8, int(np.ceil(np.log2(max(n, 2) / 32.0))))
+    if n_tables is None:
+        n_tables = max(8, n_planes)
     dim = _dim_of(d, "v")
     planes = rng.standard_normal((n_tables * n_planes, dim))
     bc = d.sparkSession.sparkContext.broadcast(planes)
@@ -605,6 +646,8 @@ def rh_lsh_embedding_pairs(
         pl = bc.value
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         for pdf in batches:
+            if not len(pdf):
+                continue
             mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             bits = (mat @ pl.T) >= 0  # (rows, L*k)
             out = []
@@ -612,7 +655,12 @@ def rh_lsh_embedding_pairs(
                 bucket = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
                 out.append(
                     pd.DataFrame(
-                        {"pid": pdf["pid"], "table": t, "bucket": bucket}
+                        {
+                            "pid": pdf["pid"],
+                            "v": pdf["v"],
+                            "table": t,
+                            "bucket": bucket,
+                        }
                     )
                 )
             yield pd.concat(out, ignore_index=True)
@@ -620,41 +668,42 @@ def rh_lsh_embedding_pairs(
     from dbeam_spark.operators.util import rebalance_for_arrow
 
     buckets = rebalance_for_arrow(d).mapInPandas(
-        bucketize, "pid long, table int, bucket long"
+        bucketize, "pid long, v array<double>, table int, bucket long"
     )
-    a = buckets.select(F.col("pid").alias("id_a"), "table", "bucket")
-    b = buckets.select(
-        F.col("pid").alias("id_b"),
-        F.col("table").alias("table_b"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("table") == F.col("table_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("id_a") < F.col("id_b")),
+
+    def bucket_pairs(key, pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "sim": "float64"}
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = d.select(
-        F.col("pid").alias("id_a"),
-        F.col("v").alias("v_a"),
-        norm(F.col("v"), dim).alias("n_a"),
-    )
-    vb = d.select(
-        F.col("pid").alias("id_b"),
-        F.col("v").alias("v_b"),
-        norm(F.col("v"), dim).alias("n_b"),
-    )
-    sim = dot(F.col("v_a"), F.col("v_b"), dim) / (F.col("n_a") * F.col("n_b"))
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("pid").head(max_bucket)
+        ids = pdf["pid"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+        )
+        sims = mat @ mat.T
+        ia, ib = np.nonzero(
+            (sims >= threshold) & (ids[:, None] < ids[None, :])
+        )
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "sim": np.round(sims[ia, ib], 4),
+            }
+        )
+
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("sim", F.round(sim, 4))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+        buckets.groupBy("table", "bucket")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, sim double")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
         .orderBy("id_a", "id_b")
     )
 

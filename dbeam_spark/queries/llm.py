@@ -7890,6 +7890,15 @@ def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbeam_spark.avro.writer import WRITER_VERSION
 
     sig_parts.append(f"writer_v{WRITER_VERSION}")
+    # Export width scales with ROW VOLUME (absolute 250k-rows/file
+    # bound, floor 8): the read-back is file-per-task, so a fixed
+    # 8-file layout serialized the decode at 10x (the r7 exhaustive
+    # sweep measured 65s / 15.3x — 6M rows through 8 python decode
+    # tasks). Width rides the cache key so a layout change can never
+    # serve a stale-width export.
+    n_rows_in = li.count()
+    n_parts = max(8, min(256, (n_rows_in + 249_999) // 250_000))
+    sig_parts.append(f"parts{n_parts}")
     key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "dbeam_avro_roundtrip")
     out = os.path.join(root, key)
@@ -7897,7 +7906,7 @@ def avro_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(root, exist_ok=True)
         tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
         write_avro(
-            li.repartition(8),
+            li.repartition(n_parts),
             tmp,
             spark_schema_to_avro(li.schema, "lineitem"),
             codec="deflate6",
