@@ -12,14 +12,20 @@ Two tiers of decode:
   the `wave` module, PCM frames out). These run genuinely decoded
   bytes through the same Arrow plumbing the stubs use; encode twins
   exist so tests plant media and pin pixel/sample round-trips.
-- A stub for the one format whose codec is genuinely absent in this
-  container (MP4 needs pyav): `decode_media` raises
-  NotImplementedError for it, `fake_decode` is the deterministic
-  stand-in. Swapping in an ffmpeg call is the only change needed on
-  a real cluster — the Spark-side contract (binary column +
-  metadata struct in, Arrow-batched `mapInPandas` with explicit
-  schema out) is identical either way, as the BMP/PNG/JPEG/WAV tier
-  proves.
+- REAL MP4 (ISO-BMFF) *structural* demux — recursive box walk
+  (largesize + co64), tkhd/mdhd/hdlr/stsd metadata, and the
+  stts/stsc/stsz/stco sample-table walk mapping every sample to its
+  absolute byte range (encode_mp4 is the muxer twin). That is the
+  container's entire pure-parsing surface and the part a training
+  pipeline runs (frame-range selection for downstream GPU decode).
+- A stub for the one step that genuinely needs an external codec in
+  this container (MP4 video BITSTREAM decode needs pyav):
+  `decode_media` raises NotImplementedError for it, `fake_decode`
+  is the deterministic stand-in. Swapping in an ffmpeg call is the
+  only change needed on a real cluster — the Spark-side contract
+  (binary column + metadata struct in, Arrow-batched `mapInPandas`
+  with explicit schema out) is identical either way, as the
+  BMP/PNG/JPEG/WAV tier proves.
 """
 
 from __future__ import annotations
@@ -808,6 +814,346 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, bytes]:
             w.getnframes(),
             w.readframes(w.getnframes()),
         )
+
+
+# ------------------------------------------------- MP4 structural demux
+#
+# ISO-BMFF (MPEG-4 Part 12) is a pure container: the box grammar, the
+# sample tables (stts/stsc/stsz/stco), and the chunk-offset walk that
+# maps sample index -> byte range are all plain struct parsing — no
+# codec involved. A training pipeline's MP4 work is mostly HERE
+# (frame-sample selection, per-track metadata, byte-range extraction
+# for a downstream GPU decode); only the codec bitstream decode needs
+# pyav/ffmpeg, and that single call stays the declared stub in
+# decode_media. Muxer twin emits a spec-shaped one-video-track file
+# (ftyp + mdat + moov trailing, so chunk offsets are layout-stable)
+# so tests and the oracle pin the full sample-table walk.
+
+
+def _mp4_box(fourcc: bytes, payload: bytes, force_large: bool = False) -> bytes:
+    if force_large or len(payload) + 8 > 0xFFFFFFFF:
+        return (
+            struct.pack(">I", 1)
+            + fourcc
+            + struct.pack(">Q", len(payload) + 16)
+            + payload
+        )
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def _mp4_full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(
+        fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload
+    )
+
+
+def mp4_sample_bytes(doc_bytes: bytes, i: int) -> bytes:
+    """Deterministic payload for sample `i`: size 16 + (7i + ln) % 48,
+    content derived from the doc bytes — reproducible on both sides of
+    the round-trip without shipping the samples twice."""
+    src = doc_bytes or b"\x00"
+    ln = len(doc_bytes)
+    sz = 16 + (7 * i + ln) % 48
+    n = len(src)
+    return bytes((src[(j + i) % n] ^ (i & 0xFF)) for j in range(sz))
+
+
+def encode_mp4(
+    doc_bytes: bytes,
+    width: int,
+    height: int,
+    n_samples: int,
+    samples_per_chunk: int = 3,
+    force_co64: bool = False,
+) -> bytes:
+    """Minimal one-video-track ISO-BMFF muxer (pure stdlib). Layout:
+    ftyp, mdat (samples grouped into chunks of `samples_per_chunk`),
+    then moov LAST so chunk offsets never depend on moov's size.
+    Sample timing: mdhd timescale 12800, fixed delta 512 (40 ms);
+    mvhd timescale 1000. The stsd entry is a minimal `mp4v`
+    VisualSampleEntry with a stub esds (exercises unknown-leaf
+    skipping in the demuxer); per-sample sizes vary via
+    mp4_sample_bytes so stsz is a real table, not a constant."""
+    samples = [mp4_sample_bytes(doc_bytes, i) for i in range(n_samples)]
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp41"
+    )
+    # chunk layout + mdat
+    chunks: list[list[bytes]] = [
+        samples[i : i + samples_per_chunk]
+        for i in range(0, n_samples, samples_per_chunk)
+    ]
+    mdat_payload = b"".join(b"".join(c) for c in chunks)
+    mdat = _mp4_box(b"mdat", mdat_payload)
+    # absolute file offset of each chunk's first byte
+    base = len(ftyp) + 8  # mdat header is 8 bytes (never large here)
+    offsets: list[int] = []
+    pos = base
+    for c in chunks:
+        offsets.append(pos)
+        pos += sum(len(s) for s in c)
+
+    delta, media_ts = 512, 12800
+    mvhd = _mp4_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(
+            ">IIII", 0, 0, 1000, n_samples * delta * 1000 // media_ts
+        )
+        + struct.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd",
+        0,
+        7,
+        struct.pack(">IIIII", 0, 0, 1, 0, n_samples * delta * 1000 // media_ts)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, media_ts, n_samples * delta)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"demo\x00"
+    )
+    # VisualSampleEntry('mp4v') + stub esds leaf the demuxer must skip
+    esds = _mp4_full(b"esds", 0, 0, b"\x03\x02\x00\x00")
+    mp4v = _mp4_box(
+        b"mp4v",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1)
+        + esds,
+    )
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + mp4v)
+    stts = _mp4_full(
+        b"stts", 0, 0, struct.pack(">III", 1, n_samples, delta)
+    )
+    # stsc runs: all chunks carry samples_per_chunk except a short tail
+    rem = n_samples % samples_per_chunk
+    runs = [(1, samples_per_chunk)]
+    if rem and len(chunks) > 1:
+        runs.append((len(chunks), rem))
+    elif rem:  # single short chunk
+        runs = [(1, rem)]
+    stsc = _mp4_full(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in runs),
+    )
+    stsz = _mp4_full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n_samples)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    if force_co64:
+        stco = _mp4_full(
+            b"co64",
+            0,
+            0,
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">Q", o) for o in offsets),
+        )
+    else:
+        stco = _mp4_full(
+            b"stco",
+            0,
+            0,
+            struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _mp4_full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")
+    )
+    dinf = _mp4_box(b"dinf", dref)
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_MP4_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts", b"udta"
+}
+
+
+def _mp4_walk(buf: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    buf[start:end]; handles 64-bit largesize and size==0 (to EOF)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        fourcc = buf[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            head = 16
+        elif size == 0:
+            size = end - pos
+            head = 8
+        else:
+            head = 8
+        if size < head or pos + size > end:
+            raise ValueError(f"mp4: bad box size {size} at {pos}")
+        yield fourcc, pos + head, pos + size
+        pos += size
+
+
+def demux_mp4(payload: bytes) -> dict:
+    """Structural demux of an ISO-BMFF file: box walk, sample-table
+    parse, and the stsc/stco chunk walk that yields every sample's
+    absolute (offset, size). Returns
+    {brand, movie_timescale, duration_ms, n_boxes, tracks: [
+      {track_id, handler, codec, width, height, media_timescale,
+       n_samples, sample_deltas: [(count, delta)],
+       samples: [(offset, size)]}]}.
+    Codec BITSTREAM decode is deliberately absent (pyav — the
+    declared stub); everything a pipeline needs to select/ship
+    frames is here."""
+    buf = bytes(payload)
+    out: dict = {"brand": None, "tracks": [], "n_boxes": 0}
+
+    def walk(start: int, end: int, ctx: dict) -> None:
+        for fourcc, ps, pe in _mp4_walk(buf, start, end):
+            out["n_boxes"] += 1
+            if fourcc in _MP4_CONTAINERS:
+                sub = ctx
+                if fourcc == b"trak":
+                    sub = {"track": {}}
+                    ctx.setdefault("traks", []).append(sub)
+                walk(ps, pe, sub)
+            elif fourcc == b"ftyp":
+                out["brand"] = buf[ps : ps + 4].decode("ascii")
+            elif fourcc == b"mvhd":
+                v = buf[ps]
+                if v == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, ps + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", buf, ps + 4 + 8)
+                out["movie_timescale"] = ts
+                out["duration_ms"] = dur * 1000 // ts
+            elif fourcc == b"tkhd":
+                v = buf[ps]
+                tid_off = ps + 4 + (16 if v == 1 else 8)
+                ctx["track"]["track_id"] = struct.unpack_from(
+                    ">I", buf, tid_off
+                )[0]
+                w, h = struct.unpack_from(">II", buf, pe - 8)
+                ctx["track"]["width"] = w >> 16
+                ctx["track"]["height"] = h >> 16
+            elif fourcc == b"mdhd":
+                v = buf[ps]
+                if v == 1:
+                    ts = struct.unpack_from(">I", buf, ps + 4 + 16)[0]
+                else:
+                    ts = struct.unpack_from(">I", buf, ps + 4 + 8)[0]
+                ctx["track"]["media_timescale"] = ts
+            elif fourcc == b"hdlr":
+                ctx["track"]["handler"] = buf[ps + 8 : ps + 12].decode(
+                    "ascii"
+                )
+            elif fourcc == b"stsd":
+                # first entry's fourcc is the codec; entry is a box
+                entry_cc = buf[ps + 12 : ps + 16]
+                ctx["track"]["codec"] = entry_cc.decode("ascii")
+            elif fourcc == b"stts":
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                ctx["track"]["sample_deltas"] = [
+                    struct.unpack_from(">II", buf, ps + 8 + 8 * i)
+                    for i in range(n)
+                ]
+            elif fourcc == b"stsz":
+                const_sz, n = struct.unpack_from(">II", buf, ps + 4)
+                if const_sz:
+                    ctx["track"]["sizes"] = [const_sz] * n
+                else:
+                    ctx["track"]["sizes"] = list(
+                        struct.unpack_from(f">{n}I", buf, ps + 12)
+                    )
+            elif fourcc == b"stsc":
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                ctx["track"]["stsc"] = [
+                    struct.unpack_from(">III", buf, ps + 8 + 12 * i)
+                    for i in range(n)
+                ]
+            elif fourcc == b"stco":
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                ctx["track"]["chunk_offsets"] = list(
+                    struct.unpack_from(f">{n}I", buf, ps + 8)
+                )
+            elif fourcc == b"co64":
+                n = struct.unpack_from(">I", buf, ps + 4)[0]
+                ctx["track"]["chunk_offsets"] = list(
+                    struct.unpack_from(f">{n}Q", buf, ps + 8)
+                )
+            # unknown leaves (mdat, esds, vmhd, dref, ...) are skipped
+            # by construction: the walk only descends into containers
+
+    walk(0, len(buf), out)
+    for sub in out.pop("traks", []):
+        t = sub["track"]
+        sizes = t.pop("sizes", [])
+        stsc = t.pop("stsc", [])
+        chunk_offsets = t.pop("chunk_offsets", [])
+        # stsc run-length walk: sample index -> (chunk, offset in chunk)
+        samples: list[tuple[int, int]] = []
+        si = 0
+        n_chunks = len(chunk_offsets)
+        for ri, (first_chunk, spc, _desc) in enumerate(stsc):
+            last_chunk = (
+                stsc[ri + 1][0] - 1 if ri + 1 < len(stsc) else n_chunks
+            )
+            for c in range(first_chunk, last_chunk + 1):
+                off = chunk_offsets[c - 1]
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    samples.append((off, sizes[si]))
+                    off += sizes[si]
+                    si += 1
+        t["n_samples"] = len(samples)
+        t["samples"] = samples
+        out["tracks"].append(t)
+    return out
+
+
+def mp4_frame_ranges(
+    payload: bytes, every: int = 1, track: int = 0
+) -> list[tuple[int, int, int]]:
+    """(sample_index, offset, size) for every `every`-th sample of one
+    track — the byte ranges a frame-sampling stage ships to a real
+    decoder without touching the rest of the file."""
+    t = demux_mp4(payload)["tracks"][track]
+    return [
+        (i, off, sz)
+        for i, (off, sz) in enumerate(t["samples"])
+        if i % every == 0
+    ]
 
 
 def decode_media(payload: bytes, mime: str):

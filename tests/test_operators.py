@@ -137,12 +137,15 @@ def test_multimodal_decode_stub(spark):
     out = multimodal.decode_batch(multimodal.with_payload(df)).collect()[0]
     assert out["n_bytes"] == 5
     assert out["width"] == 5 and out["height"] == 35
-    # PNG decodes for REAL since r6 — garbage is a codec error now,
-    # not an unimplemented format; JPEG remains the declared stub
+    # PNG (r6) and JPEG (r7) decode for REAL — garbage is a codec
+    # error now, not an unimplemented format; MP4 bitstream decode
+    # is the one declared stub left
     with pytest.raises(ValueError):
         multimodal.decode_media(b"x", "image/png")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"x", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "video/mp4")
 
 
 def test_salted_join_equals_plain_join(spark):
@@ -2086,6 +2089,64 @@ def test_jpeg_codec_roundtrip():
     prog[sof_at + 1] = 0xC2  # progressive
     with _pt.raises(ValueError):
         decode_jpeg(bytes(prog))
+
+
+def test_mp4_demux_roundtrip():
+    """encode_mp4 -> demux_mp4: box walk, metadata, and the
+    stsc/stco sample-table walk recover every planted sample's exact
+    byte range — across chunk groupings (short tail, exact multiple,
+    single short chunk), co64 64-bit chunk offsets, 64-bit largesize
+    boxes, and malformed-input rejection."""
+    import struct
+
+    import pytest as _pt
+
+    from dbeam_spark.operators.multimodal import (
+        _mp4_box,
+        demux_mp4,
+        encode_mp4,
+        mp4_frame_ranges,
+        mp4_sample_bytes,
+    )
+
+    for doc, w, h, n, spc, co64 in [
+        (b"hello world", 320, 240, 7, 3, False),  # short tail chunk
+        (b"", 16, 16, 1, 3, False),               # empty doc, 1 sample
+        (b"x" * 1000, 640, 480, 24, 3, True),     # co64 offsets
+        (b"abc", 32, 16, 3, 5, False),            # single short chunk
+        (b"abcdef", 48, 32, 6, 3, False),         # exact multiple
+    ]:
+        p = encode_mp4(doc, w, h, n, samples_per_chunk=spc,
+                       force_co64=co64)
+        d = demux_mp4(p)
+        t = d["tracks"][0]
+        assert d["brand"] == "isom"
+        assert (t["width"], t["height"]) == (w, h)
+        assert t["codec"] == "mp4v" and t["handler"] == "vide"
+        assert t["n_samples"] == n
+        assert t["media_timescale"] == 12800
+        assert t["sample_deltas"] == [(n, 512)]
+        assert d["duration_ms"] == n * 512 * 1000 // 12800
+        for i, (off, sz) in enumerate(t["samples"]):
+            assert p[off:off + sz] == mp4_sample_bytes(doc, i)
+        # frame-range selection picks every k-th sample
+        fr = mp4_frame_ranges(p, every=2)
+        assert [i for i, _, _ in fr] == list(range(0, n, 2))
+
+    # 64-bit largesize wrapper around a whole valid file still walks
+    p = encode_mp4(b"large", 32, 32, 4)
+    wrapped = _mp4_box(b"udta", p, force_large=True)
+    assert struct.unpack_from(">I", wrapped, 0)[0] == 1  # largesize
+    d = demux_mp4(wrapped)  # udta is a container -> descends
+    assert d["tracks"][0]["n_samples"] == 4
+
+    # malformed inputs are rejected, not mis-walked
+    with _pt.raises(ValueError):
+        demux_mp4(b"\x00\x00\x00\x30ftyp")  # size past EOF
+    trunc = bytearray(p)
+    trunc[0:4] = struct.pack(">I", 1)  # claims largesize, no room
+    with _pt.raises(ValueError):
+        demux_mp4(bytes(trunc[:12]))
 
 
 def test_wav_codec_roundtrip():
