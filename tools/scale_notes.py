@@ -1,0 +1,144 @@
+"""Per-query annotations for the exhaustive scale sweep (SCALE.json).
+
+Merged at RENDER time by tools/render_scale_md.py — SCALE.json stays
+a pure measurement record that any probe run can regenerate, and the
+explanations live in code review's path.
+
+Reading the ratios: the replica is 10x the base rows, so a perfectly
+LINEAR operator shows ratio ≈ 10 minus whatever fixed overhead the
+base run amortizes (most sub-second bases carry a ~0.3-0.5s job
+floor, which inflates nothing but the BASE side). Entries between 3x
+and 10x are therefore at-most-linear and need no defense; the notes
+below name the bounded grain for those, and explain every entry that
+is structurally super-linear (a quadratic tier, a python codec, a
+per-key stateful floor) or that was fixed during the sweep.
+"""
+
+NOTES: dict[str, str] = {
+    # ---- structurally quadratic tiers (kept deliberately) ----
+    "knn_self_join": (
+        "exact kNN self-join: O(n²d) FLOPs at dgemm speed (bounded "
+        "32MB temps since r7); 10x data = 100x FLOPs, 21x wall = "
+        "memory-system-friendly. The SCALE path is knn_ivf "
+        "(O(n^1.5), b=0.69); this exact tier is the recall oracle."
+    ),
+    "dedup_embedding": (
+        "exact all-pairs cosine under the 500k-row size gate: "
+        "quadratic FLOPs at chunked-dgemm speed (was 20.6x with "
+        "unbounded 16GB temps, 9.8x after r7 chunking). Above the "
+        "gate the operator routes to RH-LSH (measured FLAT 3.2s -> "
+        "3.4s at 10x after the adaptive-plane rework)."
+    ),
+    "dedup_embedding_lsh": (
+        "EVAL query: scores the LSH path against the exhaustive "
+        "exact twin, so it pays the quadratic ground-truth build by "
+        "definition. The LSH side alone is flat (3.4s at 10x; "
+        "occupancy-targeted plane count keeps candidates linear). "
+        "Audit cadence, not per-batch."
+    ),
+    "dedup_semantic_clusters": (
+        "exact cosine pair tier under the size gate (see "
+        "dedup_embedding) + O(log n) component rounds; above the "
+        "gate pair-gen is the flat RH-LSH path."
+    ),
+    "dedup_lsh_recall": (
+        "EVAL query: exhaustive shingle-join ground truth is the "
+        "cost ceiling by design (audit cadence); the production "
+        "MinHash path it scores is b=0.82."
+    ),
+    "dedup_ngram_jaccard": (
+        "exact-Jaccard tier via AllPairs/PPJoin prefix filtering — "
+        "candidate volume is data-dependent but df-bounded; 5.5x at "
+        "10x data is sub-linear per candidate. The production "
+        "near-dup path is dedup_minhash_lsh."
+    ),
+    # ---- python-codec / Arrow-kernel constants (row-linear) ----
+    "multimodal_jpeg_decode": (
+        "pure-python baseline JPEG codec: row-linear (5.9x at 10x "
+        "rows) with a heavy per-row constant — the declared "
+        "trade for a sandbox with no image libs; the Spark plumbing "
+        "(binary source, Arrow batches, partitioning) is the part "
+        "that ships."
+    ),
+    "multimodal_png_decode": (
+        "pure-python PNG inflate+unfilter: row-linear (3.8x at 10x "
+        "rows), same codec trade as JPEG."
+    ),
+    "avro_roundtrip_audit": (
+        "FIXED mid-sweep: a fixed 8-file export serialized the "
+        "file-per-task read-back (65s / 15.3x); export width now "
+        "scales with row volume (250k rows/file absolute bound), "
+        "read-back parallelism follows."
+    ),
+    # ---- stateful streaming: per-key floor, keys scale with data ----
+    "stream_throttle": (
+        "applyInPandasWithState costs ~70us/key/batch regardless of "
+        "kernel speed; replica keys scale with data, so wall scales "
+        "with KEY cardinality (documented CLAUDE.md floor). 5.3x at "
+        "10x keys = sub-linear."
+    ),
+    "stream_survival_km": (
+        "stateful stream over user keys — same per-key floor as "
+        "stream_throttle; 3.9x at 10x keys."
+    ),
+    # ---- eval/composed pipelines whose grain is the corpus ----
+    "kfold_cluster_assignment": (
+        "cluster build (kmeans iterations, linear per round) + "
+        "zero-leakage verification join; 4.1x at 10x rows."
+    ),
+    "dataset_split": (
+        "leakage-safe split re-derives the near-dup component map "
+        "(MinHash tier, linear) before assigning; 3.6x at 10x."
+    ),
+    "training_corpus": (
+        "five-stage composed pipeline (normalize -> quality -> dedup "
+        "-> sample -> pack); every stage individually probed linear; "
+        "3.3x at 10x."
+    ),
+    "split_contamination": (
+        "shingle-overlap check between splits — candidate volume "
+        "df-bounded (absolute cap), 3.2x at 10x."
+    ),
+    "dedup_longest_span": (
+        "K-gram position-island spans: token-linear (b=1.05 at 30x "
+        "in the r6 memo); 4.2x at 10x."
+    ),
+    "dedup_clusters": (
+        "shingle-Jaccard pairs + O(log n) min-label propagation "
+        "rounds; 3.4x at 10x."
+    ),
+    "dedup_survivorship": (
+        "pair tier + per-cluster keep/drop ledger; 3.4x at 10x."
+    ),
+    "dedup_threshold_sweep": (
+        "one signature pass serves all thresholds (shared exchange); "
+        "3.3x at 10x."
+    ),
+    "dedup_source_flow": (
+        "MinHash pair tier + source-pair rollup; 4.6x at 10x."
+    ),
+    "dedup_span_share": ("token-linear span accounting; 3.1x at 10x."),
+    "text_quality": (
+        "Arrow-batched per-doc heuristics, token-linear; base is "
+        "job-floor-dominated (0.5s) so the ratio reads high."
+    ),
+    "ngram_novelty": ("token-linear n-gram hashing; 4.4x at 10x."),
+    "source_ngram_overlap": (
+        "df-capped posting intersections (absolute cap since r6); "
+        "3.1x at 10x."
+    ),
+    "text_tokens": ("token-linear; 3.0x at 10x."),
+    "interval_join_events": (
+        "bucketed range join — pairs bounded by interval span, "
+        "row-linear output (200k rows at 10x); 6.9x."
+    ),
+    "events_session_window": (
+        "session windows over user keys, output row-linear (977k "
+        "rows at 10x); 6.0x."
+    ),
+    "q12_shipping_delay": (
+        "join+agg, shuffle-bound; base run co-ran with sweep shards "
+        "(contended CPU inflates the pair) — 4.7x at 10x is "
+        "at-most-linear either way."
+    ),
+}

@@ -182,6 +182,16 @@ PROBES = [
     # pass per doc), roundtrip export audit (content-keyed reuse dir)
     "multimodal_png_decode",
     "avro_roundtrip_audit",
+    # round-7 additions: baseline JPEG decode (the heaviest python
+    # codec), the key-sampled stream-join completeness audit (the
+    # 100x operating mode), and the exact kNN self-join (the r7
+    # exhaustive sweep's catch — FLOPs-bound quadratic tier, kept
+    # probed so the gate posture stays measured)
+    "multimodal_jpeg_decode",
+    "stream_join_completeness_sampled",
+    "knn_self_join",
+    # r7: MP4 structural demux (python mux+walk per doc, row-linear)
+    "multimodal_mp4_demux",
 ]
 
 
