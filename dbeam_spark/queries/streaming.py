@@ -1197,6 +1197,96 @@ def stream_join_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_nib_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    nibbles: tuple[str, ...],
+    flush_sentinel: bool = False,
+):
+    """File-source stream over a KEY-BUCKETED staging of events: the
+    table is written once (content-keyed dir, atomic rename) into 16
+    subdirs by the first hex nibble of md5(user_id) — the storage
+    layout a key-sampled audit needs, because sampling only pays off
+    when the SCAN prunes too. Reading a nibble subset then touches
+    only those files: at 100 TB this is the difference between
+    'filter 100 TB down to 12.5%' (still a 100 TB scan) and 'read
+    12.5 TB'. The staging build is the once-per-dataset cost a
+    key-partitioned ingest (Kafka partitions, bucketed tables) gives
+    you for free in production; ts is normalized to UTC timestamp at
+    staging time so every generator's physical type streams alike."""
+    import glob
+    import hashlib
+    import shutil
+
+    ensure_utc(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        paths = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    else:
+        paths = [src]
+    sig = []
+    for p in paths:
+        st = os.stat(p)
+        sig.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    sig.append("nib_stage_v1")
+    key = hashlib.md5("|".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "dbeam_events_nib")
+    out = os.path.join(root, key)
+    # completeness marker is Spark's own _SUCCESS: a tiny corpus can
+    # legitimately have EMPTY nibbles (sf0.001 has ~15 users covering
+    # 8 of 16 — probing for a specific nib dir re-built forever and
+    # then crashed the schema read)
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn(
+                "nib",
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+            )
+            .repartition("nib")
+            .write.mode("overwrite")
+            .partitionBy("nib")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:  # a concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    # symlink only the SAMPLED nibble dirs' part files into the
+    # stream dir (the lister wants plain files)
+    stream_dir = tempfile.mkdtemp(prefix="events_nib_stream_")
+    n = 0
+    for nib in nibbles:
+        for p in sorted(
+            glob.glob(os.path.join(out, f"nib={nib}", "*.parquet"))
+        ):
+            os.symlink(p, os.path.join(stream_dir, f"a_{n:05d}.parquet"))
+            n += 1
+    any_nib = sorted(glob.glob(os.path.join(out, "nib=*")))
+    schema = spark.read.parquet(any_nib[0]).schema
+    reader = spark.readStream.schema(schema)
+    if flush_sentinel:
+        # sentinel ts from the FULL staging (parquet-stats cheap):
+        # correct even when every sampled nibble is empty
+        max_ts = (
+            spark.read.parquet(*any_nib).agg(F.max("ts")).collect()[0][0]
+        )
+        sent = spark.createDataFrame(
+            [(-1, -1, "sentinel", 0.0, "{}", max_ts + timedelta(days=30))],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string, ts timestamp",
+        ).select(*[f.name for f in schema.fields])
+        tmp = os.path.join(stream_dir, "_sentinel_build")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stream_dir, "z_sentinel.parquet"))
+        shutil.rmtree(tmp)
+        reader = reader.option("maxFilesPerTrigger", "1")
+    return reader.parquet(stream_dir)
+
+
 @register(
     "stream_join_completeness_sampled",
     oracle="""
@@ -1247,20 +1337,32 @@ def stream_join_completeness_sampled(
     restated verbatim in the oracle (md5-of-string is engine-
     portable), so even the sampled report is hash-gated.
 
-    Scale shape: the audit's cost is the outer join's state footprint
-    (keys x window); a fixed key fraction caps it at sample_rate x
-    the exhaustive cost at ANY corpus size, and tightening the nibble
-    set walks the rate down as the fleet grows — the knob is a share
-    of KEY SPACE (stable under data growth), not a %-of-corpus row
-    cap."""
+    Scale shape (r7, second iteration): the first cut filtered the
+    full stream on the md5 gate — and measured IDENTICAL to the
+    exhaustive twin at 30x (95.2s vs 95.3s), because the audit's
+    real cost at this scale is the SCAN, which a post-source filter
+    cannot shrink. The fix is the storage layout: the stream reads a
+    key-bucketed staging of events (16 subdirs by md5 nibble,
+    content-keyed build — `_events_stream_nib_sampled`), so the
+    2/16 sample reads 2/16 of the files. That is the 100 TB
+    formulation — a key-partitioned ingest gives the bucketing for
+    free, and both the scan AND the join state scale with the
+    sample; tightening the nibble set walks the rate down as the
+    fleet grows (a share of KEY SPACE, stable under data growth,
+    never a %-of-corpus row cap). The md5 gate filter stays on the
+    stream as belt-and-braces and as the exact restatement the
+    oracle mirrors."""
     name = f"sjcs_{uuid.uuid4().hex[:8]}"
+    nibs = ("0", "1")
     gate = F.substring(
         F.md5(F.col("user_id").cast("string")), 1, 1
-    ).isin("0", "1")
+    ).isin(*nibs)
     # sentinel rows (user_id < 0) must PASS the pre-watermark filters
     # or the final windows never flush; dropped again after the join
     purchases = (
-        _events_stream(spark, sf_dir, flush_sentinel=True)
+        _events_stream_nib_sampled(
+            spark, sf_dir, nibs, flush_sentinel=True
+        )
         .filter(
             ((F.col("event_type") == "purchase") & gate)
             | (F.col("user_id") < 0)
@@ -1273,7 +1375,9 @@ def stream_join_completeness_sampled(
         .withWatermark("p_ts", "2 hours")
     )
     views = (
-        _events_stream(spark, sf_dir, flush_sentinel=True)
+        _events_stream_nib_sampled(
+            spark, sf_dir, nibs, flush_sentinel=True
+        )
         .filter(
             ((F.col("event_type") == "view") & gate)
             | (F.col("user_id") < 0)
