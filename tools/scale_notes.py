@@ -25,9 +25,12 @@ NOTES: dict[str, str] = {
     "dedup_embedding": (
         "exact all-pairs cosine under the 500k-row size gate: "
         "quadratic FLOPs at chunked-dgemm speed (was 20.6x with "
-        "unbounded 16GB temps, 9.8x after r7 chunking). Above the "
-        "gate the operator routes to RH-LSH (measured FLAT 3.2s -> "
-        "3.4s at 10x after the adaptive-plane rework)."
+        "unbounded 16GB temps, 9.8x after r7 chunking). The 30x "
+        "point (600k rows) CROSSES the gate onto the RH-LSH path: "
+        "35s, dominated by the one L*n bucket shuffle of vectors — "
+        "linear in n, and an index-build cost a bucketed storage "
+        "layout amortizes at 100 TB (the LSH verify itself is flat: "
+        "3.2s -> 3.4s base->10x)."
     ),
     "dedup_embedding_lsh": (
         "EVAL query: scores the LSH path against the exhaustive "
@@ -66,9 +69,11 @@ NOTES: dict[str, str] = {
     ),
     "avro_roundtrip_audit": (
         "FIXED mid-sweep: a fixed 8-file export serialized the "
-        "file-per-task read-back (65s / 15.3x); export width now "
-        "scales with row volume (250k rows/file absolute bound), "
-        "read-back parallelism follows."
+        "file-per-task read-back (65s / 15.3x at 10x); export width "
+        "now scales with row volume (250k rows/file absolute bound) "
+        "and read-back parallelism follows — 25.2s at 10x, 29.1s at "
+        "30x (b=0.13: core-bound python OCF decode, widening files "
+        "saturates the 32 cores)."
     ),
     # ---- stateful streaming: per-key floor, keys scale with data ----
     "stream_throttle": (
