@@ -306,6 +306,8 @@ def test_collect_surface_is_whitelisted():
         },
         "streaming.py": {
             "_events_stream": 1,  # schema probe (1 row)
+            # sentinel max-ts over the staged dirs (1-row aggregate)
+            "_events_stream_nib_sampled": 1,
             "windowed_late_metrics": 1,  # bounded window rollup
             "stream_column_stats": 1,  # per-batch stats row
             "stream_markov_stationary": 1,  # |types|² frame
