@@ -142,8 +142,8 @@ NOTES: dict[str, str] = {
         "rows at 10x); 6.0x."
     ),
     "q12_shipping_delay": (
-        "join+agg, shuffle-bound; base run co-ran with sweep shards "
-        "(contended CPU inflates the pair) — 4.7x at 10x is "
-        "at-most-linear either way."
+        "join+agg, shuffle-bound. The first sweep's 17.6s/4.7x point "
+        "was co-run contamination (parallel shards); re-measured "
+        "quiet: 2.8s / 1.8x at 10x, 3.6s at 30x — flat."
     ),
 }
