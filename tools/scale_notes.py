@@ -57,11 +57,11 @@ NOTES: dict[str, str] = {
     ),
     # ---- python-codec / Arrow-kernel constants (row-linear) ----
     "multimodal_jpeg_decode": (
-        "pure-python baseline JPEG codec: row-linear (5.9x at 10x "
-        "rows) with a heavy per-row constant — the declared "
-        "trade for a sandbox with no image libs; the Spark plumbing "
-        "(binary source, Arrow batches, partitioning) is the part "
-        "that ships."
+        "pure-python baseline JPEG codec: row-linear (7.3x at 10x "
+        "rows, 88s at 30x) with the heaviest per-row constant in "
+        "the fleet — the declared trade for a sandbox with no image "
+        "libs; the Spark plumbing (binary source, Arrow batches, "
+        "partitioning) is the part that ships."
     ),
     "multimodal_png_decode": (
         "pure-python PNG inflate+unfilter: row-linear (3.8x at 10x "
