@@ -226,6 +226,23 @@ def test_rh_lsh_finds_near_duplicates(spark):
     assert got <= exhaustive  # precision 1.0 (exact verify)
 
 
+def test_rh_lsh_bucket_cap_keeps_lowest_ids(spark):
+    """A degenerate bucket past max_bucket truncates to the
+    LOWEST-id members deterministically: with 10 identical vectors
+    and max_bucket=4, exactly the C(4,2) pairs among ids 0-3 emerge
+    (every table hashes the clones into one bucket, so the cap is
+    the only thing bounding the quadratic)."""
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.rh_lsh_embedding_pairs(
+            df, 0.9, max_bucket=4
+        ).collect()
+    }
+    assert got == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3-4 (one component), pair 10-11, and 20-21-22 star
     pairs = spark.createDataFrame(
