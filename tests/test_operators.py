@@ -371,6 +371,66 @@ def test_interval_join_matches_bruteforce_random(spark):
     assert got == want
 
 
+def test_interval_count_join_matches_pair_join(spark):
+    """The rank-difference count equals the pair-materializing
+    interval_join + groupBy count on random data, emits ZERO-match
+    intervals with n_points=0, and honors [lo, hi) half-open
+    boundaries at microsecond resolution."""
+    import random
+    from datetime import datetime, timedelta
+
+    from dbeam_spark.operators.joins import (
+        interval_count_join,
+        interval_join,
+    )
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    pts = [
+        (i, base + timedelta(seconds=rng.randint(0, 86400)))
+        for i in range(300)
+    ]
+    ivs = [
+        (
+            j,
+            base + timedelta(seconds=rng.randint(0, 86400)),
+        )
+        for j in range(50)
+    ]
+    ivs = [(j, lo, lo + timedelta(seconds=rng.randint(1, 7200)))
+           for j, lo in ivs]
+    # a far-future interval that matches nothing
+    ivs.append((99, base + timedelta(days=30),
+                base + timedelta(days=31)))
+    pdf = spark.createDataFrame(pts, ["pid", "ts"])
+    idf = spark.createDataFrame(ivs, ["iid", "lo", "hi"])
+    got = {
+        r["iid"]: r["n_points"]
+        for r in interval_count_join(
+            pdf, idf, "ts", "lo", "hi", id_cols=["iid"]
+        ).collect()
+    }
+    want = {
+        r["iid"]: r["n"]
+        for r in interval_join(pdf, idf, "ts", "lo", "hi", 3600)
+        .groupBy("iid").agg(F.count("pid").alias("n")).collect()
+    }
+    assert got[99] == 0  # zero-match interval IS emitted
+    assert {k: v for k, v in got.items() if v > 0} == want
+    # boundary exactness: point AT lo counts, point AT hi does not
+    b = datetime(2024, 6, 1)
+    pdf2 = spark.createDataFrame(
+        [(1, b), (2, b + timedelta(hours=1))], ["pid", "ts"]
+    )
+    idf2 = spark.createDataFrame(
+        [(7, b, b + timedelta(hours=1))], ["iid", "lo", "hi"]
+    )
+    out2 = interval_count_join(
+        pdf2, idf2, "ts", "lo", "hi", id_cols=["iid"]
+    ).collect()
+    assert out2[0]["n_points"] == 1
+
+
 def test_interval_overlap_join_semantics_and_plan(spark):
     from datetime import datetime
 

@@ -36,6 +36,7 @@ def main() -> None:
         if name in names:
             QUERIES[name](spark, sp.BASE).collect()
             QUERIES[name](spark, sp.OUT).collect()
+            sp.drop_stream_sinks(spark)
 
     print(f"{'query':28s} {'sf0.1':>8s} {sp.COPIES:>6d}x {'ratio':>6s}"
           "  rows(big)", flush=True)

@@ -395,12 +395,36 @@ def _update_scale_json(
     os.replace(tmp, SCALE_JSON)
 
 
+def drop_stream_sinks(spark) -> None:
+    """Measurement hygiene between probes, two parts.
+
+    (a) Release memory-sink tables left by streaming queries: each
+    stream run registers a uniquely-named temp view over an in-heap
+    MemorySink; in a long-lived probe JVM those pin every batch's
+    rows (a 100x sampled-audit warm run left ~1M rows resident).
+    Queries never share sinks across calls, so dropping all temp
+    views between probes is safe.
+
+    (b) Force a full GC: a 100x-scale shuffle leaves the 24g local
+    heap dirty enough that the NEXT big run pays full-GC pauses
+    mid-query — measured q21@100x 10.5s on a clean heap, 60.9s on a
+    dirty one, 12.0s again right after System.gc(). A real cluster
+    runs steady-state per-executor heaps; without this the probe
+    measures the previous query's garbage, not the operator."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+    spark.sparkContext._jvm.System.gc()
+
+
 def time_one(spark, sf_dir: str, name: str) -> tuple[float, int]:
     from dbeam_spark.queries import QUERIES
 
     t0 = time.monotonic()
     rows = QUERIES[name](spark, sf_dir).collect()
-    return round(time.monotonic() - t0, 2), len(rows)
+    el = round(time.monotonic() - t0, 2)
+    drop_stream_sinks(spark)
+    return el, len(rows)
 
 
 def time_export(spark, sf_dir: str) -> tuple[float, int]:
@@ -476,6 +500,7 @@ def main() -> None:
         if name in PROBES:
             QUERIES[name](spark, BASE).collect()
             QUERIES[name](spark, OUT).collect()
+            drop_stream_sinks(spark)
 
     # Interleaved per-query (warm at sf0.001 -> time base -> time
     # replica -> print + persist) so a long --all sweep streams
