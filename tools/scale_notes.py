@@ -134,8 +134,14 @@ NOTES: dict[str, str] = {
     ),
     "text_tokens": ("token-linear; 3.0x at 10x."),
     "interval_join_events": (
-        "bucketed range join — pairs bounded by interval span, "
-        "row-linear output (200k rows at 10x); 6.9x."
+        "count-only interval join: rank difference over a global "
+        "prefix sum (r7 catch #13 — the pair plan was density-"
+        "quadratic, 205s at 100x; rank plan 16.6s, size-gated to "
+        "the pair plan's lower constant below 1M events)."
+    ),
+    "asof_join_events": (
+        "per-key ordered-stream carry, linear; the 100x wall is "
+        "dominated by collecting the 2M result rows."
     ),
     "events_session_window": (
         "session windows over user keys, output row-linear (977k "
