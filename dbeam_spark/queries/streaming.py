@@ -159,15 +159,35 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup on event_id within the watermark window."""
+    """Streaming dedup on event_id within the watermark window.
+
+    The deduped stream lands in a PARQUET sink, not the memory sink:
+    this query's stream output is raw rows (not a small rollup), and
+    an in-heap memory sink holding 10M rows turned the 100x probe
+    into a driver-heap stress test (335 s; catch #14) — every other
+    streaming query sinks a bounded aggregate, where memory is fine.
+    The final count runs distributed over the sink files, exactly
+    how a production dedup stage hands off to the next pipeline
+    step."""
     name = f"sdd_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     deduped = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    _run_stream(deduped, name, "append")
-    return spark.table(name).agg(
+    q = (
+        deduped.select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).agg(
         F.count_distinct("event_id").alias("n_unique"),
         F.count_distinct("user_id").alias("n_users"),
     )
