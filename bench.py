@@ -62,6 +62,63 @@ EXTENDED = [
 ]
 
 
+# Fixed-work calibration nominals, pinned on the round-8 bench host
+# (quiet, local[32]): the same two kernels re-run at bench time and
+# the measured/nominal ratios form host_factor. Round 7 proved the
+# need: four same-code runs spread 13.5-18.7s and the driver's 20.2s
+# vs r6's 12.5s was pure host state — with no fixed-work key in the
+# bench there was no way to TELL a real 20% plan regression from a
+# slow afternoon. Normalized numbers (raw / host_factor) are the
+# round-over-round comparable ones; raw numbers stay the contract
+# keys. Kernels are deliberately two-sided: a pure-CPU numpy dgemm
+# chain (BLAS / core speed / contention) and a pure-JVM 32-task
+# codegen sum (scheduler + codegen + JVM state), geometric-mean
+# combined so one outlier axis can't dominate.
+CALIB_NOMINAL_CPU_SEC = 0.620
+CALIB_NOMINAL_SPARK_SEC = 0.465
+
+
+def run_calibration(spark) -> dict:
+    """Time the two fixed-work kernels (median of 3, after an untimed
+    warm run each) and derive host_factor = geomean of measured/nominal
+    ratios. Runs FIRST, before any query warmup, so it reads the host
+    the way the timed region will see it."""
+    import statistics
+
+    import numpy as np
+
+    a = np.random.RandomState(7).standard_normal((768, 768))
+
+    def cpu_once() -> float:
+        t0 = time.monotonic()
+        acc = a
+        for _ in range(24):
+            acc = acc @ a
+            # rescale to keep values finite without leaving the kernel
+            acc *= 1.0 / np.abs(acc).max()
+        return time.monotonic() - t0
+
+    def spark_once() -> float:
+        t0 = time.monotonic()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) as s"
+        ).collect()
+        return time.monotonic() - t0
+
+    cpu_once()
+    cpu = statistics.median(cpu_once() for _ in range(3))
+    spark_once()
+    spk = statistics.median(spark_once() for _ in range(3))
+    factor = (
+        (cpu / CALIB_NOMINAL_CPU_SEC) * (spk / CALIB_NOMINAL_SPARK_SEC)
+    ) ** 0.5
+    return {
+        "cpu_sec": round(cpu, 3),
+        "spark_sec": round(spk, 3),
+        "host_factor": round(factor, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dbeam_spark.queries import QUERIES
@@ -69,6 +126,8 @@ def main() -> None:
 
     spark = get_spark("dbeam-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    calibration = run_calibration(spark)
 
     # Untimed warm-up pass per key AT THE BENCH SF, outside the timed
     # region: whole-stage-codegen (janino) compiles, file listings and
@@ -219,7 +278,7 @@ def main() -> None:
 
     lines = emit_lines(
         total, per_query, extended, runs, sf, sf_dir,
-        rows_per_minute, regressions,
+        rows_per_minute, regressions, calibration,
     )
     write_runs_sidecar(lines[0])
     for line in lines:
@@ -249,7 +308,7 @@ def write_runs_sidecar(runs_payload: str) -> None:
 
 def emit_lines(
     total, per_query, extended, runs, sf, sf_dir,
-    rows_per_minute, regressions,
+    rows_per_minute, regressions, calibration=None,
 ) -> list[str]:
     """Build the bench's stdout lines — PURE (the BENCH_RUNS.json
     sidecar is written by main via write_runs_sidecar). CONTRACT
@@ -261,7 +320,17 @@ def emit_lines(
     optional payload (extended dict, regressions, then individual
     per-query keys, longest names first) until the line fits, so an
     oversize line is structurally impossible, not just unlikely."""
-    runs_payload = json.dumps({"runs": runs, "sf_dir": sf_dir})
+    factor = (calibration or {}).get("host_factor") or 1.0
+    runs_payload = json.dumps({
+        "runs": runs,
+        "sf_dir": sf_dir,
+        **({"calibration": calibration} if calibration else {}),
+        # per-key host-normalized numbers (raw / host_factor): the
+        # round-over-round comparable view; raw keys stay the contract
+        "queries_normalized": {
+            k: round(v / factor, 3) for k, v in per_query.items()
+        },
+    })
 
     summary = {
         "metric": "headline_queries_total",
@@ -271,6 +340,14 @@ def emit_lines(
         "extended_queries": extended,
         "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
         "export_rows_per_minute": rows_per_minute,
+        **(
+            {
+                "calibration": calibration,
+                "value_normalized": round(total / factor, 3),
+            }
+            if calibration
+            else {}
+        ),
         **({"regressions": regressions} if regressions else {}),
     }
     line = json.dumps(summary)

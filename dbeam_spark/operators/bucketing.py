@@ -430,3 +430,105 @@ def merge_into(
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
+
+
+def stage_key_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    stage_version: str = "v1",
+) -> str:
+    """Stage a table ONCE into 16 hex-nibble subdirs by
+    `substring(md5(key_col), 1, 1)` — the generic substrate for
+    key-sampled audits (content-keyed directory, atomic rename,
+    `_SUCCESS`-gated). Returns the staged root, which contains
+    `nib=<hex>` subdirs.
+
+    Why this exists: a key SAMPLE only pays off when the SCAN prunes.
+    Round 7's completeness audit measured a post-source md5-gate
+    filter IDENTICAL to the exhaustive twin at 100x (95.2 vs 95.3 s —
+    every byte still decoded); reading two staged nibble dirs was
+    25 s and flat in corpus size. At 100 TB this is the difference
+    between 'filter 100 TB down to 12.5%' (still a 100 TB scan) and
+    'read 12.5 TB'. The staging build is the once-per-dataset cost a
+    key-partitioned ingest (Kafka partitions, bucketed tables) gives
+    you for free in production.
+
+    Completeness is checked via Spark's own `_SUCCESS` marker, never
+    via a specific nibble dir — tiny corpora legally leave nibbles
+    EMPTY (sf0.001's ~15 users cover 8 of 16). The md5-nibble bucket
+    function is deliberately SQL-restatable cross-engine
+    (`substr(md5(CAST(key AS VARCHAR)), 1, 1)` in DuckDB), so every
+    sampled query's oracle can restate its gate exactly. Loads go
+    through sources.files.load_table, so the staged ts columns are
+    already normalized to UTC timestamp regardless of the source
+    file's physical type.
+    """
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.sources.files import load_table
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        paths = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    else:
+        paths = [src]
+    sig = []
+    for p in paths:
+        st = os.stat(p)
+        sig.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    sig.append(f"key_buckets_{key_col}_{stage_version}")
+    key = hashlib.md5("|".join(sig).encode()).hexdigest()[:16]
+    root = os.path.join(
+        tempfile.gettempdir(), f"dbeam_{table}_{key_col}_nib"
+    )
+    out = os.path.join(root, key)
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        df = load_table(spark, sf_dir, table)
+        (
+            df.withColumn(
+                "nib",
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 1),
+            )
+            .repartition("nib")
+            .write.mode("overwrite")
+            .partitionBy("nib")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out)
+        except OSError:  # a concurrent builder won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def read_key_buckets(
+    spark: SparkSession, staged_root: str, nibbles: tuple[str, ...]
+) -> DataFrame:
+    """Batch scan of a `stage_key_buckets` staging restricted to the
+    sampled nibble dirs — the reader only LISTS the sampled subdirs,
+    so input bytes scale with the sample fraction, not the corpus.
+    Empty samples (legal on tiny corpora) come back as an empty frame
+    with the staged schema."""
+    import glob
+    import os
+
+    any_nib = sorted(glob.glob(os.path.join(staged_root, "nib=*")))
+    schema = spark.read.parquet(any_nib[0]).schema
+    sampled = [
+        d for d in (os.path.join(staged_root, f"nib={n}") for n in nibbles)
+        if os.path.isdir(d)
+    ]
+    if not sampled:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*sampled)

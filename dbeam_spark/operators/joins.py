@@ -122,11 +122,26 @@ def interval_count_join(
     `id_cols` (default: all interval columns except lo/hi) key the
     output; intervals with ZERO points are emitted with n_points=0
     (callers mirroring an inner interval_join filter them out).
+
+    NULL-ts points are dropped (a pair join's range predicate never
+    matches them; unfiltered they'd sort first under the range
+    partition and inflate every C(t)). Interval id columns must not
+    collide with the plan's internal names (_us/_probe/_w/_bound and
+    global_cumsum's _cs_pid) — asserted, since a silent collision
+    would mis-group rather than error.
     """
     from dbeam_spark.operators.ranking import global_cumsum
 
     if id_cols is None:
         id_cols = [c for c in intervals.columns if c not in (lo, hi)]
+    _reserved = {"_us", "_probe", "_w", "_bound", "_cs_pid", "_cum__w"}
+    clash = _reserved.intersection(id_cols)
+    if clash:
+        raise ValueError(
+            f"interval_count_join: id_cols {sorted(clash)} collide with "
+            f"internal column names {sorted(_reserved)}; rename them first"
+        )
+    points = points.filter(F.col(point_ts).isNotNull())
     pts = points.select(
         F.unix_micros(F.col(point_ts)).alias("_us"),
         F.lit(0).alias("_probe"),  # points sort before probes on ties

@@ -974,6 +974,20 @@ def knn_join(
                 for cj in range(Ac.shape[0]):
                     j = c0 + cj
                     sel = idx[cj]
+                    # tie-safe widening: argpartition keeps an
+                    # ARBITRARY subset of candidates tied at the
+                    # selection boundary (exact-duplicate vectors),
+                    # which could drop a lower-id tied neighbor the
+                    # (-sim, id) lexsort would have ranked in. If the
+                    # boundary approx value also occurs outside the
+                    # selection, take EVERY candidate at >= boundary
+                    # (bounded by the tie multiplicity, not n).
+                    if take < n:
+                        row = approx[cj]
+                        boundary = row[sel].min()
+                        wide = np.flatnonzero(row >= boundary)
+                        if len(wide) > len(sel):
+                            sel = wide
                     sel = sel[b_ids[sel] != a_ids[j]]
                     sims_sel = exact_sim(
                         A[j], B[sel], nb[sel], na[j]

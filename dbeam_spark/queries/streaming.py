@@ -10,7 +10,9 @@ watermark delay instead of an unbounded seen-set.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 from datetime import timedelta
@@ -21,6 +23,28 @@ from pyspark.sql import functions as F
 from dbeam_spark.queries.registry import register
 from dbeam_spark.session import ensure_utc
 from dbeam_spark.sources.files import load_table
+
+# Temp-dir hygiene: repeated probe/bench/correctness runs in one host
+# session used to accumulate every invocation's stream dirs and
+# checkpoints in /tmp (at 100x, ~10M deduped rows per stream_dedup
+# call). Dirs that must outlive the creating function (symlink stream
+# dirs a later .start() reads, sinks a returned DataFrame scans) are
+# tracked here and removed at interpreter exit; dirs that die with the
+# function (finished checkpoints, collected sinks) are rmtree'd
+# inline, matching the hygiene time_export already does.
+_TEMP_DIRS: list[str] = []
+
+
+def _track_tmp(path: str) -> str:
+    _TEMP_DIRS.append(path)
+    return path
+
+
+@atexit.register
+def _cleanup_tmp() -> None:
+    for p in _TEMP_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+    _TEMP_DIRS.clear()
 
 
 def _run_stream(stream_df, name: str, output_mode: str) -> None:
@@ -34,6 +58,7 @@ def _run_stream(stream_df, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def _events_stream(
@@ -63,7 +88,7 @@ def _events_stream(
     # table (e.g. the 10x scale replica, written by Spark) by
     # symlinking each part file — a directory symlink named
     # *.parquet is skipped by the file-stream lister (0-row stream).
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    stream_dir = _track_tmp(tempfile.mkdtemp(prefix="events_stream_"))
     if os.path.isdir(src):
         import glob as _glob
 
@@ -168,7 +193,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming query sinks a bounded aggregate, where memory is fine.
     The final count runs distributed over the sink files, exactly
     how a production dedup stage hands off to the next pipeline
-    step."""
+    step; the sink and checkpoint (10M rows/call at 100x) are removed
+    as soon as the bounded aggregate is materialized — the returned
+    1-row DataFrame carries the values, not a reference to /tmp."""
     name = f"sdd_{uuid.uuid4().hex[:8]}"
     out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
@@ -187,9 +214,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).agg(
-        F.count_distinct("event_id").alias("n_unique"),
-        F.count_distinct("user_id").alias("n_users"),
+    row = (
+        spark.read.parquet(out_dir)
+        .agg(
+            F.count_distinct("event_id").alias("n_unique"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .collect()[0]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        [(row["n_unique"], row["n_users"])], "n_unique long, n_users long"
     )
 
 
@@ -249,13 +285,20 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_to_avro(
-    stream_df, output_dir: str, schema_name: str = "stream", codec: str = "deflate6"
+    stream_df,
+    output_dir: str,
+    schema_name: str = "stream",
+    codec: str = "deflate6",
+    checkpoint: str | None = None,
 ) -> None:
     """Continuous Avro export: every micro-batch lands as OCF files in
     `output_dir/batch_N/` through the same distributed writer the
     batch export job uses — dbeam's output format fed by a stream.
     Runs with availableNow (finite replay) here; remove the trigger
-    for a long-running sink."""
+    for a long-running sink. Pass `checkpoint` to make the run
+    RESUMABLE across crashes (Spark's commit log skips already-
+    committed batch ids on restart; caller owns the dir); without it
+    a throwaway checkpoint is used and removed on success."""
     from dbeam_spark.avro.schema import spark_schema_to_avro
     from dbeam_spark.avro.writer import write_avro
 
@@ -269,7 +312,9 @@ def stream_to_avro(
             codec=codec,
         )
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_avro_sink_")
+    owned = checkpoint is None
+    if owned:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_avro_sink_")
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
@@ -277,6 +322,8 @@ def stream_to_avro(
         .start()
     )
     q.awaitTermination()
+    if owned:
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 @register(
@@ -430,6 +477,7 @@ def stream_upsert_sink(
     table_path: str,
     key_col: str,
     partition_col: str,
+    checkpoint: str | None = None,
 ) -> None:
     """Streaming CDC apply: every micro-batch merges into a
     hive-partitioned parquet table via partition-level upsert
@@ -438,7 +486,12 @@ def stream_upsert_sink(
     wins per key WITHIN and across batches: the batch is first
     deduplicated to its latest row per key (no table format needed,
     the atomic rewrite unit is the partition). Runs availableNow here
-    (finite replay); remove the trigger for a continuous pipeline."""
+    (finite replay); remove the trigger for a continuous pipeline.
+    Pass `checkpoint` for crash-resume (the commit log skips batches
+    already applied; upsert_partitioned's per-partition rewrite is
+    idempotent under replay of the SAME batch, so a crash between a
+    partition rewrite and the commit re-applies harmlessly); without
+    it a throwaway checkpoint is used and removed on success."""
     from pyspark.sql import Window
 
     from dbeam_spark.operators.bucketing import upsert_partitioned
@@ -461,7 +514,9 @@ def stream_upsert_sink(
         )
         upsert_partitioned(spark, table_path, latest, key_col, partition_col)
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_upsert_sink_")
+    owned = checkpoint is None
+    if owned:
+        checkpoint = tempfile.mkdtemp(prefix="ckpt_upsert_sink_")
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
@@ -469,6 +524,8 @@ def stream_upsert_sink(
         .start()
     )
     q.awaitTermination()
+    if owned:
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
 def windowed_late_metrics(
     stream_df,
@@ -525,6 +582,7 @@ def windowed_late_metrics(
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return state["input"], state["late"], state["batches"]
 
 
@@ -566,7 +624,7 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="late_stage_")
+    stage = _track_tmp(tempfile.mkdtemp(prefix="late_stage_"))
 
     def land(df, fname: str, mtime: float) -> None:
         tmp = os.path.join(stage, "_build")
@@ -716,6 +774,7 @@ def stream_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
 
     out = []
     for c in ("a_user_id", "b_value_cents", "c_ts_us"):
@@ -1024,7 +1083,7 @@ def _orders_stream(spark: SparkSession, sf_dir: str):
     # symlink named *.parquet is SKIPPED by the file-stream lister
     # (the 10x probe caught stream_survival_km reading a 0-row stream
     # off the directory-shaped replica) — symlink each part file.
-    stream_dir = tempfile.mkdtemp(prefix="orders_stream_")
+    stream_dir = _track_tmp(tempfile.mkdtemp(prefix="orders_stream_"))
     if os.path.isdir(src):
         import glob as _glob
 
@@ -1235,48 +1294,17 @@ def _events_stream_nib_sampled(
     you for free in production; ts is normalized to UTC timestamp at
     staging time so every generator's physical type streams alike."""
     import glob
-    import hashlib
-    import shutil
+
+    from dbeam_spark.operators.bucketing import stage_key_buckets
 
     ensure_utc(spark)
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        paths = sorted(glob.glob(os.path.join(src, "*.parquet")))
-    else:
-        paths = [src]
-    sig = []
-    for p in paths:
-        st = os.stat(p)
-        sig.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-    sig.append("nib_stage_v1")
-    key = hashlib.md5("|".join(sig).encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "dbeam_events_nib")
-    out = os.path.join(root, key)
-    # completeness marker is Spark's own _SUCCESS: a tiny corpus can
-    # legitimately have EMPTY nibbles (sf0.001 has ~15 users covering
-    # 8 of 16 — probing for a specific nib dir re-built forever and
-    # then crashed the schema read)
-    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
-        os.makedirs(root, exist_ok=True)
-        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
-        ev = load_table(spark, sf_dir, "events")
-        (
-            ev.withColumn(
-                "nib",
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
-            )
-            .repartition("nib")
-            .write.mode("overwrite")
-            .partitionBy("nib")
-            .parquet(tmp)
-        )
-        try:
-            os.rename(tmp, out)
-        except OSError:  # a concurrent builder won the rename
-            shutil.rmtree(tmp, ignore_errors=True)
+    # staging (content-keyed dir, atomic rename, _SUCCESS-gated, empty
+    # nibbles legal) is the shared layout operator — the same substrate
+    # the batch sampled audits read (promoted r8 from this module)
+    out = stage_key_buckets(spark, sf_dir, "events", "user_id")
     # symlink only the SAMPLED nibble dirs' part files into the
     # stream dir (the lister wants plain files)
-    stream_dir = tempfile.mkdtemp(prefix="events_nib_stream_")
+    stream_dir = _track_tmp(tempfile.mkdtemp(prefix="events_nib_stream_"))
     n = 0
     for nib in nibbles:
         for p in sorted(
@@ -1906,7 +1934,7 @@ def _docs_shard_stream(spark: SparkSession, sf_dir: str, n_shards: int):
     micro-batches (doc_id % n_shards sharding, one file per
     trigger) — the arrival pattern of a crawl feed."""
     docs = load_table(spark, sf_dir, "documents")
-    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    stream_dir = _track_tmp(tempfile.mkdtemp(prefix="docs_stream_"))
     import glob as _glob
     import shutil as _shutil
 
@@ -1986,8 +2014,10 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    index_dir = _tf.mkdtemp(prefix="sidx_stream_") + "/idx"
-    ledger_dir = _tf.mkdtemp(prefix="sidx_ledger_") + "/pairs"
+    index_root = _tf.mkdtemp(prefix="sidx_stream_")
+    ledger_root = _tf.mkdtemp(prefix="sidx_ledger_")
+    index_dir = index_root + "/idx"
+    ledger_dir = ledger_root + "/pairs"
 
     def per_batch(batch_df, bid):
         pairs = incremental_minhash_index(batch_df, index_dir, 0.5)
@@ -2046,6 +2076,9 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_high_missed"),
     ).collect()[0]
     n_docs = docs.count()
+    shutil.rmtree(index_root, ignore_errors=True)
+    shutil.rmtree(ledger_root, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.createDataFrame(
         [
             (

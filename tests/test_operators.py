@@ -431,6 +431,61 @@ def test_interval_count_join_matches_pair_join(spark):
     assert out2[0]["n_points"] == 1
 
 
+def test_interval_count_join_null_ts_and_reserved_cols(spark):
+    """Operator contract hardening: NULL-ts points are dropped (a
+    pair join's range predicate never matches them — unfiltered they
+    sorted FIRST under the range partition and inflated every C(t)),
+    and interval id columns colliding with internal plan names raise
+    a clear ValueError instead of silently mis-grouping."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from dbeam_spark.operators.joins import interval_count_join
+
+    b = datetime(2024, 6, 1)
+    pdf = spark.createDataFrame(
+        [(1, b), (2, None), (3, b + timedelta(minutes=30)), (4, None)],
+        "pid long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [(7, b, b + timedelta(hours=1))], ["iid", "lo", "hi"]
+    )
+    out = interval_count_join(
+        pdf, idf, "ts", "lo", "hi", id_cols=["iid"]
+    ).collect()
+    assert out[0]["n_points"] == 2  # NULL-ts rows do not count
+    idf_bad = idf.withColumnRenamed("iid", "_probe")
+    with pytest.raises(ValueError, match="_probe"):
+        interval_count_join(pdf, idf_bad, "ts", "lo", "hi")
+
+
+def test_knn_join_tie_safe_with_duplicate_vectors(spark):
+    """Preselection tie-safety: with far more than presel candidates
+    sharing one exact cosine (exact-duplicate vectors), argpartition
+    alone keeps an arbitrary subset; the boundary-widening must still
+    select the LOWEST-id tied neighbors, matching the SQL oracle's
+    (-sim, id) order."""
+    from dbeam_spark.operators.similarity import knn_join
+
+    # 40 identical vectors + 2 distinct: every query's candidate set
+    # ties at sim=1.0 among the duplicates (presel = k+16 < 39 ties)
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(40)]
+    rows += [(100, [0.0, 1.0, 0.0]), (101, [0.6, 0.8, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_join(df, k=3, id_col="vec_id", vec_col="embedding")
+    got = {
+        r["query_id"]: [] for r in out.collect()
+    }
+    for r in out.orderBy("query_id", "rank").collect():
+        got[r["query_id"]].append(r["neighbor_id"])
+    # query 5's top-3 among 39 sim-1.0 ties must be the lowest ids != 5
+    assert got[5] == [0, 1, 2]
+    assert got[0] == [1, 2, 3]
+    # the distinct vectors rank their true neighbors
+    assert got[101][0] == 100 or got[101][0] == 0
+
+
 def test_interval_overlap_join_semantics_and_plan(spark):
     from datetime import datetime
 

@@ -343,14 +343,47 @@ SCALE_JSON = os.environ.get(
 )
 
 SCALE_JSON_SCHEMA = (
-    "queries.<name> -> {t_base_s (sf0.1 wall), t10x_s/t30x_s (replica "
-    "wall at 10x/30x copies), ratio10x/ratio30x (vs t_base_s), "
-    "rows_10x/rows_30x, b (power-law exponent t=a*n^b fitted on the "
-    "two LARGEST available scale points; when only base+10x exist the "
-    "base point carries ~0.3-0.5s fixed per-job overhead, so b "
-    "overstates sub-second queries), t100x_proj_s (single-node "
-    "projection from the largest point at exponent b)}"
+    "queries.<name> -> {t_base_s (sf0.1 wall), t10x_s/t30x_s/t100x_s "
+    "(replica wall at 10x/30x/100x copies), ratioNx (vs t_base_s), "
+    "rows_Nx, b (power-law exponent t=a*n^b fitted on the two LARGEST "
+    "available scale points; SUPPRESSED — b_suppressed says why — when "
+    "the fit would span base+10x with a sub-second base, whose ~0.3-"
+    "0.5s fixed per-job floor fakes an exponent), t100x_proj_s "
+    "(single-node projection from the largest point at exponent b; "
+    "absent when a MEASURED t100x_s exists)}"
 )
+
+
+def _refit(q: dict) -> None:
+    """(Re)derive b and the 100x projection from the two LARGEST
+    points currently stored for one query. Centralized so a late 30x/
+    100x point always replaces an earlier base+10x fit — round 7 left
+    heavy_hitters_cms at b=1.34 off a floor-dominated sub-second base
+    while its measured 30x/100x points were flat."""
+    import math
+
+    pts = [(1.0, q.get("t_base_s"))] + [
+        (float(c), q.get(f"t{c}x_s")) for c in (10, 30, 100)
+        if q.get(f"t{c}x_s") is not None
+    ]
+    pts = [(n, t) for n, t in pts if t and t > 0]
+    q.pop("b", None)
+    q.pop("b_suppressed", None)
+    q.pop("t100x_proj_s", None)
+    if len(pts) < 2:
+        return
+    (n0, t0), (n1, t1) = pts[-2], pts[-1]
+    if n0 == 1.0 and t0 < 1.0:
+        q["b_suppressed"] = (
+            "only base+10x points and the sub-second base is fixed-"
+            "job-floor-dominated; an exponent here would trend the "
+            "floor, not the operator"
+        )
+        return
+    b = math.log(t1 / t0) / math.log(n1 / n0)
+    q["b"] = round(b, 2)
+    if q.get("t100x_s") is None and n1 < 100:
+        q["t100x_proj_s"] = round(t1 * (100.0 / n1) ** b, 1)
 
 
 def _update_scale_json(
@@ -378,17 +411,7 @@ def _update_scale_json(
     q[f"t{copies}x_s"] = t_big
     q[f"ratio{copies}x"] = round(t_big / t_base, 2) if t_base else None
     q[f"rows_{copies}x"] = rows_big
-    pts = [(1.0, q.get("t_base_s"))] + [
-        (float(c), q.get(f"t{c}x_s"))
-        for c in (10, 30)
-        if q.get(f"t{c}x_s") is not None
-    ]
-    pts = [(n, t) for n, t in pts if t and t > 0]
-    if len(pts) >= 2:
-        (n0, t0), (n1, t1) = pts[-2], pts[-1]
-        b = math.log(t1 / t0) / math.log(n1 / n0)
-        q["b"] = round(b, 2)
-        q["t100x_proj_s"] = round(t1 * (100.0 / n1) ** b, 1)
+    _refit(q)
     tmp = SCALE_JSON + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(data, fh, indent=1, sort_keys=True)
@@ -467,9 +490,30 @@ def ensure_replica(spark) -> None:
             fh.write(src_key)
 
 
+def refit_all() -> int:
+    """Recompute b / t100x_proj_s for EVERY stored query from the
+    points on record (no Spark). Run after the fit rule changes or
+    after a sweep lands new points out of order."""
+    import json
+
+    with open(SCALE_JSON) as fh:
+        data = json.load(fh)
+    data["schema"] = SCALE_JSON_SCHEMA
+    for q in data.get("queries", {}).values():
+        _refit(q)
+    tmp = SCALE_JSON + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+    os.replace(tmp, SCALE_JSON)
+    return len(data.get("queries", {}))
+
+
 def main() -> None:
     global PROBES
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if "--refit" in sys.argv:
+        print(f"refit {refit_all()} queries")
+        return
     if "--queries" in sys.argv:
         names = sys.argv[sys.argv.index("--queries") + 1].split(",")
         PROBES = [n for n in names if n]
