@@ -70,48 +70,83 @@ EXTENDED = [
 # bench there was no way to TELL a real 20% plan regression from a
 # slow afternoon. Normalized numbers (raw / host_factor) are the
 # round-over-round comparable ones; raw numbers stay the contract
-# keys. Kernels are deliberately two-sided: a pure-CPU numpy dgemm
-# chain (BLAS / core speed / contention) and a pure-JVM 32-task
-# codegen sum (scheduler + codegen + JVM state), geometric-mean
-# combined so one outlier axis can't dominate.
-CALIB_NOMINAL_CPU_SEC = 0.620
-CALIB_NOMINAL_SPARK_SEC = 0.465
+# keys. Two kernels run: a pure-CPU numpy dgemm chain (BLAS / core
+# speed / steal diagnostics) and a query-SHAPED 2-stage shuffle agg
+# (the axis host_factor is derived from — it tracked a synthetic
+# 1.5x slowdown within 3% where the pure kernels didn't; see
+# tools/calib_demo.py and docs/SCALE.md r8).
+CALIB_NOMINAL_CPU_SEC = 0.090
+CALIB_NOMINAL_SPARK_SEC = 0.620
+
+
+def calib_spark_once(spark) -> float:
+    """One rep of the query-SHAPED fixed-work kernel: map-side
+    partial agg -> exchange -> final agg over 997 keys, two stages
+    over 32 tasks. Query wall time is dominated by per-stage barrier
+    sync, so the kernel needs a shuffle to track real contention (a
+    pure map wave moved 1.6x when the suite moved 2.4x)."""
+    t0 = time.monotonic()
+    (
+        spark.range(0, 400_000_000, 1, 32)
+        .selectExpr("id % 997 AS k", "id % 31 AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+        .agg({"sum(v)": "sum"})
+        .collect()
+    )
+    return time.monotonic() - t0
 
 
 def run_calibration(spark) -> dict:
-    """Time the two fixed-work kernels (median of 3, after an untimed
-    warm run each) and derive host_factor = geomean of measured/nominal
-    ratios. Runs FIRST, before any query warmup, so it reads the host
-    the way the timed region will see it."""
-    import statistics
-
+    """Time the two fixed-work kernels — TWO untimed warm runs each
+    (first-touch page faults, BLAS pool spin-up, janino compile all
+    land there; a single warm run measured 8x off steady state), then
+    MIN of 5 timed runs. Min, not median: transient scheduler spikes
+    make runs slower never faster, while SUSTAINED contention (the
+    thing host_factor must capture) slows every rep including the
+    min. host_factor = geomean of measured/nominal ratios. Runs
+    FIRST, before any query warmup, so the summary line always
+    carries the host reading even if a later key regresses."""
     import numpy as np
 
     a = np.random.RandomState(7).standard_normal((768, 768))
+    # preallocated ping-pong buffers: a fresh 4.7 MB result per dgemm
+    # would measure glibc's mmap-threshold adaptation (first ~0.4 s,
+    # steady 0.09 s), not the host
+    buf = (np.empty_like(a), np.empty_like(a))
 
     def cpu_once() -> float:
         t0 = time.monotonic()
-        acc = a
-        for _ in range(24):
-            acc = acc @ a
+        src = a
+        for i in range(24):
+            dst = buf[i & 1]
+            np.matmul(src, a, out=dst)
             # rescale to keep values finite without leaving the kernel
-            acc *= 1.0 / np.abs(acc).max()
+            dst *= 1.0 / np.abs(dst).max()
+            src = dst
         return time.monotonic() - t0
 
     def spark_once() -> float:
-        t0 = time.monotonic()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(id * 3 + 1) as s"
-        ).collect()
-        return time.monotonic() - t0
+        return calib_spark_once(spark)
 
-    cpu_once()
-    cpu = statistics.median(cpu_once() for _ in range(3))
-    spark_once()
-    spk = statistics.median(spark_once() for _ in range(3))
-    factor = (
-        (cpu / CALIB_NOMINAL_CPU_SEC) * (spk / CALIB_NOMINAL_SPARK_SEC)
-    ) ** 0.5
+    for _ in range(4):
+        cpu_once()
+    cpu = min(cpu_once() for _ in range(5))
+    # C2 JIT keeps improving this job for several executions; the
+    # 1B-row size keeps the kernel CPU-bound (a 200M variant measured
+    # the 32-task SCHEDULER round-trip, which a loaded host barely
+    # moves) while 5 warm + 3 timed reps hold the cost under ~5 s.
+    for _ in range(5):
+        spark_once()
+    spk = min(spark_once() for _ in range(3))
+    # host_factor derives from the QUERY-SHAPED kernel alone: under a
+    # 12-burner 1.5x synthetic slowdown it moved 1.46x (the 4-query
+    # demo suite moved 1.50x — tools/calib_demo.py), while the numpy
+    # kernel moved 4x (multi-threaded BLAS loses timeslices
+    # quadratically) and a geomean over both over-corrected to 0.64x.
+    # cpu_sec stays REPORTED as the diagnostic second axis: it tells
+    # a pure-CPU/steal slowdown apart from a scheduler-stall one.
+    factor = spk / CALIB_NOMINAL_SPARK_SEC
     return {
         "cpu_sec": round(cpu, 3),
         "spark_sec": round(spk, 3),
@@ -167,13 +202,27 @@ def main() -> None:
     n_runs = 3
     runs: dict[str, list[float]] = {}
     for _ in range(n_runs):
+        # one calibration reading per pass, INTERLEAVED with the keys:
+        # host contention is nonstationary (the burner demo measured
+        # the kernel 3.1x while same-window queries read 1.24x when
+        # calibration ran in a different load phase), so the factor
+        # must be sampled over the same wall window as the keys and
+        # reduced with the same estimator (min = repeatable capability)
+        runs.setdefault("__calib_spark__", []).append(
+            round(calib_spark_once(spark), 3)
+        )
         for name in HEADLINE:
             t0 = time.monotonic()
             n = QUERIES[name](spark, sf_dir).collect()
             el = round(time.monotonic() - t0, 3)
             runs.setdefault(name, []).append(el)
             assert len(n) >= 0
-    per_query = {name: min(ts) for name, ts in runs.items()}
+    per_query = {name: min(ts) for name, ts in runs.items()
+                 if name != "__calib_spark__"}
+    calibration["spark_sec_interleaved"] = min(runs["__calib_spark__"])
+    calibration["host_factor"] = round(
+        calibration["spark_sec_interleaved"] / CALIB_NOMINAL_SPARK_SEC, 3
+    )
 
     # export-path throughput (the reference's headline dimension:
     # rows/min through the Avro writer — see BenchJdbcAvroJob).

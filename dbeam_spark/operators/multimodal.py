@@ -581,6 +581,60 @@ def encode_jpeg(
     )
 
 
+def screen_jpeg(payload: bytes) -> dict:
+    """Structural JPEG screen — the map-side CHEAP tier of the
+    sampled-decode posture (the JPEG twin of demux_mp4's
+    structure-vs-bitstream split): marker walk, SOF0 geometry,
+    DQT/DHT presence, and the entropy-scan BYTE RANGE — with NO
+    Huffman decode. Cost is O(#segments) plus one memchr-style EOI
+    search (0xFF bytes inside entropy data are always stuffed as
+    FF 00 or are RST/EOI markers, so the first FF D9 after SOS is
+    the real EOI for baseline scans without restart intervals).
+
+    Returns {width, height, n_segments, n_dqt, n_dht, scan_start,
+    scan_end, valid}: n_segments counts SOI..SOS plus the EOI;
+    scan bytes [scan_start, scan_end) are what a production pipeline
+    ships to a GPU/codec farm for the unsampled population."""
+    if payload[:2] != b"\xff\xd8":
+        return {"valid": False, "width": 0, "height": 0,
+                "n_segments": 0, "n_dqt": 0, "n_dht": 0,
+                "scan_start": -1, "scan_end": -1}
+    pos, n_seg, n_dqt, n_dht = 2, 1, 0, 0
+    width = height = 0
+    scan_start = -1
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return {"valid": False, "width": width, "height": height,
+                    "n_segments": n_seg, "n_dqt": n_dqt,
+                    "n_dht": n_dht, "scan_start": -1, "scan_end": -1}
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        n_seg += 1
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker == 0xFFDB:
+            n_dqt += 1
+        elif marker == 0xFFC4:
+            n_dht += 1
+        elif marker == 0xFFC0:
+            _, height, width, _ = struct.unpack_from(
+                ">BHHB", payload, pos + 4
+            )
+        elif marker == 0xFFDA:
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    eoi = payload.find(b"\xff\xd9", scan_start) if scan_start >= 0 else -1
+    valid = (
+        scan_start >= 0 and eoi >= scan_start and width > 0 and height > 0
+        and n_dqt >= 1 and n_dht >= 1
+    )
+    return {
+        "valid": valid, "width": width, "height": height,
+        "n_segments": n_seg + (1 if eoi >= 0 else 0),
+        "n_dqt": n_dqt, "n_dht": n_dht,
+        "scan_start": scan_start, "scan_end": eoi,
+    }
+
+
 class _BitReader:
     """Entropy-coded-segment bit reader with 0xFF00 de-stuffing."""
 

@@ -1160,6 +1160,158 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_sampled_audit",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             8 + octet_length(encode(text)) % 23 AS w,
+             6 + octet_length(encode(text)) % 15 AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id FROM g
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+      ORDER BY doc_id LIMIT 256
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_structure_valid,
+           CAST(SUM(3 * ((w + 7) // 8) * ((h + 7) // 8)) AS BIGINT)
+             AS total_blocks,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_sampled,
+           TRUE AS sampled_decode_ok,
+           TRUE AS scan_ranges_valid
+    FROM g
+    """,
+)
+def multimodal_jpeg_sampled_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB JPEG posture (r7 judge directive #4 — the codec
+    twin of multimodal_mp4_demux's structure/bitstream split):
+    multimodal_jpeg_decode is correct but Huffman-decodes every byte
+    in Python — the fleet's heaviest constant (88 s at 30x). A
+    production corpus audit instead runs in two tiers:
+
+    1. STRUCTURAL SCREEN on every asset (operators/multimodal.py::
+       screen_jpeg): marker walk + SOF0 geometry + DQT/DHT presence +
+       the entropy-scan byte range — no entropy decode; the byte
+       range is what ships to the GPU/codec farm for the unsampled
+       population. O(#segments) per asset.
+    2. FULL DECODE on a deterministic md5-gated sample with an
+       ABSOLUTE cap (first nibble of md5(doc_id) in {0,1}, lowest 256
+       doc_ids — the fractional-cap rule: the 1/8 key-space gate gets
+       an absolute companion bound so decode work is CONSTANT in
+       corpus size), pixel round-trip bounded <= 8 as in the exact
+       tier.
+
+    Screen-tier assets are synthesized as constant-color JPEGs (same
+    geometry/container per doc — structural facts are identical, and
+    a DC-only scan keeps the synthesis scaffolding out of the
+    measurement); decode-tier assets are the REAL text-derived ones.
+    Oracle pins the SQL-exact facts (asset count, length-derived
+    geometry block totals, capped sample size) and the two wide
+    invariants (every structure valid, every sampled decode within
+    the bound)."""
+    ensure_utc(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def screen_part(batches):
+        import pandas as pd
+
+        from dbeam_spark.operators.multimodal import (
+            encode_jpeg,
+            screen_jpeg,
+        )
+
+        for pdf in batches:
+            ids, valid, blocks, scan_ok = [], [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                ln = len(txt.encode("utf-8"))
+                w, h = 8 + ln % 23, 6 + ln % 15
+                payload = encode_jpeg(bytes([127]) * (w * h * 3), w, h)
+                rep = screen_jpeg(payload)
+                ids.append(did)
+                valid.append(
+                    rep["valid"] and rep["width"] == w
+                    and rep["height"] == h and rep["n_segments"] == 11
+                    and rep["n_dqt"] == 2 and rep["n_dht"] == 4
+                )
+                blocks.append(3 * ((w + 7) // 8) * ((h + 7) // 8))
+                scan_ok.append(
+                    0 < rep["scan_start"] <= rep["scan_end"] < len(payload)
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "ok": valid, "blocks": blocks,
+                 "scan_ok": scan_ok}
+            )
+
+    def decode_part(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dbeam_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            ids, ok = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                raw = txt.encode("utf-8") or b"\x00"
+                ln = len(raw)
+                w, h = 8 + ln % 23, 6 + ln % 15
+                need = w * h * 3
+                pixels = (raw * (need // len(raw) + 1))[:need]
+                dw, dh, dpix, _segs, _blocks = decode_jpeg(
+                    encode_jpeg(pixels, w, h)
+                )
+                err = int(
+                    np.abs(
+                        np.frombuffer(dpix, np.uint8).astype(np.int16)
+                        - np.frombuffer(pixels, np.uint8).astype(np.int16)
+                    ).max()
+                )
+                ids.append(did)
+                ok.append(dw == w and dh == h and err <= 8)
+            yield pd.DataFrame({"doc_id": ids, "ok": ok})
+
+    from dbeam_spark.operators.util import rebalance_for_arrow
+
+    screened = rebalance_for_arrow(docs).mapInPandas(
+        screen_part, "doc_id long, ok boolean, blocks long, scan_ok boolean"
+    )
+    sampled = (
+        docs.filter(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, 1
+            ).isin("0", "1")
+        )
+        .orderBy("doc_id")
+        .limit(256)
+    )
+    decoded = rebalance_for_arrow(sampled).mapInPandas(
+        decode_part, "doc_id long, ok boolean"
+    )
+    s = screened.agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(F.col("ok").cast("long")).cast("long")
+        .alias("n_structure_valid"),
+        F.sum("blocks").cast("long").alias("total_blocks"),
+        F.coalesce(
+            F.min(F.col("scan_ok").cast("int")), F.lit(1)
+        ).alias("_scan_min"),
+    )
+    d = decoded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.coalesce(F.min(F.col("ok").cast("int")), F.lit(1))
+        .alias("_dec_min"),
+    )
+    return s.join(d).select(
+        "n_assets", "n_structure_valid", "total_blocks", "n_sampled",
+        (F.col("_dec_min") == 1).alias("sampled_decode_ok"),
+        (F.col("_scan_min") == 1).alias("scan_ranges_valid"),
+    )
+
+
+@register(
     "multimodal_mp4_demux",
     oracle="""
     WITH g AS (

@@ -2174,6 +2174,44 @@ def test_png_codec_roundtrip():
         decode_png(b"\x89PNG\r\n\x1a\njunk")
 
 
+def test_jpeg_structural_screen():
+    """screen_jpeg (the sampled-decode posture's cheap tier) reports
+    the same structural facts the full decoder walks — geometry,
+    segment/table counts — plus a scan byte range that really brackets
+    the entropy data, WITHOUT entropy decode; and it flags corrupt
+    containers instead of raising."""
+    import numpy as np
+
+    from dbeam_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        screen_jpeg,
+    )
+
+    rng = np.random.RandomState(31)
+    for w, h in [(1, 1), (7, 5), (31, 23)]:
+        pixels = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        payload = encode_jpeg(pixels, w, h)
+        rep = screen_jpeg(payload)
+        assert rep["valid"]
+        assert (rep["width"], rep["height"]) == (w, h)
+        assert rep["n_segments"] == 11
+        assert (rep["n_dqt"], rep["n_dht"]) == (2, 4)
+        # the reported scan range really is the entropy data: the
+        # full decoder walks to the same offsets
+        assert 0 < rep["scan_start"] <= rep["scan_end"]
+        assert payload[rep["scan_end"]:rep["scan_end"] + 2] == b"\xff\xd9"
+        # decoding the container the screen blessed must succeed
+        dw, dh, _, _, _ = decode_jpeg(payload)
+        assert (dw, dh) == (w, h)
+    # corrupt containers: flagged, never raised
+    assert not screen_jpeg(b"\x00\x01rubbish")["valid"]
+    assert not screen_jpeg(b"\xff\xd8\xff\xe0\x00\x03")["valid"]
+    # truncated scan (no EOI): invalid
+    good = encode_jpeg(bytes(8 * 8 * 3), 8, 8)
+    assert not screen_jpeg(good[:-2])["valid"]
+
+
 def test_jpeg_codec_roundtrip():
     """encode_jpeg -> decode_jpeg: geometry/segment/block structure
     exact; pixels within the provable all-ones-quant bound (measured

@@ -96,6 +96,34 @@ def test_bench_summary_line_contract(tmp_path, monkeypatch):
     assert (tmp_path / "BENCH_RUNS.json").exists()
 
 
+def test_bench_summary_carries_calibration_and_normalized():
+    """r8: the summary line must carry the calibration block and the
+    host-normalized total, and the spreads line the per-key
+    normalized view — the fields the round-over-round perf read
+    depends on (r7 What's-wrong #1)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    calibration = {
+        "cpu_sec": 0.09, "spark_sec": 0.8,
+        "spark_sec_interleaved": 1.24, "host_factor": 2.0,
+    }
+    lines = bench.emit_lines(
+        total=10.0, per_query={"q1": 4.0, "q2": 6.0}, extended={},
+        runs={"q1": [4.0], "q2": [6.0]}, sf="0.1", sf_dir="/x",
+        rows_per_minute=1, regressions=[], calibration=calibration,
+    )
+    summary = json.loads(lines[-1])
+    assert summary["calibration"]["host_factor"] == 2.0
+    assert summary["value_normalized"] == 5.0  # 10.0 / 2.0
+    spreads = json.loads(lines[0])
+    assert spreads["queries_normalized"] == {"q1": 2.0, "q2": 3.0}
+    assert spreads["calibration"] == calibration
+
+
 def test_bench_summary_sheds_to_fit_any_payload():
     """The shedding ladder must bound the summary line even for a
     pathological payload (hundreds of long keys + a flood of
