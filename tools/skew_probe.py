@@ -70,7 +70,7 @@ PROBES = [
 
 
 def skew_key(base: str) -> str:
-    return "skew_v1|" + sp.source_key(base)
+    return "skew_v2|" + sp.source_key(base)
 
 
 def build_skew(spark) -> None:
@@ -108,16 +108,19 @@ def build_skew(spark) -> None:
         return out
 
     def hot(orig_expr, row_id_expr, base_min, per_copy_off):
-        """Zipf-head remap: 5% of rows -> base_min (the mega key),
-        15% -> base_min + 1..16 (the head), rest unchanged. All
-        offsets stay within the row's own copy ({i} * off)."""
+        """Zipf-head remap: 5% of ALL rows -> base_min (ONE GLOBAL
+        mega key — v1 offset it per copy, which diluted the mega key
+        to 0.5% of total and the probe's own sanity check caught it),
+        15% -> base_min + 1..16 (the global head), rest unchanged
+        (tail keys offset per copy as in the uniform replica). Hot
+        keys are copy-0 keys, which every copy's dim join resolves
+        (dims are either straight copies or include copy 0)."""
         off = f"{{i}} * {per_copy_off}" if per_copy_off else "0"
         return (
             f"CASE WHEN pmod(xxhash64({row_id_expr}), 1000) < 50 "
-            f"THEN {base_min} + {off} "
+            f"THEN {base_min} "
             f"WHEN pmod(xxhash64({row_id_expr}), 1000) < 200 "
-            f"THEN {base_min} + 1 + pmod(xxhash64({row_id_expr}, 7), 16)"
-            f" + {off} "
+            f"THEN {base_min} + 1 + pmod(xxhash64({row_id_expr}, 7), 16) "
             f"ELSE {orig_expr} + {off} END"
         )
 
@@ -269,8 +272,20 @@ def main() -> None:
     results: dict = {}
     for name in probes:
         try:
+            # one UNTIMED warm run per side first: v1 timed uniform
+            # cold and skew warm (file listings, janino, AQE stats all
+            # landed on the uniform side) and read skew FASTER on
+            # every key — an ordering artifact, not a result. Then
+            # min-of-2 per side: single-shot probe points on this VM
+            # spread 2x on identical code (q21 uniform read 6.46 s in
+            # one sweep, 3.24 s in the next), which swamps the
+            # skew-vs-uniform signal being probed.
+            sp.time_one(spark, sp.OUT, name)
+            sp.time_one(spark, SKEW_OUT, name)
             t_u, rows_u = sp.time_one(spark, sp.OUT, name)
             t_s, rows_s = sp.time_one(spark, SKEW_OUT, name)
+            t_u = min(t_u, sp.time_one(spark, sp.OUT, name)[0])
+            t_s = min(t_s, sp.time_one(spark, SKEW_OUT, name)[0])
             results[name] = {
                 "t_uniform_s": t_u, "t_skew_s": t_s,
                 "ratio_skew_vs_uniform": round(t_s / t_u, 2) if t_u else None,
@@ -289,12 +304,15 @@ def main() -> None:
     if os.path.exists(sp.SCALE_JSON):
         with open(sp.SCALE_JSON) as fh:
             data = json.load(fh)
+    block = data.get("skew") or {}
+    merged = block.get("queries") or {}
+    merged.update(results)  # partial --queries re-probes keep the rest
     data["skew"] = {
         "copies": COPIES,
         "distribution": "mega key 5% + 16 head keys ~1% each + tail",
         "skewed_keys": ["events.user_id", "orders.o_custkey",
                         "lineitem.l_suppkey"],
-        "queries": results,
+        "queries": merged,
         "identity": ident,
     }
     tmp = sp.SCALE_JSON + ".tmp"
