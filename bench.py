@@ -98,15 +98,16 @@ def calib_spark_once(spark) -> float:
 
 
 def run_calibration(spark) -> dict:
-    """Time the two fixed-work kernels — TWO untimed warm runs each
-    (first-touch page faults, BLAS pool spin-up, janino compile all
+    """Time the two fixed-work kernels — several untimed warm runs
+    each (first-touch page faults, BLAS pool spin-up, janino/C2 all
     land there; a single warm run measured 8x off steady state), then
-    MIN of 5 timed runs. Min, not median: transient scheduler spikes
-    make runs slower never faster, while SUSTAINED contention (the
-    thing host_factor must capture) slows every rep including the
-    min. host_factor = geomean of measured/nominal ratios. Runs
-    FIRST, before any query warmup, so the summary line always
-    carries the host reading even if a later key regresses."""
+    MIN of the timed runs. Min, not median: transient scheduler
+    spikes make runs slower never faster, while SUSTAINED contention
+    (the thing host_factor must capture) slows every rep including
+    the min. This upfront reading is the warm-up + diagnostic;
+    main() re-samples the spark kernel INTERLEAVED with the headline
+    passes and derives the final host_factor from those same-window
+    readings (see the n_runs loop)."""
     import numpy as np
 
     a = np.random.RandomState(7).standard_normal((768, 768))
@@ -133,9 +134,9 @@ def run_calibration(spark) -> dict:
         cpu_once()
     cpu = min(cpu_once() for _ in range(5))
     # C2 JIT keeps improving this job for several executions; the
-    # 1B-row size keeps the kernel CPU-bound (a 200M variant measured
-    # the 32-task SCHEDULER round-trip, which a loaded host barely
-    # moves) while 5 warm + 3 timed reps hold the cost under ~5 s.
+    # 400M-row size keeps the kernel CPU-bound (a 200M variant
+    # measured the 32-task SCHEDULER round-trip, which a loaded host
+    # barely moves) while 5 warm + 3 timed reps stay under ~5 s.
     for _ in range(5):
         spark_once()
     spk = min(spark_once() for _ in range(3))

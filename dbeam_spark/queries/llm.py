@@ -7411,9 +7411,18 @@ def kfold_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against the exhaustive pair set in both engines.
 
     Scale: dedup_clusters' component labels + one map-only fold hash
-    and a |pairs|-bounded leak join."""
+    and a |pairs|-bounded leak join. `pairs` is eagerly checkpointed
+    because it has TWO independent consumers (the component labeling
+    absorbs it into its own edge checkpoint; the leak join does not):
+    unchckpointed, the leak join re-ran the full AllPairs prefix tier
+    — invisible below 30x, but the 100x probe measured kfold at
+    1070 s vs the pair tier's own ~13x point, i.e. the pair build was
+    paying itself twice plus the CC rounds (r8 catch; the
+    multi-consumer-lazy-frame rule from CLAUDE.md generalized to
+    expensive OPERATOR outputs, not just cached scans)."""
     docs = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+    pairs = pairs.localCheckpoint(eager=True)
     clusters = dedup.connected_components(pairs)
     rep = docs.select("doc_id", "n_chars").join(
         clusters, "doc_id", "left"

@@ -89,12 +89,13 @@ def _events_stream(
     # symlinking each part file — a directory symlink named
     # *.parquet is skipped by the file-stream lister (0-row stream).
     stream_dir = _track_tmp(tempfile.mkdtemp(prefix="events_stream_"))
+    n_real = 1
     if os.path.isdir(src):
         import glob as _glob
 
-        for i, p in enumerate(
-            sorted(_glob.glob(os.path.join(src, "*.parquet")))
-        ):
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        n_real = len(parts)
+        for i, p in enumerate(parts):
             os.symlink(p, os.path.join(stream_dir, f"a_{i:05d}.parquet"))
     else:
         os.symlink(src, os.path.join(stream_dir, "a_events.parquet"))
@@ -126,7 +127,18 @@ def _events_stream(
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         shutil.move(part, os.path.join(stream_dir, "z_sentinel.parquet"))
         shutil.rmtree(tmp)
-        reader = reader.option("maxFilesPerTrigger", "1")
+        # ALL real files in batch 1, the sentinel ALONE in batch 2
+        # (the file source orders by mtime then listing order — the
+        # symlinked targets are older than the just-written sentinel).
+        # One-file-per-batch (the r7 shape) ran a directory-shaped
+        # replica as 33 micro-batches: 33 state-store commits, and —
+        # since part files are not time-ordered — the watermark after
+        # batch 1 silently DROPPED most later batches' events as late
+        # (rows_10x/30x/100x read 196k/198k/204k: flat = the drop).
+        # One real batch keeps finite-replay semantics equal to the
+        # batch oracle at every replica size and was measured 213 s ->
+        # 87 s on stream_session_window at 100x.
+        reader = reader.option("maxFilesPerTrigger", str(n_real))
     raw = reader.parquet(stream_dir)
     # Normalize ts to a session-UTC TimestampType like the batch loader.
     if isinstance(ts_type, T.LongType):
@@ -1331,7 +1343,9 @@ def _events_stream_nib_sampled(
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         shutil.move(part, os.path.join(stream_dir, "z_sentinel.parquet"))
         shutil.rmtree(tmp)
-        reader = reader.option("maxFilesPerTrigger", "1")
+        # all sampled files in batch 1, sentinel alone in batch 2 —
+        # same late-drop/commit-count reasoning as _events_stream
+        reader = reader.option("maxFilesPerTrigger", str(max(n, 1)))
     return reader.parquet(stream_dir)
 
 
