@@ -69,10 +69,22 @@ def prepare_training_corpus(
 
     # leakage-safe split on the cluster representative
     nib = F.substring(F.md5(F.col("rep_id").cast("string")), 1, 1)
-    assigned = survivors.withColumn(
-        "split",
-        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test"),
-    ).filter(F.col("split") == split)
+    # eagerly checkpointed: `assigned` has TWO consumers (the chunker
+    # and the split join below), and its upstream — the exact-dedup
+    # groupBy, the cluster join, the survivorship window — otherwise
+    # recomputes once per consumer (the kfold r8 catch's pattern; the
+    # 100x probe read training_corpus at b=1.75 in the 30->100 decade
+    # before this)
+    assigned = (
+        survivors.withColumn(
+            "split",
+            F.when(nib < "c", "train")
+            .when(nib < "e", "val")
+            .otherwise("test"),
+        )
+        .filter(F.col("split") == split)
+        .localCheckpoint(eager=True)
+    )
 
     chunks = sampling.chunk_documents(
         assigned.select("doc_id", "text"), chunk_size, stride

@@ -3319,7 +3319,15 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (hash-partitioned, no broadcast of corpus state) and reduce
     to a 2-row report. Integer-exact leak ratio (floor x1e4)."""
     docs = _docs(spark, sf_dir)
-    splits = dataset_split(spark, sf_dir).select("doc_id", "split")
+    # checkpointed: `splits` (doc_id+split, tiny) appears under BOTH
+    # sides of the gram join — unchecked, the full dataset_split
+    # (pair tier + components; 161s standalone at 100x) is liable to
+    # recompute per consumer wherever exchange reuse doesn't cover it
+    splits = (
+        dataset_split(spark, sf_dir)
+        .select("doc_id", "split")
+        .localCheckpoint(eager=True)
+    )
     g5 = dedup.shingle_table(docs, "doc_id", "text", n=5).select(
         F.col("sid").alias("doc_id"), F.col("shingle").alias("gram")
     )
