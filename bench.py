@@ -312,14 +312,20 @@ def main() -> None:
     # violation is reported, not fatal: the driver consumes the
     # stdout JSON line regardless.
     regressions = []
+    _hf = max(calibration.get("host_factor") or 1.0, 0.25)
     if sf == "0.1":
-        if per_query.get("dedup_minhash_lsh", 0) > 5.5:
+        # tripwires compare HOST-NORMALIZED values (r8): raw floors
+        # false-positived on slow afternoons (r7's 20.2s-vs-12.5s was
+        # pure host state) and would mask real regressions on fast ones
+        _lsh_n = per_query.get("dedup_minhash_lsh", 0) / _hf
+        if _lsh_n > 5.5:
             regressions.append(
-                f"dedup_minhash_lsh {per_query['dedup_minhash_lsh']}s > 5.5s"
+                f"dedup_minhash_lsh {_lsh_n:.2f}s normalized > 5.5s"
             )
-        if rows_per_minute < 10_000_000:
+        if rows_per_minute * _hf < 10_000_000:
             regressions.append(
-                f"export {rows_per_minute} rows/min < 10M floor"
+                f"export {int(rows_per_minute * _hf)} normalized rows/min"
+                " < 10M floor"
             )
     if regressions:
         import sys

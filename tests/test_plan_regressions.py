@@ -308,6 +308,10 @@ def test_collect_surface_is_whitelisted():
             "_events_stream": 1,  # schema probe (1 row)
             # sentinel max-ts over the staged dirs (1-row aggregate)
             "_events_stream_nib_sampled": 1,
+            # r8: 1-row distinct-count agg collected so the 10M-row
+            # /tmp parquet sink can be deleted eagerly (catch #14's
+            # fix kept, sink hygiene added)
+            "stream_dedup": 1,
             "windowed_late_metrics": 1,  # bounded window rollup
             "stream_column_stats": 1,  # per-batch stats row
             "stream_markov_stationary": 1,  # |types|² frame
