@@ -304,17 +304,28 @@ def main() -> None:
     if os.path.exists(sp.SCALE_JSON):
         with open(sp.SCALE_JSON) as fh:
             data = json.load(fh)
-    block = data.get("skew") or {}
+    skew = data.get("skew") or {}
+    # keyed per replica size so a 30x probe can't mislabel the 10x
+    # block; partial --queries re-probes merge into their own size key
+    key = f"{COPIES}x"
+    block = skew.get(key) or {}
     merged = block.get("queries") or {}
-    merged.update(results)  # partial --queries re-probes keep the rest
-    data["skew"] = {
-        "copies": COPIES,
+    merged.update(results)
+    skew[key] = {
         "distribution": "mega key 5% + 16 head keys ~1% each + tail",
         "skewed_keys": ["events.user_id", "orders.o_custkey",
                         "lineitem.l_suppkey"],
         "queries": merged,
         "identity": ident,
     }
+    # drop the pre-r8 flat shape if present
+    skew.pop("copies", None)
+    skew.pop("queries", None)
+    skew.pop("identity", None)
+    skew.pop("distribution", None)
+    skew.pop("skewed_keys", None)
+    skew.pop("note", None)
+    data["skew"] = skew
     tmp = sp.SCALE_JSON + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(data, fh, indent=1, sort_keys=True)
