@@ -327,6 +327,24 @@ def main() -> None:
                 f"export {int(rows_per_minute * _hf)} normalized rows/min"
                 " < 10M floor"
             )
+        # RAW absolute ceilings (r8 ADVICE): a repo-side regression
+        # that also slows the calibration kernel (e.g. a session/
+        # config change in get_spark touching the shuffle path)
+        # inflates host_factor and self-normalizes away. These loose
+        # raw bounds (4x the normalized limits — beyond any host
+        # state ever measured on this box, max factor on record 1.6x
+        # plus 2x shot spread) cannot be masked by calibration.
+        _lsh_raw = per_query.get("dedup_minhash_lsh", 0)
+        if _lsh_raw > 22.0:
+            regressions.append(
+                f"dedup_minhash_lsh {_lsh_raw:.2f}s RAW > 22s absolute"
+                " ceiling (calibration-independent)"
+            )
+        if rows_per_minute < 2_500_000:
+            regressions.append(
+                f"export {rows_per_minute} RAW rows/min < 2.5M absolute"
+                " floor (calibration-independent)"
+            )
     if regressions:
         import sys
 

@@ -505,6 +505,12 @@ def stage_key_buckets(
             .partitionBy("nib")
             .parquet(tmp)
         )
+        # Pin the staged schema next to _SUCCESS: an EMPTY source
+        # writes zero nib= dirs (only the marker), and the reader
+        # must still return an empty frame with the right schema
+        # (r8 ADVICE: read_key_buckets IndexError'd on any_nib[0]).
+        with open(os.path.join(tmp, "_schema.json"), "w") as fh:
+            fh.write(df.schema.json())
         try:
             os.rename(tmp, out)
         except OSError:  # a concurrent builder won the rename
@@ -521,10 +527,27 @@ def read_key_buckets(
     Empty samples (legal on tiny corpora) come back as an empty frame
     with the staged schema."""
     import glob
+    import json
     import os
 
+    from pyspark.sql import types as T
+
     any_nib = sorted(glob.glob(os.path.join(staged_root, "nib=*")))
-    schema = spark.read.parquet(any_nib[0]).schema
+    if any_nib:
+        schema = spark.read.parquet(any_nib[0]).schema
+    else:
+        # Zero nib dirs = the staged source was EMPTY (legal: only
+        # _SUCCESS + _schema.json land). Recover the schema from the
+        # sidecar the stager pinned.
+        schema_path = os.path.join(staged_root, "_schema.json")
+        if not os.path.isfile(schema_path):
+            raise ValueError(
+                f"key-bucket staging at {staged_root} has no nib= "
+                "dirs and no _schema.json sidecar — restage with "
+                "stage_key_buckets"
+            )
+        with open(schema_path) as fh:
+            schema = T.StructType.fromJson(json.load(fh))
     sampled = [
         d for d in (os.path.join(staged_root, f"nib={n}") for n in nibbles)
         if os.path.isdir(d)

@@ -597,8 +597,14 @@ def rh_lsh_embedding_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 4096,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH scale path for embedding near-dup pairs.
+
+    `include_raw=True` adds a `sim_raw` column (the unrounded
+    verified cosine) for consumers that gate on sub-rounding-grain
+    tolerances — `sim` itself stays 4dp so downstream hashes are
+    stable across the flag.
 
     Multi-table (banded) LSH: L independent tables of k sign bits
     each; a pair is a candidate when it collides in ANY table, then
@@ -717,26 +723,36 @@ def rh_lsh_embedding_pairs(
             if len(ia):
                 a_out.append(ids[ia])
                 b_out.append(ids[ib])
-                s_out.append(np.round(sims[ia, ib], 4))
+                s_out.append(sims[ia, ib])
         if a_out:
+            raw = np.concatenate(s_out)
             yield pd.DataFrame(
                 {
                     "id_a": np.concatenate(a_out),
                     "id_b": np.concatenate(b_out),
-                    "sim": np.concatenate(s_out),
+                    "sim": np.round(raw, 4),
+                    "sim_raw": raw,
                 }
             )
 
     n_parts = max(
         8, d.sparkSession.sparkContext.defaultParallelism
     )
-    return (
+    out = (
         buckets.repartition(n_parts, "table", "bucket")
-        .mapInPandas(bucket_pairs, "id_a long, id_b long, sim double")
+        .mapInPandas(
+            bucket_pairs,
+            "id_a long, id_b long, sim double, sim_raw double",
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.max("sim").alias("sim"))
-        .orderBy("id_a", "id_b")
+        .agg(
+            F.max("sim").alias("sim"),
+            F.max("sim_raw").alias("sim_raw"),
+        )
     )
+    if not include_raw:
+        out = out.drop("sim_raw")
+    return out.orderBy("id_a", "id_b")
 
 
 def kmeans_fit(

@@ -562,8 +562,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.embedding_dedup_pairs(emb, COSINE_THRESHOLD).select(
         "id_a", "id_b", F.lit(1).alias("in_exact")
     )
-    lsh = similarity.rh_lsh_embedding_pairs(emb, COSINE_THRESHOLD).select(
-        "id_a", "id_b", F.col("sim").alias("lsh_sim"),
+    lsh = similarity.rh_lsh_embedding_pairs(
+        emb, COSINE_THRESHOLD, include_raw=True
+    ).select(
+        "id_a", "id_b", F.col("sim_raw").alias("lsh_sim"),
         F.lit(1).alias("in_lsh"),
     )
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
@@ -575,7 +577,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as a false positive when its own LSH-reported sim clears the
     # threshold by 1e-6 — six orders above dgemm blocking variance,
     # far below any genuine verification bug's signature — so the
-    # hashed zero is robust to last-ulp boundary data.
+    # hashed zero is robust to last-ulp boundary data. The guard
+    # compares the UNROUNDED verified cosine (sim_raw; the 4dp `sim`
+    # column would widen the excusal band to the 5e-5 rounding grain
+    # — the r8 ADVICE catch), so the 1e-6 tolerance is real.
     fp = (
         F.col("in_lsh").isNotNull()
         & F.col("in_exact").isNull()

@@ -139,7 +139,10 @@ def _events_stream(
         # batch oracle at every replica size; stream_session_window
         # at 100x measured 213 s -> 114 s while emitting the full
         # 9.78M drop-free sessions instead of the 204k survivors.
-        reader = reader.option("maxFilesPerTrigger", str(n_real))
+        # max(n, 1): Spark rejects maxFilesPerTrigger=0, and a
+        # directory-shaped events table can legally contain zero
+        # part files (r8 ADVICE; _events_stream_nib_sampled symmetry)
+        reader = reader.option("maxFilesPerTrigger", str(max(n_real, 1)))
     raw = reader.parquet(stream_dir)
     # Normalize ts to a session-UTC TimestampType like the batch loader.
     if isinstance(ts_type, T.LongType):
