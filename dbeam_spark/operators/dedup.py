@@ -335,6 +335,52 @@ def ngram_jaccard_pairs(
     return _verified_jaccard_arrays(cand, sh, threshold)
 
 
+def exact_jaccard_of_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """EXACT shingle-Jaccard for an explicit (id_a, id_b) pair list —
+    the linear-cost verify that replaces an exhaustive AllPairs twin
+    when the pairs to certify are already known (e.g. every pair an
+    incremental MinHash index REPORTED: the τ−4σ no-false-positive
+    gate needs exact J only for reported pairs, never the corpus).
+
+    Scan shape: the corpus is SEMI-JOIN pruned to docs that appear in
+    a pair before any shingling (near-dup pairs touch a small, linear
+    fraction of the corpus; the isin-list trap from CLAUDE.md is
+    avoided — ids travel as a broadcast frame under the same size
+    gate `_verified_jaccard_arrays` uses), so total work is
+    O(scan + pairs × doc_size) regardless of corpus pair density.
+
+    Returns (id_a, id_b, jaccard) for every input pair whose BOTH
+    docs have ≥1 shingle (a MinHash-reported pair always does — a
+    sub-n-token doc never gets a signature); callers comparing
+    counts against the input should treat dropped rows as failures.
+    """
+    pairs = (
+        pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
+    )
+    small = pairs.count() <= _BROADCAST_CAND_MAX
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    if small:
+        ids = F.broadcast(ids)
+    docs_f = docs.join(ids, id_col, "left_semi")
+    sh = shingle_table(docs_f, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    # threshold 0.0 keeps every verified pair (jraw >= 0 always)
+    return _verified_jaccard_arrays(
+        pairs, sh, 0.0, broadcast_candidates=small
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_perm: int = _NUM_PERM
 ) -> DataFrame:

@@ -297,7 +297,7 @@ def test_collect_surface_is_whitelisted():
             "embedding_kmeans": 1,  # k centroids
             "knn_pq": 1,  # 16×16 codebooks
             "quality_classifier": 1,  # model coefficients
-            "dedup_incremental": 1,  # batch-id aggregates (3 scalars)
+            "dedup_incremental": 1,  # 1-row FP-verify aggregate
             "keyword_search_indexed": 1,  # top-10 result
             "token_count_moments": 1,  # 1-row moments
             "ivf_maintain_report": 3,  # index manifests + report rows
@@ -316,7 +316,7 @@ def test_collect_surface_is_whitelisted():
             "stream_column_stats": 1,  # per-batch stats row
             "stream_markov_stationary": 1,  # |types|² frame
             "stream_chi2_type_dow": 1,  # |types|×7 contingency
-            "stream_dedup_index": 1,  # batch-id aggregates
+            "stream_dedup_index": 1,  # 1-row FP-verify aggregate
         },
         "tpch.py": {
             "join_view_demo": 1,  # bounded maintained-view diff

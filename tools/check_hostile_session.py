@@ -5,7 +5,8 @@ environment the round driver builds. Catches queries that silently
 depend on session defaults (`ensure_utc` inside each query fn is what
 keeps this green).
 
-Usage: python tools/check_hostile_session.py [sf_dir]
+Usage: python tools/check_hostile_session.py [sf_dir] [query ...]
+(query names restrict the run; default is every registered query)
 
 Set SPARK_GRAFT_HOSTILE_PARTITIONS (default 16) to stress a different
 shuffle-partition count — hash-gated queries must be partitioning-
@@ -51,6 +52,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        want = set(sys.argv[2:])
+        unknown = want - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in want}
     fails = []
     for name, fn in qs.items():
         try:

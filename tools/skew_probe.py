@@ -65,6 +65,9 @@ PROBES = [
     "events_attribution",         # per-user path windows
     "stream_stateful_user_stats",  # applyInPandasWithState per user
     "stream_session_window",      # session state per user
+    # r9: the max-duration-bounded variant — the cure for the one
+    # skew reading that worsened with scale (mega session never seals)
+    "stream_session_window_bounded",
     "key_skew_profile",           # the decision profile itself
 ]
 
