@@ -71,9 +71,36 @@ PROBES = [
     "key_skew_profile",           # the decision profile itself
 ]
 
+# r9 (judge directive #2): the hot-SHINGLE surface — every query here
+# groupBys on gram/band keys, where the viral-template flood lands.
+# Ratios are flood-vs-uniform on the SAME copies (uniform twin =
+# /tmp/scale{N}, token-coined docs; skew twin differs only by the
+# flood), so the delta isolates the boilerplate mode.
+SHINGLE_PROBES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "dedup_span_share",
+    "phrase_boilerplate",
+    "training_corpus",
+]
+
+
+# The viral boilerplate template (r8 judge directive #2): 60 fixed
+# tokens, prepended-by-replacement into 5% of replica docs. Token
+# surface is distinctive (no corpus collision) so the flood's df
+# explosion is attributable. 60% of each flooded doc's tokens become
+# the template's prefix, so (a) every flooded pair shares the same
+# gram/band keys (template share s=0.6 → modal band bucket holds
+# s^4≈13% of the flood — crosses the 1000 cap at ~30x), while (b)
+# flood-pair Jaccard ≈ 0.6L/(1.4L) ≈ 0.43 stays BELOW the 0.5 dedup
+# threshold: the flood adds intermediate candidate volume (what the
+# caps bound), never true pairs (what correctness owes).
+TEMPLATE_TOKENS = " ".join(f"viralhdr{i:02d}" for i in range(60))
+
 
 def skew_key(base: str) -> str:
-    return "skew_v2|" + sp.source_key(base)
+    return "skew_v3|" + sp.source_key(base)
 
 
 def build_skew(spark) -> None:
@@ -156,14 +183,34 @@ def build_skew(spark) -> None:
         "event_type", "value", "props",
     ]).write.mode("overwrite").parquet(f"{SKEW_OUT}/events.parquet")
 
-    # documents/embeddings: straight offset copies (no skewed key in
-    # the probed surface reads them; kept so loaders don't 404)
+    # documents: the scale_probe token-coin replication (so the
+    # uniform /tmp/scale{N} twin differs ONLY by the flood) + the
+    # boilerplate flood — 5% of replicated docs get their first
+    # floor(0.6*L) tokens replaced by the template's prefix. The
+    # flood is applied POST-coin and identical across copies: one
+    # corpus-wide viral template, the real hot-shingle mode.
     d_off = docs.agg(F.max("doc_id")).first()[0] + 1
     v_off = emb.agg(F.max("vec_id")).first()[0] + 1
-    rep(docs, [
-        f"doc_id + {{i}} * {d_off} AS doc_id", "text", "lang",
-        "source", "n_chars",
-    ]).write.mode("overwrite").parquet(f"{SKEW_OUT}/documents.parquet")
+    coined = rep(docs, [
+        f"doc_id + {{i}} * {d_off} AS doc_id",
+        "array_join(transform(split(text, ' '), t -> "
+        "CASE WHEN pmod(xxhash64(t) + {i}, 2) = 0 THEN t "
+        "ELSE concat(t, '_{i}') END), ' ') AS text",
+        "lang", "source", "n_chars",
+    ])
+    k_expr = (
+        "greatest(CAST(floor(size(split(text, ' ')) * 0.6) AS INT), 1)"
+    )
+    coined.selectExpr(
+        "doc_id",
+        "CASE WHEN pmod(xxhash64(doc_id), 1000) < 50 THEN "
+        f"  concat(array_join(slice(split('{TEMPLATE_TOKENS}', ' '), "
+        f"           1, {k_expr}), ' '), ' ', "
+        f"         array_join(slice(split(text, ' '), {k_expr} + 1, "
+        f"           size(split(text, ' '))), ' ')) "
+        "ELSE text END AS text",
+        "lang", "source", "n_chars",
+    ).write.mode("overwrite").parquet(f"{SKEW_OUT}/documents.parquet")
     rep(emb, [
         f"vec_id + {{i}} * {v_off} AS vec_id", "embedding", "label",
     ]).write.mode("overwrite").parquet(f"{SKEW_OUT}/embeddings.parquet")
@@ -256,12 +303,136 @@ def identity_checks(spark) -> dict:
     return out
 
 
+def shingle_cap_stats(spark) -> dict:
+    """Measure — not assert — that the caps claimed to bound the
+    boilerplate-flood quadratics actually BIND on the flooded
+    replica (r8 judge: 'should was also true of the fractional caps
+    before r5/r6 measured them').
+
+    Reports: (a) the flood's share and the template shingles' max
+    document frequency (the df explosion), (b) MinHash band-bucket
+    occupancy vs lsh_candidates' max_bucket=1000 drop cap — buckets
+    over the cap are hash-collision boilerplate groups, droppable
+    because flood-pair J≈0.43 < τ=0.5, (c) the AllPairs tiers on the
+    flooded corpus at τ=0.5: how many prefix rows carry a flooded
+    (df>1000) shingle and how many prefix-join candidates the PPJoin
+    positional bound kills — the df-ascending prefix + alpha filter
+    are the reason a 5%-corpus common template does NOT create a
+    (0.05n)² candidate join."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbeam_spark.operators.dedup import (
+        _BANDS,
+        _ROWS_PER_BAND,
+        minhash_signatures_maponly,
+        shingle_table,
+    )
+    from dbeam_spark.sources.files import load_table
+
+    out: dict = {}
+    docs = load_table(spark, SKEW_OUT, "documents")
+    n_docs = docs.count()
+    n_flood = docs.filter(F.col("text").startswith("viralhdr00 ")).count()
+    out["flood"] = {
+        "n_docs": n_docs, "n_flooded": n_flood,
+        "share": round(n_flood / max(n_docs, 1), 4),
+    }
+
+    # (b) band-bucket occupancy vs the 1000 drop cap
+    sig = minhash_signatures_maponly(docs)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(*[F.col(f"mh{b * _ROWS_PER_BAND + j}")
+                     for j in range(_ROWS_PER_BAND)]).alias("sig"),
+        )
+        for b in range(_BANDS)
+    ])
+    occ = (
+        sig.select(F.explode(bands).alias("bd"))
+        .groupBy("bd.band", "bd.sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("max_bucket"),
+            F.sum((F.col("n") > 1000).cast("long")).alias("n_over_cap"),
+            F.sum(F.when(F.col("n") > 1000, F.col("n"))
+                  .otherwise(0)).alias("rows_in_dropped"),
+        )
+        .collect()[0]
+    )
+    out["minhash_bucket_cap"] = {
+        "cap": 1000,
+        "max_bucket": occ["max_bucket"],
+        "n_buckets_over_cap": int(occ["n_over_cap"] or 0),
+        "rows_in_dropped_buckets": int(occ["rows_in_dropped"] or 0),
+        "binding": bool((occ["n_over_cap"] or 0) > 0),
+    }
+
+    # (a)+(c) shingle df and the AllPairs prefix/positional tiers,
+    # mirroring ngram_jaccard_pairs' internals at tau=0.5 (num=1,den=2)
+    sh = shingle_table(docs).localCheckpoint(eager=True)
+    w_df, w_sz = Window.partitionBy("shingle"), Window.partitionBy("sid")
+    w = Window.partitionBy("sid").orderBy("df", "shingle")
+    pref = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= F.col("sz")
+                - F.expr("(sz * 1 + 2 - 1) DIV 2") + F.lit(1))
+        .select("sid", "shingle", "df", "r", "sz")
+        .localCheckpoint(eager=True)
+    )
+    dfrow = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.max("df").alias("max_df"),
+            F.sum((F.col("df") > 1000).cast("long")).alias("n_hot"),
+        ).collect()[0]
+    )
+    prow = pref.agg(
+        F.count(F.lit(1)).alias("n_prefix_rows"),
+        F.sum((F.col("df") > 1000).cast("long")).alias("n_hot_in_prefix"),
+    ).collect()[0]
+    pa = pref.select(F.col("sid").alias("id_a"), "shingle",
+                     F.col("r").alias("ra"), F.col("sz").alias("sa"))
+    pb = pref.select(F.col("sid").alias("id_b"),
+                     F.col("shingle").alias("shingle_b"),
+                     F.col("r").alias("rb"), F.col("sz").alias("sb"))
+    alpha = F.expr("(1 * (sa + sb) + 1 + 2 - 1) DIV (1 + 2)")
+    joined = (
+        pa.join(pb, F.col("shingle") == F.col("shingle_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    crow = joined.agg(
+        F.count(F.lit(1)).alias("pre_alpha"),
+        F.sum(
+            (1 + F.least(F.col("sa") - F.col("ra"),
+                         F.col("sb") - F.col("rb")) >= alpha).cast("long")
+        ).alias("post_alpha"),
+    ).collect()[0]
+    out["allpairs_prefix"] = {
+        "max_shingle_df": dfrow["max_df"],
+        "n_shingles_df_gt_1000": int(dfrow["n_hot"] or 0),
+        "n_prefix_rows": prow["n_prefix_rows"],
+        "n_prefix_rows_df_gt_1000": int(prow["n_hot_in_prefix"] or 0),
+        "candidate_join_rows_pre_positional": int(crow["pre_alpha"] or 0),
+        "candidate_join_rows_post_positional": int(crow["post_alpha"] or 0),
+        "positional_kill_ratio": round(
+            1 - (crow["post_alpha"] or 0) / max(crow["pre_alpha"] or 1, 1),
+            4,
+        ),
+    }
+    return out
+
+
 def main() -> None:
+    shingle_mode = "--shingle" in sys.argv
     if "--queries" in sys.argv:
         names = sys.argv[sys.argv.index("--queries") + 1].split(",")
         probes = [n for n in names if n]
     else:
-        probes = PROBES
+        probes = SHINGLE_PROBES if shingle_mode else PROBES
 
     from dbeam_spark.session import get_spark
 
@@ -300,8 +471,13 @@ def main() -> None:
             results[name] = {"error": str(exc)[:300]}
             print(f"{name}: ERROR {exc}", flush=True)
 
-    ident = identity_checks(spark)
-    print(json.dumps(ident))
+    if shingle_mode:
+        ident = None
+        caps = shingle_cap_stats(spark)
+        print(json.dumps(caps))
+    else:
+        ident = identity_checks(spark)
+        print(json.dumps(ident))
 
     data = {}
     if os.path.exists(sp.SCALE_JSON):
@@ -312,15 +488,40 @@ def main() -> None:
     # block; partial --queries re-probes merge into their own size key
     key = f"{COPIES}x"
     block = skew.get(key) or {}
-    merged = block.get("queries") or {}
-    merged.update(results)
-    skew[key] = {
-        "distribution": "mega key 5% + 16 head keys ~1% each + tail",
-        "skewed_keys": ["events.user_id", "orders.o_custkey",
-                        "lineitem.l_suppkey"],
-        "queries": merged,
-        "identity": ident,
-    }
+    if shingle_mode:
+        sh_block = block.get("shingle") or {}
+        merged = sh_block.get("queries") or {}
+        merged.update(results)
+        block["shingle"] = {
+            "flood": "fixed 60-token viral template over the first "
+                     "60% of tokens in 5% of docs (post token-coin; "
+                     "flood-pair J~0.43 < tau=0.5 by construction)",
+            "queries": merged,
+            "caps": caps,
+        }
+        block.setdefault(
+            "distribution", "mega key 5% + 16 head keys ~1% each + tail"
+        )
+        block.setdefault("skewed_keys", [
+            "events.user_id", "orders.o_custkey", "lineitem.l_suppkey",
+            "documents.text (viral-template shingle flood)",
+        ])
+        skew[key] = block
+    else:
+        merged = block.get("queries") or {}
+        merged.update(results)
+        new_block = {
+            "distribution": "mega key 5% + 16 head keys ~1% each + tail",
+            "skewed_keys": ["events.user_id", "orders.o_custkey",
+                            "lineitem.l_suppkey",
+                            "documents.text (viral-template shingle "
+                            "flood)"],
+            "queries": merged,
+            "identity": ident,
+        }
+        if block.get("shingle"):
+            new_block["shingle"] = block["shingle"]
+        skew[key] = new_block
     # drop the pre-r8 flat shape if present
     skew.pop("copies", None)
     skew.pop("queries", None)
