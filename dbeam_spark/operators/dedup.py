@@ -178,7 +178,17 @@ def _verified_jaccard_arrays(
     prefix filter bounds candidates on realistic corpora, but the set
     is data-dependent — boilerplate-heavy corpora at 30x+ can push it
     past driver broadcast limits (same size-gate precedent as
-    dedup_embedding's LSH fallback)."""
+    dedup_embedding's LSH fallback).
+
+    Shingles travel as xxhash64 INT64s, never strings (r9): the pair
+    join used to ship two ~50-150 STRING arrays per pair — at the
+    boilerplate-flood 30x probe the verify stage moved multi-GB of
+    strings for millions of verify-and-reject candidates. Set
+    cardinalities are preserved modulo xxhash64 collisions within
+    one doc's shingle set (≤ |d|²/2⁶⁵ ≈ 1e-15 for the largest docs —
+    far below every ulp guard in the repo), so |∩|/|∪| and the 4-dp
+    rounded value are unchanged, and the intersection kernel drops
+    from Python string sets to C-level sorted-array intersection."""
     if broadcast_candidates is None:
         cand = cand.localCheckpoint(eager=True)
         broadcast_candidates = cand.count() <= _BROADCAST_CAND_MAX
@@ -190,6 +200,8 @@ def _verified_jaccard_arrays(
     if broadcast_candidates:
         cand_ids = F.broadcast(cand_ids)
     sh_c = sh.join(cand_ids, "sid", "left_semi")
+    if dict(sh_c.dtypes)["shingle"] == "string":
+        sh_c = sh_c.select("sid", F.xxhash64("shingle").alias("shingle"))
     arrs = sh_c.groupBy("sid").agg(F.collect_list("shingle").alias("hs"))
     cand_b = F.broadcast(cand) if broadcast_candidates else cand
     a = arrs.select(F.col("sid").alias("id_a"), F.col("hs").alias("hs_a"))
@@ -197,6 +209,7 @@ def _verified_jaccard_arrays(
     paired = a.join(cand_b, "id_a").join(b, "id_b")
 
     def part(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -204,9 +217,12 @@ def _verified_jaccard_arrays(
                 continue
             jraw = []
             for ha, hb in zip(pdf["hs_a"], pdf["hs_b"]):
-                sa_, sb_ = set(ha), set(hb)
-                ninter = len(sa_ & sb_)
-                jraw.append(ninter / (len(sa_) + len(sb_) - ninter))
+                # arrays are per-doc DISTINCT by construction (the
+                # shingle table is distinct per (sid, shingle))
+                a_ = np.asarray(ha, dtype=np.int64)
+                b_ = np.asarray(hb, dtype=np.int64)
+                ninter = np.intersect1d(a_, b_, assume_unique=True).size
+                jraw.append(ninter / (a_.size + b_.size - ninter))
             yield pd.DataFrame(
                 {
                     "id_a": pdf["id_a"],
@@ -276,8 +292,19 @@ def ngram_jaccard_pairs(
     # launch CONCURRENTLY before the cache is populated — each
     # re-running the explode+distinct (the 10× probe measured the
     # single-action query at 2.4× the sum of its materialized stages)
-    sh = shingle_table(docs, id_col, text_col, n).localCheckpoint(
-        eager=True
+    #
+    # Shingles are xxhash64-hashed to INT64 here, once, so every
+    # downstream stage — the two window ladders, the prefix-prefix
+    # equi-join (28M join rows at the 30x boilerplate-flood probe),
+    # and the array verify — sorts/joins/ships 8-byte longs instead
+    # of ~30-60-byte strings. The df-ascending prefix order becomes
+    # (df, hash): the completeness proof only needs SOME total order
+    # shared by both sides, and jaccard values are preserved modulo
+    # within-doc xxhash64 collisions (≤ |d|²/2⁶⁵ ≈ 1e-15).
+    sh = (
+        shingle_table(docs, id_col, text_col, n)
+        .select("sid", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=True)
     )
     # df and sz as WINDOW counts, not groupBy+join-back: the join of
     # the 30x shingle table (30M rows) against its own per-shingle
@@ -851,31 +878,22 @@ def minhash_lsh_pairs(
         return _pairwise_text_jaccard(
             cand, cand_docs, id_col, text_col, n, threshold
         )
-    # Degenerate corpora: huge candidate sets stay distributed —
-    # shingle-join verification with a semi-filtered shingle table
-    # (re-planned WITH the distinct, since the raw stream overflowed).
+    # Degenerate corpora: huge candidate sets stay distributed. The
+    # verify is the ARRAY shape (hashed-shingle arrays + C-level
+    # intersection), not the exploded shingle join: at the r9
+    # boilerplate-flood 30x probe the exploded join sort-merged
+    # Σ_pairs|A| ≈ 300M rows for millions of verify-and-reject
+    # candidates (57s wall) — the exact shape _verified_jaccard_arrays
+    # was built to replace. The helper does its own checkpoint,
+    # candidate-id semi-prune and broadcast size-gating.
     cand = _candidates_from_buckets(
         minhash_band_buckets_maponly(docs, id_col, text_col, n),
         max_bucket=1000,
         distinct=True,
-    ).cache()
-    cand.count()
-    id_rows = (
-        cand.select(F.col("id_a").alias("cid"))
-        .unionByName(cand.select(F.col("id_b").alias("cid")))
-        .distinct()
     )
-    sh_c = (
-        shingle_table(docs, id_col, text_col, n)
-        .join(
-            F.broadcast(id_rows),
-            F.col("sid") == F.col("cid"),
-            "left_semi",
-        )
-        .cache()
+    return _verified_jaccard_arrays(
+        cand, shingle_table(docs, id_col, text_col, n), threshold
     )
-    sizes = sh_c.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
-    return _verified_jaccard(cand, sh_c, sizes, threshold)
 
 
 def _pairwise_text_jaccard(

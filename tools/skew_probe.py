@@ -303,7 +303,7 @@ def identity_checks(spark) -> dict:
     return out
 
 
-def shingle_cap_stats(spark) -> dict:
+def shingle_cap_stats(spark, data_dir: str | None = None) -> dict:
     """Measure — not assert — that the caps claimed to bound the
     boilerplate-flood quadratics actually BIND on the flooded
     replica (r8 judge: 'should was also true of the fractional caps
@@ -331,7 +331,7 @@ def shingle_cap_stats(spark) -> dict:
     from dbeam_spark.sources.files import load_table
 
     out: dict = {}
-    docs = load_table(spark, SKEW_OUT, "documents")
+    docs = load_table(spark, data_dir or SKEW_OUT, "documents")
     n_docs = docs.count()
     n_flood = docs.filter(F.col("text").startswith("viralhdr00 ")).count()
     out["flood"] = {
