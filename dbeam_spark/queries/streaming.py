@@ -1705,11 +1705,23 @@ def stream_session_hour_overlap(
     ledger equals the batch lag/cumsum sessionization row-for-row and
     the whole report hash-matches the batch SQL oracle. Production
     shape: the stream maintains the session ledger continuously;
-    the overlap join is the cheap batch tail over closed sessions."""
+    the overlap join is the cheap batch tail over closed sessions.
+
+    The session LEDGER is raw rows (one per sealed session — ~10M at
+    the 100x replica), so it lands in a PARQUET sink, not the memory
+    sink: the in-heap sink serializes every batch's rows through the
+    driver, and at 100x the ledger crossed spark.driver.maxResultSize
+    (1038 MiB > 1 GiB — a hard abort, caught by the decade probe).
+    The overlap join + rollup then run DISTRIBUTED over the sink
+    files and only the bounded <=20-row report is materialized; the
+    sink and checkpoint are removed before returning (the returned
+    frame carries literal values, not a /tmp reference)."""
     from dbeam_spark.queries.events import busiest_hours_overlap_rollup
     from dbeam_spark.sources.files import load_table
 
     name = f"sho_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     agg = (
         _events_stream(spark, sf_dir, flush_sentinel=True)
         .withWatermark("ts", "45 minutes")
@@ -1721,14 +1733,33 @@ def stream_session_hour_overlap(
             F.max("ts").alias("s_end"),
         )
     )
-    _run_stream(agg, name, "append")
+    q = (
+        agg.select("user_id", "s_start", "s_end")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     sessions = (
-        spark.table(name)
+        spark.read.parquet(out_dir)
         .filter(F.col("user_id") >= 0)
         .select("user_id", "s_start", "s_end")
     )
     ev = load_table(spark, sf_dir, "events")
-    return busiest_hours_overlap_rollup(ev, sessions)
+    rows = [
+        (r["hour"], r["n_sessions"], r["n_users"], r["overlap_micros"])
+        for r in busiest_hours_overlap_rollup(ev, sessions).collect()
+    ]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "hour timestamp, n_sessions long, n_users long, "
+        "overlap_micros long",
+    ).orderBy("hour")
 
 
 from dbeam_spark.queries.events import _markov_oracle as _mk_oracle

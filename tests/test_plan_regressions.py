@@ -317,6 +317,11 @@ def test_collect_surface_is_whitelisted():
             "stream_markov_stationary": 1,  # |types|² frame
             "stream_chi2_type_dow": 1,  # |types|×7 contingency
             "stream_dedup_index": 1,  # 1-row FP-verify aggregate
+            # r9: <=20-row busiest-hours report collected so the
+            # session-ledger parquet sink (~10M rows at 100x, which
+            # overflowed driver.maxResultSize in the memory sink) can
+            # be deleted eagerly
+            "stream_session_hour_overlap": 1,
         },
         "tpch.py": {
             "join_view_demo": 1,  # bounded maintained-view diff

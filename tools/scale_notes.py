@@ -30,7 +30,11 @@ NOTES: dict[str, str] = {
         "gate, so every probe point to date ran the exact tier (the "
         "r7 note claimed 600k/gate-crossed, same error the judge "
         "caught on dedup_semantic_clusters). The above-gate RH-LSH "
-        "path is exercised and recall-MEASURED by dedup_rh_lsh_recall."
+        "path is exercised and recall-MEASURED by dedup_rh_lsh_recall. "
+        "r9 measured 100x directly: 192s for 10^4x the FLOPs (wall "
+        "grows ~101x — dgemm efficiency absorbs half the exponent); "
+        "the gate_flip block measures the above-gate route it hands "
+        "off to at 600k vectors."
     ),
     "dedup_embedding_lsh": (
         "EVAL query: scores the LSH path against the exhaustive "
@@ -79,12 +83,14 @@ NOTES: dict[str, str] = {
     "stream_throttle": (
         "applyInPandasWithState costs ~70us/key/batch regardless of "
         "kernel speed; replica keys scale with data, so wall scales "
-        "with KEY cardinality (documented CLAUDE.md floor). 5.3x at "
-        "10x keys = sub-linear."
+        "with KEY cardinality (documented CLAUDE.md floor). r9 "
+        "measured 100x: 112.6s / 29.6x for 100x keys — key-linear "
+        "as documented, sub-linear in wall (b=0.88)."
     ),
     "stream_survival_km": (
         "stateful stream over user keys — same per-key floor as "
-        "stream_throttle; 3.9x at 10x keys."
+        "stream_throttle; r9 measured 100x: 97.9s / 21.5x "
+        "(b=0.94, key-linear)."
     ),
     # ---- eval/composed pipelines whose grain is the corpus ----
     "dataset_split": (
@@ -141,7 +147,17 @@ NOTES: dict[str, str] = {
     ),
     "events_session_window": (
         "session windows over user keys, output row-linear (977k "
-        "rows at 10x); 6.0x."
+        "rows at 10x, 9.8M at 100x); 6.0x at 10x, 56.5s/b=0.84 at "
+        "100x — output-bound, sub-linear."
+    ),
+    "stream_session_hour_overlap": (
+        "r9 decade catch: the sealed-session LEDGER (~10M rows at "
+        "100x) previously landed in the in-heap memory sink and "
+        "ABORTED the 100x run on spark.driver.maxResultSize "
+        "(1038 MiB > 1 GiB) — the stream_dedup raw-rows rule, not a "
+        "slow path. Re-sunk to parquet + distributed rollup: 21.3s "
+        "at 100x, near-flat (b=0.14); only the <=20-row report is "
+        "collected."
     ),
     "q12_shipping_delay": (
         "join+agg, shuffle-bound. The first sweep's 17.6s/4.7x point "
