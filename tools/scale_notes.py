@@ -93,6 +93,14 @@ NOTES: dict[str, str] = {
         "(b=0.94, key-linear)."
     ),
     # ---- eval/composed pipelines whose grain is the corpus ----
+    "cdc_rollup_demo": (
+        "r9 fix of the judge's b=1.21 flag: the demo's three export "
+        "runs went through write_avro(coalesce(4)) — a 4-task python "
+        "OCF encode no matter the run size (20M rows at 100x = the "
+        "215.7s wall was serial encode, not the rollup fold). "
+        "Full-width repartition before the writer: 44.5s at 100x, "
+        "b=0.38."
+    ),
     "dataset_split": (
         "leakage-safe split re-derives the near-dup component map "
         "(MinHash tier, linear) before assigning; 3.6x at 10x."
