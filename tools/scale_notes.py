@@ -138,6 +138,14 @@ NOTES: dict[str, str] = {
         "job-floor-dominated (0.5s) so the ratio reads high."
     ),
     "ngram_novelty": ("token-linear n-gram hashing; 4.4x at 10x."),
+    "ivf_maintain_report": (
+        "build-once/serve-many IVF artifact + LSM maintenance: timed "
+        "runs previously included the COLD artifact build at each SF "
+        "(the fake b=1.25); warmed via ARTIFACT_WARM since r9 like "
+        "knn_graph_maintain, the timed run is the fixed-size-batch "
+        "maintenance delta: 38.3s at 100x, b=0.26 (min-of-2 — LSM "
+        "compaction cadence makes single shots bimodal)."
+    ),
     "source_ngram_overlap": (
         "df-capped posting intersections (absolute cap since r6); "
         "3.1x at 10x."

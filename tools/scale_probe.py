@@ -325,6 +325,11 @@ ARTIFACT_WARM = [
     # timed run then measures the pruned-scan serve path
     "stream_join_completeness_sampled",
     "knn_graph_maintain",
+    # r9: same build-once/serve-many contract as knn_graph_maintain —
+    # cold IVF artifact builds were polluting every timed point
+    # (base 53s > 10x 15.8s; the 100x "b=1.25" was the first-ever
+    # cold build at that SF, not the maintenance delta)
+    "ivf_maintain_report",
     # these four share ONE full-corpus graph artifact; warming any of
     # them builds it once and the rest serve from parquet
     "embedding_pagerank",
