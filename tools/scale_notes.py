@@ -126,8 +126,14 @@ NOTES: dict[str, str] = {
         "pair tier + per-cluster keep/drop ledger; 3.4x at 10x."
     ),
     "dedup_threshold_sweep": (
-        "one signature pass serves all thresholds (shared exchange); "
-        "3.3x at 10x."
+        "r9 decade catch #16: the tau>=0.1 band curve needs the RAW "
+        "shingle self-join (AllPairs prefixes prune ~nothing at "
+        "tau=0.1), which ran corpus-wide with NO df cap — 230s / "
+        "b=1.56 at 100x while the 10x point read a flat 2.6x. "
+        "Re-tiered onto the key-sampled 20k-doc certification slice "
+        "(cap restated in the oracle; exhaustive below the cap): a "
+        "threshold curve is a statistic, a fixed-size key sample "
+        "estimates it at any corpus size."
     ),
     "dedup_source_flow": (
         "MinHash pair tier + source-pair rollup; 4.6x at 10x."
