@@ -214,8 +214,10 @@ def test_nib_sampled_stream_prunes_and_matches_batch(spark):
     if absent:  # sf0.001's ~15 users leave most nibbles empty
         assert run(absent[:2]) == set()
     # staging is content-keyed and built once: the dir carries _SUCCESS
+    # (root = stage_key_buckets' dbeam_<table>_<key>_nib layout; the
+    # old dbeam_events_nib glob only passed on stale pre-rename dirs)
     roots = glob.glob(
-        os.path.join(tempfile.gettempdir(), "dbeam_events_nib", "*")
+        os.path.join(tempfile.gettempdir(), "dbeam_events_user_id_nib", "*")
     )
     assert any(
         os.path.isfile(os.path.join(r, "_SUCCESS")) for r in roots
