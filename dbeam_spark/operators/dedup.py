@@ -678,18 +678,23 @@ def minhash_band_buckets_maponly(
     ).mapInPandas(part, "sid long, band long, sig long")
 
 
-def _candidates_from_buckets(
-    buckets: DataFrame, max_bucket: int, distinct: bool
-) -> DataFrame:
-    """(sid, band, sig) bucket rows → (id_a, id_b) candidate pairs:
-    one groupBy collecting each bucket's sorted members, in-place
-    capped pair expansion (see lsh_candidates for the shape
-    rationale)."""
-    grp = (
+def _bucket_groups(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """(sid, band, sig) bucket rows → (band, sig, ids) member lists:
+    one groupBy collecting each bucket's sorted members, size-capped.
+    Split out from the pair expansion so a caller can materialize the
+    SMALL grouped frame once (only buckets with ≥2 members survive)
+    and expand pairs from it more than one way without recomputing
+    the signature pipeline upstream."""
+    return (
         buckets.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("sid")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
+
+
+def _expand_bucket_pairs(grp: DataFrame, distinct: bool) -> DataFrame:
+    """(band, sig, ids) member lists → (id_a, id_b) pairs, in-place
+    capped expansion (see lsh_candidates for the shape rationale)."""
     pairs = F.explode(
         F.expr(
             "flatten(transform(ids, (x, i) -> "
@@ -699,6 +704,18 @@ def _candidates_from_buckets(
     )
     out = grp.select(pairs.alias("p")).select("p.id_a", "p.id_b")
     return out.distinct() if distinct else out
+
+
+def _candidates_from_buckets(
+    buckets: DataFrame, max_bucket: int, distinct: bool
+) -> DataFrame:
+    """(sid, band, sig) bucket rows → (id_a, id_b) candidate pairs:
+    one groupBy collecting each bucket's sorted members, in-place
+    capped pair expansion (see lsh_candidates for the shape
+    rationale)."""
+    return _expand_bucket_pairs(
+        _bucket_groups(buckets, max_bucket), distinct
+    )
 
 
 def lsh_candidates(
@@ -790,13 +807,28 @@ def minhash_lsh_pairs(
     sig_parts = max(
         8, spark.sparkContext.defaultParallelism // 4
     )
-    raw_rows = _candidates_from_buckets(
+    # The grouped bucket-members frame is materialized ONCE
+    # (localCheckpoint): it feeds the raw-pair probe collect below
+    # AND — when the probe overflows — the distributed fallback's
+    # distinct pair expansion. Uncheckpointed, the fallback regime
+    # recomputed the whole signature+bucket pipeline a second time
+    # (the multi-consumer recompute rule): the r9 100× replica
+    # measured pass1 11.5s + pass2 7.4s warm for identical work.
+    # The frame is small in every regime — only buckets with ≥2
+    # members survive the groupBy filter — so the checkpoint adds
+    # one ~0.1s job at sf0.1 and removes a full signature pass at
+    # the 100× fallback flip.
+    grp = _bucket_groups(
         minhash_band_buckets_maponly(
             docs, id_col, text_col, n, min_parts=sig_parts
         ),
         max_bucket=1000,
-        distinct=False,
-    ).limit(400_001).collect()
+    ).localCheckpoint(eager=True)
+    raw_rows = (
+        _expand_bucket_pairs(grp, distinct=False)
+        .limit(400_001)
+        .collect()
+    )
     pair_rows = sorted({(r[0], r[1]) for r in raw_rows})
     if len(raw_rows) <= 400_000 and len(pair_rows) <= 200_000:
         # Near-dup regime: pairs fit the driver easily. The id set
@@ -829,8 +861,9 @@ def minhash_lsh_pairs(
             # filter on the scan) replaces the whole second Python
             # stage — measured ~0.4s off the sf0.1 wall. Threshold
             # filter and rounding ALSO run driver-side: the result is
-            # a LocalTableScan and the query costs exactly two jobs
-            # (buckets, texts). `round_half_up` is the documented
+            # a LocalTableScan and the query costs three jobs (bucket
+            # checkpoint, pair collect off it, texts).
+            # `round_half_up` is the documented
             # bit-exact twin of Spark's ROUND on doubles
             # (BigDecimal.valueOf == Decimal(repr(x));
             # tests/test_operators.py pins the equivalence against
@@ -885,12 +918,11 @@ def minhash_lsh_pairs(
     # Σ_pairs|A| ≈ 300M rows for millions of verify-and-reject
     # candidates (57s wall) — the exact shape _verified_jaccard_arrays
     # was built to replace. The helper does its own checkpoint,
-    # candidate-id semi-prune and broadcast size-gating.
-    cand = _candidates_from_buckets(
-        minhash_band_buckets_maponly(docs, id_col, text_col, n),
-        max_bucket=1000,
-        distinct=True,
-    )
+    # candidate-id semi-prune and broadcast size-gating. The distinct
+    # pair expansion reads the SAME checkpointed bucket frame the
+    # probe collect used — no second signature pass (r9: 100× warm
+    # wall 22.2 → 17.1s, first-in-session 57 → 40s, from this reuse).
+    cand = _expand_bucket_pairs(grp, distinct=True)
     return _verified_jaccard_arrays(
         cand, shingle_table(docs, id_col, text_col, n), threshold
     )

@@ -52,6 +52,44 @@ def test_minhash_lsh_equals_exhaustive(docs):
     assert lsh == exhaustive
 
 
+def test_bucket_group_expansion_matches_direct(spark):
+    """The split _bucket_groups → _expand_bucket_pairs pipeline (the
+    r9 shared-checkpoint shape inside minhash_lsh_pairs) must equal
+    _candidates_from_buckets on every axis: cap filtering, id_a<id_b
+    ordering, distinct vs raw multiplicity — and expanding from a
+    localCheckpoint'd group frame must be identical to expanding the
+    live one (the fallback regime reads the checkpoint)."""
+    # bucket (0,1): ids {1,2,3}; bucket (1,1): ids {2,3} (dup pair
+    # across bands); bucket (2,2): 5 ids — dropped by max_bucket=4;
+    # bucket (3,3): singleton — dropped by the >1 filter
+    rows = (
+        [(i, 0, 1) for i in (1, 2, 3)]
+        + [(i, 1, 1) for i in (2, 3)]
+        + [(i, 2, 2) for i in (10, 11, 12, 13, 14)]
+        + [(99, 3, 3)]
+    )
+    buckets = spark.createDataFrame(rows, ["sid", "band", "sig"])
+    direct_raw = [
+        (r.id_a, r.id_b)
+        for r in dedup._candidates_from_buckets(
+            buckets, max_bucket=4, distinct=False
+        ).collect()
+    ]
+    grp = dedup._bucket_groups(buckets, max_bucket=4)
+    ck = grp.localCheckpoint(eager=True)
+    split_raw = [
+        (r.id_a, r.id_b)
+        for r in dedup._expand_bucket_pairs(ck, distinct=False).collect()
+    ]
+    want_raw = [(1, 2), (1, 3), (2, 3), (2, 3)]  # (2,3) once per band
+    assert sorted(direct_raw) == sorted(split_raw) == want_raw
+    split_distinct = {
+        (r.id_a, r.id_b)
+        for r in dedup._expand_bucket_pairs(ck, distinct=True).collect()
+    }
+    assert split_distinct == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_simhash_close_for_near_dups(docs):
     fps = {
         r["sid"]: r["simhash"]
