@@ -5335,8 +5335,11 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the daily frame lands in ONE post-agg partition (AQE coalesces
     # the tiny shuffle), which would serialize the O(days²) pair
     # comparison onto a single task — spread the probe side first
-    # (2.4k-row shuffle, negligible) so the BNLJ fans out
-    pairs = b.repartition(32).join(
+    # (2.4k-row shuffle, negligible) so the BNLJ fans out across
+    # however many cores the session actually has
+    pairs = b.repartition(
+        b.sparkSession.sparkContext.defaultParallelism
+    ).join(
         F.broadcast(a), F.col("day_b") > F.col("day_a")
     ).select(
         F.expr(
