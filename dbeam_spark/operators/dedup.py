@@ -362,6 +362,225 @@ def ngram_jaccard_pairs(
     return _verified_jaccard_arrays(cand, sh, threshold)
 
 
+# Extended-prefix length for containment_pairs' count filter — an
+# ABSOLUTE constant (the fractional-cap rule does not apply: this is
+# an exactness-preserving filter, never a result cap). e=2 measured
+# at the 30x probe: candidates 4.69M -> 9.5k (490x) for +31% join
+# rows; e=3 bought only ~1.6k fewer verifies for +13% more join rows.
+_CONTAIN_PREFIX_EXT = 2
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle CONTAINMENT |A∩B| / min(|A|,|B|) ≥
+    threshold — EXACT, via a ONE-SIDED AllPairs/PPJoin prefix filter
+    (guide §3: pre-filter the big join side; same family as
+    ngram_jaccard_pairs, different prefix schedule).
+
+    Why one-sided: containment's denominator is min(|A|,|B|), so the
+    LARGER doc of a pair cannot prune by its own size at all — a short
+    doc embedded whole inside a huge one scores 1.0 (that subset
+    signal is the point of the operator). Only the SMALLER side admits
+    a prefix: order every doc's shingles by global df ascending (hash
+    tie-break) and keep the first |d| − ⌈τ·|d|⌉ + 1. Completeness for
+    the min side: if C(A,B) ≥ τ with s = min(|A|,|B|) = |S|, then
+    i = |A∩B| ≥ ⌈τ·s⌉ (i is an integer); were the order-minimal common
+    shingle c outside S's prefix, ≥ s − ⌈τs⌉ + 1 elements of S would
+    precede c, none common, so i ≤ ⌈τs⌉ − 1 — contradiction. The
+    larger side indexes its FULL shingle set, so the c-generated row
+    always exists in the prefix×full equi-join (sz_p ≤ sz_f picks the
+    min side as the prefix side; equal sizes qualify from either).
+
+    Why it scales where the naive self-join didn't (the r9 30× probe
+    measured the naive shape at b=2.2, 112 s): a boilerplate shingle
+    shared by k docs contributed k² join rows; here it contributes
+    (#docs whose PREFIX holds it) × k — under the df-ascending order a
+    high-df shingle lands in a prefix only when the doc has almost
+    nothing rarer, so the flood term collapses from quadratic to
+    ~linear in k. The PPJoin positional bound then kills
+    shared-rare-shingle noise: every common element has rank ≥ rank(c)
+    in both docs, so i ≤ 1 + min(sz_p − r_p, sz_f − r_f), and a
+    qualifying pair needs i ≥ ⌈τ·sz_p⌉ (the c-row itself always
+    passes, so completeness survives).
+
+    EXTENDED-PREFIX COUNT FILTER (AdaptJoin-style ℓ-extension): the
+    basic prefix is minimal — ONE shared prefix shingle makes a
+    candidate — and the 30× probe measured 4.6M verify-and-reject
+    candidates for 7.7k true pairs (docs sharing a single rare-ish
+    shingle; ALL within-copy, i.e. real corpus near-miss density,
+    not a replica artifact). Extending the prefix by a constant
+    _CONTAIN_PREFIX_EXT positions buys a count requirement: a
+    qualifying pair misses at most plen − 1 of S's shingles
+    (|S \\ L| ≤ s − ⌈τs⌉ = plen − 1), so of S's first
+    min(plen + e, s) shingles at least min(e+1, ⌈τs⌉) must appear in
+    L. Measured at the 30× probe: e=2 cuts candidates 4.69M → 9.5k
+    (490×) for +31% candidate-join rows — verify mass collapses to
+    ~the true-pair set and re-enters the broadcast gate.
+
+    Verification is exact and array-based (the xxhash64 int64 shingle
+    precedent from _verified_jaccard_arrays — same ~1e-15 within-doc
+    collision caveat the Jaccard tier documents): candidate pairs pull
+    both docs' hashed shingle arrays through two equi-joins and a
+    C-level np.intersect1d computes i; the quantized score
+    i·10⁴ DIV min(sz) is evaluated in Spark SQL so the integer
+    truncation semantics match the DuckDB oracle bit-for-bit.
+
+    ⌈τ·|d|⌉ uses the same integer-exact fraction machinery as
+    ngram_jaccard_pairs (never round the threshold UP; denominator
+    bounded so ANSI int64 arithmetic can't overflow)."""
+    from fractions import Fraction
+
+    exact = Fraction(str(threshold))
+    frac = exact.limit_denominator(10_000)
+    if frac > exact:
+        frac = Fraction(frac.numerator - 1, frac.denominator)
+    num, den = frac.numerator, frac.denominator
+    sh = (
+        shingle_table(docs, id_col, text_col, n)
+        .select("sid", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+    w_df = Window.partitionBy("shingle")
+    w_sz = Window.partitionBy("sid")
+    w = Window.partitionBy("sid").orderBy("df", "shingle")
+    # checkpointed: ranked feeds BOTH the prefix side and the full
+    # index side of the candidate join; uncheckpointed the window
+    # ladder evaluates twice (ngram_jaccard_pairs precedent)
+    ranked = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("sz", F.count(F.lit(1)).over(w_sz))
+        .withColumn("r", F.row_number().over(w))
+        .select("sid", "shingle", "r", "sz")
+    ).localCheckpoint(eager=True)
+    # basic prefix length; the join side keeps _CONTAIN_PREFIX_EXT
+    # extra positions to feed the count requirement below
+    plen = (
+        F.col("sz")
+        - F.expr(f"(sz * {num} + {den} - 1) DIV {den}")
+        + F.lit(1)
+    )
+    ext = _CONTAIN_PREFIX_EXT
+    pref = ranked.withColumn("plen", plen).filter(
+        F.col("r") <= F.col("plen") + F.lit(ext)
+    )
+    pa = pref.select(
+        F.col("sid").alias("sid_p"), "shingle",
+        F.col("r").alias("rp"), F.col("sz").alias("szp"),
+        F.col("plen").alias("plp"),
+    )
+    pb = ranked.select(
+        F.col("sid").alias("sid_f"), F.col("shingle").alias("shingle_f"),
+        F.col("r").alias("rf"), F.col("sz").alias("szf"),
+    )
+    # per-row positional bound: i >= ceil(t*szp) for a qualifying
+    # pair (szp is the min size by the join condition) while the
+    # order-minimal common shingle's row has
+    # i <= 1 + min(szp-rp, szf-rf)
+    alpha = F.expr(f"(szp * {num} + {den} - 1) DIV ({den})")
+    pos_ok = (
+        1
+        + F.least(F.col("szp") - F.col("rp"), F.col("szf") - F.col("rf"))
+        >= alpha
+    ).cast("int")
+    # count requirement: |S \ L| <= plen - 1, so of S's first
+    # min(plen + ext, szp) shingles at least min(ext + 1, alpha)
+    # appear in L (szp - plp + 1 == alpha)
+    req = F.least(F.lit(ext) + 1, F.col("szp") - F.col("plp") + 1)
+    cand = (
+        pa.join(pb, F.col("shingle") == F.col("shingle_f"))
+        .filter(
+            (F.col("sid_p") != F.col("sid_f"))
+            & (F.col("szp") <= F.col("szf"))
+        )
+        .groupBy("sid_p", "sid_f")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max(pos_ok).alias("anypos"),
+            F.first(req).alias("req"),
+        )
+        .filter((F.col("m") >= F.col("req")) & (F.col("anypos") == 1))
+        .select(
+            F.least("sid_p", "sid_f").alias("id_a"),
+            F.greatest("sid_p", "sid_f").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _verified_containment_arrays(cand, sh, threshold)
+
+
+def _verified_containment_arrays(
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    broadcast_candidates: bool | None = None,
+) -> DataFrame:
+    """Exact containment for candidate (id_a, id_b) pairs via per-doc
+    hashed shingle arrays — the containment twin of
+    _verified_jaccard_arrays (same size-gated broadcast, same Arrow
+    intersection kernel), emitting the integer-quantized
+    containment_x1e4 = i·10⁴ DIV min(|A|,|B|) with the DIV evaluated
+    in Spark SQL so truncation matches the DuckDB oracle exactly."""
+    if broadcast_candidates is None:
+        cand = cand.localCheckpoint(eager=True)
+        broadcast_candidates = cand.count() <= _BROADCAST_CAND_MAX
+    cand_ids = (
+        cand.select(F.col("id_a").alias("sid"))
+        .unionByName(cand.select(F.col("id_b").alias("sid")))
+        .distinct()
+    )
+    if broadcast_candidates:
+        cand_ids = F.broadcast(cand_ids)
+    sh_c = sh.join(cand_ids, "sid", "left_semi")
+    if dict(sh_c.dtypes)["shingle"] == "string":
+        sh_c = sh_c.select("sid", F.xxhash64("shingle").alias("shingle"))
+    arrs = sh_c.groupBy("sid").agg(F.collect_list("shingle").alias("hs"))
+    cand_b = F.broadcast(cand) if broadcast_candidates else cand
+    a = arrs.select(F.col("sid").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = arrs.select(F.col("sid").alias("id_b"), F.col("hs").alias("hs_b"))
+    paired = a.join(cand_b, "id_a").join(b, "id_b")
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            inter = []
+            mins = []
+            for ha, hb in zip(pdf["hs_a"], pdf["hs_b"]):
+                a_ = np.asarray(ha, dtype=np.int64)
+                b_ = np.asarray(hb, dtype=np.int64)
+                inter.append(
+                    np.intersect1d(a_, b_, assume_unique=True).size
+                )
+                mins.append(min(a_.size, b_.size))
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "i": inter,
+                    "mn": mins,
+                }
+            )
+
+    scored = paired.mapInPandas(
+        part, "id_a long, id_b long, i long, mn long"
+    )
+    cq = F.expr("i * 10000 DIV mn")
+    return (
+        scored.select(
+            "id_a", "id_b", cq.cast("long").alias("containment_x1e4")
+        )
+        .filter(F.col("containment_x1e4") >= int(threshold * 10000))
+    )
+
+
 def exact_jaccard_of_pairs(
     docs: DataFrame,
     pairs: DataFrame,

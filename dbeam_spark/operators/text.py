@@ -21,6 +21,10 @@ LANG_MARKERS = {
 
 _WORD_SPLIT = r"\s+"
 
+# the keep-set for n_symbol_chars: exactly the complement of the
+# oracle regex [^a-z0-9 ]
+_KEEP_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of the lowercased text."""
@@ -29,6 +33,22 @@ def tokens(text: Column) -> Column:
 
 def n_ws_tokens(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+def n_symbol_chars(text: Column) -> Column:
+    """Count of characters outside [a-z0-9 ] in the lowercased text —
+    value-identical to size(regexp_extract_all(lower, '[^a-z0-9 ]'))
+    (each match of that class is exactly one code point, and both
+    length() and translate() operate per code point), but via
+    translate's O(1) char map instead of the regex engine. Per-char
+    regex iteration measured 19.7 s of text_quality's 41 s wall at
+    the 100× probe (~20 ns/char over ~1 GB of text); the translate
+    form runs at scan speed. DuckDB oracles keep the regex form —
+    the counts are equal, so hashes match."""
+    low = F.lower(text)
+    # translate DELETES the matched (keep-set) chars, so what remains
+    # is exactly the symbol characters
+    return F.length(F.translate(low, _KEEP_CHARS, ""))
 
 
 def n_bpe_tokens(text: Column) -> Column:
@@ -61,13 +81,31 @@ def predicted_lang(text: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0, 1]: rewards mid-length
-    docs and prose-like word lengths, penalizes symbol soup."""
+    docs and prose-like word lengths, penalizes symbol soup.
+
+    Built from quality_from_counts over the three count columns; use
+    that two-stage form (see text_quality) when scanning a corpus so
+    the tokenizing split runs once per row instead of once per
+    reference."""
     n_chars = F.length(text)
     n_words = n_ws_tokens(text)
-    avg_word_len = (n_chars - (n_words - 1)) / n_words  # chars sans separators
-    symbol_ratio = F.size(
-        F.regexp_extract_all(F.lower(text), F.lit("[^a-z0-9 ]"), 0)
-    ) / n_chars
+    n_symbols = n_symbol_chars(text)
+    return quality_from_counts(n_chars, n_words, n_symbols)
+
+
+def quality_from_counts(
+    n_chars: Column, n_words: Column, n_symbols: Column
+) -> Column:
+    """quality_score's arithmetic over pre-computed counts. The word
+    and symbol counts are each referenced more than once below
+    (avg_word_len appears in both BETWEEN comparisons); computing
+    them in a SEPARATE upstream projection guarantees one evaluation
+    per pass (codegen subexpression elimination usually dedupes the
+    inlined form too — the 100× probe measured no difference — but
+    the two-stage shape makes it structural rather than
+    optimizer-dependent)."""
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+    symbol_ratio = n_symbols / n_chars
     length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     word_len_score = F.when(
         (avg_word_len >= 3) & (avg_word_len <= 8), F.lit(1.0)

@@ -417,9 +417,29 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the symbol count runs through translate's char map instead
+    of per-char regex iteration (text.n_symbol_chars) — the
+    profile at the 100× probe put 19.7 s of the 41 s wall in the
+    [^a-z0-9 ] regex alone, PAID TWICE because orderBy's range
+    partitioner samples the full child projection to pick boundaries
+    before the real pass (41.3 s -> 4.2 s measured). Counts are
+    computed in their own projection so each text expression is
+    guaranteed a single evaluation per pass regardless of how many
+    times the quality arithmetic references it. Same arithmetic,
+    same 4-dp round — values unchanged (the char-class count and the
+    translate length-difference are equal per code point)."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    counts = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text.n_ws_tokens(F.col("text")).alias("n_words"),
+        text.n_symbol_chars(F.col("text")).alias("n_symbols"),
+    )
+    return counts.select(
+        "doc_id",
+        text.quality_from_counts(
+            F.col("n_chars"), F.col("n_words"), F.col("n_symbols")
+        ).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -2275,9 +2295,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio compares exact rationals: count*1.0/len ≤ 0.1 is computed
     identically from the same integers)."""
     docs = _docs(spark, sf_dir)
-    n_sym = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit("[^a-z0-9 ]"), F.lit(0))
-    )
+    n_sym = text.n_symbol_chars(F.col("text"))
     pass_len = F.length("text") >= 100
     pass_sym = n_sym * 1.0 / F.length("text") <= 0.1
     pass_words = text.n_ws_tokens(F.col("text")) >= 20
@@ -3281,34 +3299,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is floor((i*10000)/min(sz)) so both engines agree
     bit-for-bit, threshold applied to the quantized value.
 
-    Shape identical to the Jaccard path (shingle equi-join → per-pair
-    intersection counts → size join-back); at 100 TB the production
+    Physical shape (r9): the naive full shingle equi-join measured
+    b=2.2 at the 30× probe (112 s — every boilerplate shingle shared
+    by k docs emitted k² join rows); now the ONE-SIDED AllPairs/PPJoin
+    prefix filter (operators/dedup.containment_pairs) generates
+    candidates from min-side prefixes against the full shingle index
+    and verifies exactly via hashed-array intersection, with the
+    quantized DIV evaluated in Spark SQL so the oracle's integer
+    truncation is preserved bit-for-bit. At 100 TB the production
     candidate generator stays MinHash-LSH — this exact form is the
-    spec/oracle twin, sharing the same intersection plan."""
+    spec/oracle twin."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingle_table(docs, "doc_id", "text", n=3)
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("sid").alias("id_a"), "shingle")
-    b = sh.select(F.col("sid").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("szb"))
-    cq = F.expr("i * 10000 DIV LEAST(sza, szb)")
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", cq.cast("long").alias("containment_x1e4"))
-        .filter(
-            F.col("containment_x1e4")
-            >= int(CONTAINMENT_THRESHOLD * 10000)
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return dedup.containment_pairs(
+        docs, CONTAINMENT_THRESHOLD, n=3
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -8142,9 +8146,7 @@ def quality_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (symbol ratio as count*10 <= length, no float division)."""
     ensure_utc(spark)
     docs = _docs(spark, sf_dir)
-    n_sym = F.size(
-        F.regexp_extract_all(F.lower("text"), F.lit("[^a-z0-9 ]"), F.lit(0))
-    )
+    n_sym = text.n_symbol_chars(F.col("text"))
     p_len = (F.length("text") >= 100).alias("p_len")
     p_sym = (n_sym * 10 <= F.length("text")).alias("p_sym")
     p_words = (text.n_ws_tokens(F.col("text")) >= 20).alias("p_words")

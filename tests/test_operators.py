@@ -2025,6 +2025,83 @@ def test_ngram_jaccard_prefix_filter_exact(spark):
             assert len(got) >= 12
 
 
+def test_containment_prefix_filter_exact(spark):
+    """The one-sided prefix-filtered containment_pairs must equal the
+    naive full shingle equi-join on a corpus with boilerplate flood
+    AND planted SUBSET duplicates (a short doc embedded whole in a
+    longer one — containment 1.0 at low Jaccard, the case the
+    min-side-only prefix schedule exists for: the larger doc cannot
+    prune, sizes differ several-fold)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    boiler = "the quick brown"  # shared 3-shingle in every doc
+    rows = []
+    for i in range(50):
+        body = " ".join(rng.choices(vocab, k=40))
+        rows.append((i, f"{boiler} {body}"))
+    # planted subset dups: a 12-token contiguous slice of a long doc
+    # (containment of the slice ~1.0, Jaccard ~0.25)
+    for i in range(50, 62):
+        src = rows[i - 50][1].split()
+        rows.append((i, " ".join(src[8:20])))
+    # planted near-threshold pairs: copy with one word changed
+    for i in range(62, 70):
+        src = rows[i - 62][1].split()
+        src[10] = "CHANGED"
+        rows.append((i, " ".join(src)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for thr in (0.5, 0.8, 0.9):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["containment_x1e4"])
+            for r in dedup.containment_pairs(docs, thr).collect()
+        )
+        # naive exact twin (the pre-r9 query shape), computed inline
+        sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+        sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col("sid").alias("id_a"), "shingle")
+        b = sh.select(
+            F.col("sid").alias("id_b"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            a.join(
+                b,
+                (F.col("shingle") == F.col("sh_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sa = sizes.select(
+            F.col("sid").alias("id_a"), F.col("sz").alias("sza")
+        )
+        sb = sizes.select(
+            F.col("sid").alias("id_b"), F.col("sz").alias("szb")
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["containment_x1e4"])
+            for r in inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.expr("i * 10000 DIV LEAST(sza, szb)")
+                .cast("long")
+                .alias("containment_x1e4"),
+            )
+            .filter(F.col("containment_x1e4") >= int(thr * 10000))
+            .collect()
+        )
+        assert got == want, f"thr={thr}"
+        # the planted subset dups must survive every threshold
+        planted = {(i - 50, i) for i in range(50, 62)}
+        assert planted <= {(x, y) for x, y, _ in got}, f"thr={thr}"
+
+
 def test_verified_jaccard_broadcast_gate_both_sides(spark, monkeypatch):
     """The candidate-broadcast size gate must produce identical
     verified pairs on both sides: hints on (candidates under the cap)
