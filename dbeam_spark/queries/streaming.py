@@ -154,6 +154,69 @@ def _events_stream(
     return raw
 
 
+# --- stateful-kernel helpers (round 9, guide §4) -------------------
+#
+# applyInPandasWithState pays a per-key Python floor (one pandas frame
+# constructed per key per batch, ~70µs on a quiet host) that scales
+# with the COLUMN COUNT crossing the boundary and with any per-row
+# Python work inside the kernel. Three levers, applied to every
+# stateful site below:
+#   1. project to the columns the kernel reads BEFORE groupBy (§4.1)
+#      — the constants here are also read by
+#      tools/dump_stream_stateful_plans.py so the committed plan
+#      files can't drift from the query bodies;
+#   2. vectorize per-row folds (helpers below, §4.2);
+#   3. emit the 1-row result frame as template.copy()+iat instead of
+#      a fresh dict-of-lists pd.DataFrame (~3x cheaper per key,
+#      measured in-round; dtypes pinned by the template).
+
+_THROTTLE_COLS = ["user_id", "event_type", "ts"]
+_USER_STATS_COLS = ["user_id", "value"]
+_MARKOV_COLS = ["user_id", "ts", "event_id", "event_type"]
+
+
+def _clamped_fold_vec(bal: int, d) -> int:
+    """Zero-clamped running fold x_k = max(x_{k-1} + d_k, 0) over one
+    ORDERED int64 delta chunk with carry-in x_0 = bal, via the
+    reflection closed form x_n = T_n - min(0, min_k T_k) where
+    T = bal + cumsum(d) (x_0 = bal >= 0 never binds the min, so the
+    chunk-local min suffices). Value-identical to the row-at-a-time
+    loop — pinned by tests/test_stateful_kernel_vectorized.py,
+    including multi-chunk carry — and exact in int64: deltas are
+    cents with |d| < 1e8, so a key's running sum sits ~9 decimal
+    orders under the int64 edge."""
+    import numpy as np
+
+    t = bal + np.cumsum(d)
+    return int(t[-1] - min(int(t.min()), 0))
+
+
+def _transition_counts(prev_et, ets) -> dict:
+    """Counts of consecutive (src, dst) event-type transitions over
+    one ORDERED chunk of event types, with prev_et carried from the
+    previous chunk/batch (None on a fresh key). Vectorized: integer-
+    code the type sequence once (np.unique over the handful of enum
+    values), count coded pairs with bincount — the identical pair
+    multiset to the per-row loop (same test file pins it), in one
+    numpy pass instead of ~len(ets) Python iterations."""
+    import numpy as np
+
+    seq = (
+        ets
+        if prev_et is None
+        else np.concatenate((np.array([prev_et], dtype=object), ets))
+    )
+    if len(seq) < 2:
+        return {}
+    cats, codes = np.unique(seq, return_inverse=True)
+    k = len(cats)
+    cnt = np.bincount(codes[:-1] * k + codes[1:], minlength=k * k)
+    nz = np.flatnonzero(cnt)
+    return {
+        (str(cats[i // k]), str(cats[i % k])): int(cnt[i]) for i in nz
+    }
+
+
 @register(
     "stream_window_agg",
     oracle="""
@@ -265,19 +328,29 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    out_tmpl = pd.DataFrame(
+        {"user_id": [0], "n_events": [0], "total_value": [0.0]}
+    )
+
     def update_stats(key, pdfs, state: GroupState):
         count, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             count += len(pdf)
             total += float(pdf["value"].sum())
         state.update((count, total))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [count], "total_value": [round(total, 2)]}
-        )
+        out = out_tmpl.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = count
+        out.iat[0, 2] = round(total, 2)
+        yield out
 
     name = f"sus_{uuid.uuid4().hex[:8]}"
     out = (
         _events_stream(spark, sf_dir)
+        # §4.1: the kernel reads only `value`; project before the
+        # Python boundary so each key's frame carries 2 columns, not
+        # the full 6-column events row (props is the widest).
+        .select(*_USER_STATS_COLS)
         .groupBy("user_id")
         .applyInPandasWithState(
             update_stats,
@@ -933,6 +1006,22 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     one_hour_us = 3_600_000_000
+    out_tmpl = pd.DataFrame(
+        {
+            "user_id": [0],
+            "event_type": [""],
+            "n_delivered": [0],
+            "n_suppressed": [0],
+        }
+    )
+
+    def _emit(key, delivered, suppressed):
+        out = out_tmpl.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = key[1]
+        out.iat[0, 2] = delivered
+        out.iat[0, 3] = suppressed
+        return out
 
     def throttle(key, pdfs, state: GroupState):
         import numpy as np
@@ -951,14 +1040,7 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         if not chunks:  # timeout-only invocation: nothing to score
             state.update((last_us,))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "event_type": [key[1]],
-                    "n_delivered": [0],
-                    "n_suppressed": [0],
-                }
-            )
+            yield _emit(key, 0, 0)
             return
         us = np.sort(np.concatenate(chunks))
         delivered = int((np.diff(us) > one_hour_us).sum())
@@ -967,19 +1049,17 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         suppressed = int(len(us)) - delivered
         last_us = int(us[-1])
         state.update((last_us,))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "event_type": [key[1]],
-                "n_delivered": [delivered],
-                "n_suppressed": [suppressed],
-            }
-        )
+        yield _emit(key, delivered, suppressed)
 
     name = f"sth_{uuid.uuid4().hex[:8]}"
     ensure_utc(spark)
     out = (
         _events_stream(spark, sf_dir)
+        # §4.1: the kernel reads only ts; project before the Python
+        # boundary so each key's frame carries 3 columns, not 6, and
+        # the stream scan prunes its ReadSchema to match
+        # (plans/r09/stream_throttle_{before,after}.txt).
+        .select(*_THROTTLE_COLS)
         .groupBy("user_id", "event_type")
         .applyInPandasWithState(
             throttle,
@@ -1051,17 +1131,32 @@ def stream_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 50).cast("long")
     )
 
+    out_tmpl = pd.DataFrame(
+        {"user_id": [0], "balance_cents": [0], "n_events": [0]}
+    )
+
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         bal, n = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for x in pdf["d"]:
-                bal = max(bal + int(x), 0)
+            if not len(pdf):
+                continue
+            # (ts, event_id) order via lexsort (last key primary),
+            # then the clamped fold in one numpy pass — the closed
+            # form is exact per chunk with carry-in bal (§4.2; the
+            # per-row Python loop was the kernel's wall).
+            order = np.lexsort(
+                (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy())
+            )
+            bal = _clamped_fold_vec(bal, pdf["d"].to_numpy()[order])
             n += len(pdf)
         state.update((bal, n))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "balance_cents": [bal], "n_events": [n]}
-        )
+        out = out_tmpl.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = bal
+        out.iat[0, 2] = n
+        yield out
 
     name = f"sbf_{uuid.uuid4().hex[:8]}"
     out = (
@@ -1231,6 +1326,10 @@ def stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    out_tmpl = pd.DataFrame(
+        {"o_custkey": [0], "first_us": [0], "last_us": [0], "n": [0]}
+    )
+
     def update(key, pdfs, state: GroupState):
         first_us, last_us, n = (
             state.get if state.exists else (None, None, 0)
@@ -1243,14 +1342,15 @@ def stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_us = hi if last_us is None else max(last_us, hi)
             n += len(pdf)
         state.update((first_us, last_us, n))
-        yield pd.DataFrame(
-            {
-                "o_custkey": [key[0]],
-                "first_us": [first_us],
-                "last_us": [last_us],
-                "n": [n],
-            }
-        )
+        # NoTimeout: update runs only for keys with data, so
+        # first_us/last_us are ints here (the int64 template would
+        # reject None) — §4's template.copy()+iat emit.
+        out = out_tmpl.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = first_us
+        out.iat[0, 2] = last_us
+        out.iat[0, 3] = n
+        yield out
 
     name = f"skm_{uuid.uuid4().hex[:8]}"
     spans = (
@@ -1789,17 +1889,31 @@ def stream_markov_stationary(
     from dbeam_spark.queries.events import stationary_from_counts
 
     def update_transitions(key, pdfs, state: GroupState):
+        import numpy as np
+
         last = state.get if state.exists else None
         rows: dict[tuple[str, str], int] = {}
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, eid, et in zip(
-                pdf["ts"], pdf["event_id"], pdf["event_type"]
-            ):
-                if last is not None:
-                    p = (last[2], et)
-                    rows[p] = rows.get(p, 0) + 1
-                last = (ts.to_pydatetime(), int(eid), et)
+            if not len(pdf):
+                continue
+            # (ts, event_id) order via lexsort, transition counting
+            # via the coded-pair bincount helper (§4.2) — the per-row
+            # zip loop was the kernel's wall. Same pair multiset,
+            # same carried (ts, event_id, et) state.
+            order = np.lexsort(
+                (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy())
+            )
+            ets = pdf["event_type"].to_numpy()[order]
+            for p, c in _transition_counts(
+                last[2] if last is not None else None, ets
+            ).items():
+                rows[p] = rows.get(p, 0) + c
+            tail = int(order[-1])
+            last = (
+                pdf["ts"].iloc[tail].to_pydatetime(),
+                int(pdf["event_id"].iloc[tail]),
+                str(ets[-1]),
+            )
         if last is not None:
             state.update(last)
         yield pd.DataFrame(
@@ -1813,6 +1927,11 @@ def stream_markov_stationary(
     name = f"mkv_{uuid.uuid4().hex[:8]}"
     out = (
         _events_stream(spark, sf_dir)
+        # §4.1: the kernel reads (ts, event_id, event_type); project
+        # before the Python boundary — 4 columns, not 6 (props is
+        # the widest), and the stream scan's ReadSchema prunes
+        # (plans/r09/stream_markov_stationary_{before,after}.txt).
+        .select(*_MARKOV_COLS)
         .groupBy("user_id")
         .applyInPandasWithState(
             update_transitions,

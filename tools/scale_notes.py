@@ -83,14 +83,34 @@ NOTES: dict[str, str] = {
     "stream_throttle": (
         "applyInPandasWithState costs ~70us/key/batch regardless of "
         "kernel speed; replica keys scale with data, so wall scales "
-        "with KEY cardinality (documented CLAUDE.md floor). r9 "
-        "measured 100x: 112.6s / 29.6x for 100x keys — key-linear "
-        "as documented, sub-linear in wall (b=0.88)."
+        "with KEY cardinality (documented CLAUDE.md floor). r9 item "
+        "14 pruned the Python boundary to 3 columns and switched to "
+        "the template emit: same-window A/B 93.2 -> 74.9s at 100x "
+        "(750k user*type keys); what remains IS the API floor."
     ),
     "stream_survival_km": (
-        "stateful stream over user keys — same per-key floor as "
-        "stream_throttle; r9 measured 100x: 97.9s / 21.5x "
-        "(b=0.94, key-linear)."
+        "stateful stream over ~15k custkeys/copy — same per-key "
+        "floor as stream_throttle; r9 item 14's template emit cut "
+        "the per-key constant: same-window A/B 175.4 -> 93.2s at "
+        "100x (1.5M keys)."
+    ),
+    "stream_stateful_user_stats": (
+        "r9 item 14: kernel reads only `value` — 2-column boundary "
+        "+ template emit, same-window A/B 53.5 -> 12.3s at 100x "
+        "(150k user keys)."
+    ),
+    "stream_balance_floor": (
+        "r9 item 14 vectorized the zero-clamped running fold "
+        "(cumsum reflection closed form, exact int64, pinned by "
+        "tests/test_stateful_kernel_vectorized.py); per-batch folds "
+        "are short (~67 events/key across the run) so the per-key "
+        "API floor dominates: same-window A/B 27.5 -> 25.7s at "
+        "100x."
+    ),
+    "stream_markov_stationary": (
+        "r9 item 14: per-row transition zip -> np.unique coding + "
+        "bincount over coded pairs, 4-column boundary; same-window "
+        "A/B 95.6 -> 42.4s at 100x (150k user keys)."
     ),
     # ---- eval/composed pipelines whose grain is the corpus ----
     "cdc_rollup_demo": (

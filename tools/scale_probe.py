@@ -564,6 +564,14 @@ def main() -> None:
         print(f"{name:28s} {b:8.2f} {g:8.2f} {ratio:6.1f}  {nrows}",
               flush=True)
         _update_scale_json(name, b, g, nrows, COPIES)
+    if "--no-export" in sys.argv:
+        # short-batch mode: re-probing one query's fit point must not
+        # pay (or overwrite) the export timing — the 100x export is
+        # ~35-116s depending on host weather and would land as a
+        # single-shot point taken at the END of a dirty batch, the
+        # exact late-entry inflation the harness notes warn about.
+        spark.stop()
+        return
     eb, _ = time_export(spark, BASE)
     eg, erows = time_export(spark, OUT)
     ratio = eg / eb if eb else float("nan")
