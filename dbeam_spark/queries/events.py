@@ -90,7 +90,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        # no terminal sort (order-insensitive hash gate, guide §2.4)
     )
 
 
@@ -160,7 +160,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("last_view.event_id").alias("last_view_id"),
         )
-        .orderBy("purchase_id")
+        # no terminal sort (order-insensitive hash gate, §2.4)
     )
 
 
@@ -225,7 +225,8 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_points") > 0)
             .select("purchase_id", F.col("n_points").alias("n_events_1h"))
         )
-    return counted.orderBy("purchase_id")
+    # no terminal sort (order-insensitive hash gate, §2.4)
+    return counted
 
 
 @register(
@@ -305,7 +306,8 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", F.col("w.start").alias("session_start"), "n_events"
         )
-        .orderBy("user_id", "session_start")
+        # no terminal sort: order-insensitive hash gate; sorting the
+        # ~9.8M session rows (100x) cost a full extra range exchange
     )
 
 
@@ -902,7 +904,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "user_id",
         F.col("view_id").alias("matched_view_id"),
-    ).orderBy("purchase_id")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(

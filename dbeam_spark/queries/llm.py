@@ -440,7 +440,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_from_counts(
             F.col("n_chars"), F.col("n_words"), F.col("n_symbols")
         ).alias("quality"),
-    ).orderBy("doc_id")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(
@@ -458,7 +458,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.n_ws_tokens(F.col("text")).cast("long").alias("n_ws_tokens"),
         text.n_bpe_tokens(F.col("text")).cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(
@@ -594,7 +594,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1.0 - F.col("n_unique") / F.col("n_grams"), 4
             ).alias("repetition"),
         )
-        .orderBy("doc_id")
+        # no terminal sort (order-insensitive hash gate, guide §2.4)
     )
 
 
@@ -867,7 +867,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, map-only (chunk hash stands in for the chunk text in the
     gate so the compare payload stays small)."""
     docs = _docs(spark, sf_dir)
-    return sampling.chunk_documents(docs, 200, 150).orderBy("doc_id", "chunk_idx")
+    # no terminal sort (order-insensitive hash gate, guide §2.4)
+    return sampling.chunk_documents(docs, 200, 150)
 
 
 @register(
@@ -1057,7 +1058,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", F.round(score, 4).alias("score"))
-        .orderBy("doc_id", F.col("score").desc(), "tok")
+        # no terminal sort (order-insensitive hash gate, guide §2.4)
     )
 
 
@@ -1590,7 +1591,7 @@ def multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, n_samples long, "
         "n_chunks long, total_sample_bytes long, duration_ms long, "
         "codec string, samples_ok boolean",
-    ).orderBy("doc_id")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(
@@ -1791,7 +1792,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(nib < "e", "val")
         .otherwise("test")
         .alias("split"),
-    ).orderBy("doc_id")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(
@@ -1907,9 +1908,8 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated end-to-end, not just per stage."""
     from dbeam_spark.operators.pipeline import prepare_training_corpus
 
-    return prepare_training_corpus(_docs(spark, sf_dir)).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    # no terminal sort (order-insensitive hash gate, guide §2.4)
+    return prepare_training_corpus(_docs(spark, sf_dir))
 
 
 @register(
@@ -1954,7 +1954,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.round(F.col("n_novel") / F.col("n_grams"), 4).alias("novelty"),
         )
-        .orderBy("doc_id")
+        # no terminal sort (order-insensitive hash gate, guide §2.4)
     )
 
 

@@ -510,6 +510,45 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_rows_via_parquet(spark: SparkSession, agg, prefix: str) -> DataFrame:
+    """Land an APPEND-mode session ledger in a PARQUET sink and return
+    a lazy read over the files. The emitted rows are O(corpus)
+    session rows, not a bounded report, so the memory sink is the
+    wrong shape (catch #14: it holds every row in the driver heap —
+    9.8M rows at the 100x replica). The sink dir is exit-tracked like
+    the stream dirs; no global sort is applied — the gate's hash is
+    order-insensitive and a 9.8M-row range sort bought nothing.
+
+    The sentinel filter (user_id >= 0) runs on the BATCH read of the
+    sink, never inside the streaming plan: a pre-sink filter can be
+    pushed below the watermark node, and then the sentinel no longer
+    advances the watermark — the final sessions stay unsealed
+    (measured: 11 missing rows at sf0.01)."""
+    out_dir = _track_tmp(tempfile.mkdtemp(prefix=f"{prefix}_out_"))
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    rows = agg.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return (
+        spark.read.schema(
+            "user_id long, session_start timestamp, n_events long"
+        )
+        .parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+    )
+
+
+
 @register(
     "stream_session_window",
     oracle="""
@@ -542,23 +581,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     releases sessions the watermark has sealed, so a far-future marker
     row advances it past all real data before the stream terminates.
     The hash gate proves the emitted sessions equal the batch
-    lag/cumsum sessionization exactly."""
-    name = f"ssn_{uuid.uuid4().hex[:8]}"
+    lag/cumsum sessionization exactly. The session ledger lands in a
+    parquet sink, not the memory sink — see _session_rows_via_parquet."""
     agg = (
         _events_stream(spark, sf_dir, flush_sentinel=True)
         .withWatermark("ts", "30 minutes")
         .groupBy("user_id", F.session_window("ts", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    _run_stream(agg, name, "append")
-    return (
-        spark.table(name)
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "user_id", F.col("w.start").alias("session_start"), "n_events"
-        )
-        .orderBy("user_id", "session_start")
-    )
+    return _session_rows_via_parquet(spark, agg, "ssn")
 
 
 @register(
@@ -608,8 +639,8 @@ def stream_session_window_bounded(
     emits as two rows. The oracle restates the identical contract
     (lag/cumsum sessionization partitioned by user AND day), so the
     hash gate proves split-session identity with batch semantics on
-    every key, hot or not."""
-    name = f"ssb_{uuid.uuid4().hex[:8]}"
+    every key, hot or not. Ledger shape per _session_rows_via_parquet
+    (parquet sink, no determinism sort)."""
     agg = (
         _events_stream(spark, sf_dir, flush_sentinel=True)
         .withWatermark("ts", "30 minutes")
@@ -620,15 +651,7 @@ def stream_session_window_bounded(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    _run_stream(agg, name, "append")
-    return (
-        spark.table(name)
-        .filter(F.col("user_id") >= 0)
-        .select(
-            "user_id", F.col("w.start").alias("session_start"), "n_events"
-        )
-        .orderBy("user_id", "session_start")
-    )
+    return _session_rows_via_parquet(spark, agg, "ssb")
 
 
 def stream_upsert_sink(
@@ -1387,6 +1410,63 @@ def stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_from_spans(per_cust, customer)
 
 
+def _join_completeness_report(spark: SparkSession, joined) -> DataFrame:
+    """Land the raw outer-join rows in a PARQUET sink and aggregate
+    them distributed. The join's stream output is raw rows (one per
+    purchase x qualifying view), not a bounded rollup, so the memory
+    sink is the wrong shape: it collects every row into the driver
+    heap, and at the 100x replica (~30M match rows) that turned the
+    exhaustive audit into a driver-GC stress test (468 s, b=1.32 —
+    the same catch-#14 failure mode stream_dedup and
+    stream_session_hour_overlap already had cured). Only the 4-long
+    report row is collected; sink and checkpoint are removed as soon
+    as it is materialized."""
+    name = f"sjc_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: a sink dir whose only batch was empty has no
+    # data file to infer from
+    row = (
+        spark.read.schema("purchase_id long, view_id long, user_id long")
+        .parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .agg(
+            F.count_distinct("purchase_id").alias("n_purchases"),
+            F.sum(
+                F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_match_rows"),
+            F.count_distinct(
+                F.when(F.col("view_id").isNotNull(), F.col("purchase_id"))
+            ).alias("n_matched_purchases"),
+            (
+                F.count_distinct("purchase_id")
+                - F.count_distinct(
+                    F.when(
+                        F.col("view_id").isNotNull(), F.col("purchase_id")
+                    )
+                )
+            ).cast("long").alias("n_unmatched_purchases"),
+        )
+        .collect()[0]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_purchases long, n_match_rows long, "
+        "n_matched_purchases long, n_unmatched_purchases long",
+    )
+
+
 @register(
     "stream_join_completeness",
     oracle="""
@@ -1426,8 +1506,10 @@ def stream_join_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor needs: total/matched/unmatched purchases and raw match
     rows, all restated exactly by the batch LEFT JOIN oracle —
     proving the engine's outer-join state eviction emits every
-    unmatched row exactly once, and no matched row twice."""
-    name = f"sjc_{uuid.uuid4().hex[:8]}"
+    unmatched row exactly once, and no matched row twice. The raw
+    join rows land in a parquet sink (catch #14's rule: raw-row
+    stream output must sink to FILES) and the report is aggregated
+    distributed — see _join_completeness_report."""
     # the sentinel must PASS the type filters (user_id < 0) or it
     # never reaches the watermark node and the final windows stay
     # open; it is dropped again after the join
@@ -1458,24 +1540,7 @@ def stream_join_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
-    _run_stream(joined, name, "append")
-    return spark.table(name).filter(F.col("user_id") >= 0).agg(
-        F.count_distinct("purchase_id").alias("n_purchases"),
-        F.sum(
-            F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("n_match_rows"),
-        F.count_distinct(
-            F.when(F.col("view_id").isNotNull(), F.col("purchase_id"))
-        ).alias("n_matched_purchases"),
-        (
-            F.count_distinct("purchase_id")
-            - F.count_distinct(
-                F.when(
-                    F.col("view_id").isNotNull(), F.col("purchase_id")
-                )
-            )
-        ).cast("long").alias("n_unmatched_purchases"),
-    )
+    return _join_completeness_report(spark, joined)
 
 
 def _events_stream_nib_sampled(
@@ -1604,7 +1669,6 @@ def stream_join_completeness_sampled(
     never a %-of-corpus row cap). The md5 gate filter stays on the
     stream as belt-and-braces and as the exact restatement the
     oracle mirrors."""
-    name = f"sjcs_{uuid.uuid4().hex[:8]}"
     nibs = ("0", "1")
     gate = F.substring(
         F.md5(F.col("user_id").cast("string")), 1, 1
@@ -1648,24 +1712,7 @@ def stream_join_completeness_sampled(
         & (F.col("v_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
-    _run_stream(joined, name, "append")
-    return spark.table(name).filter(F.col("user_id") >= 0).agg(
-        F.count_distinct("purchase_id").alias("n_purchases"),
-        F.sum(
-            F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("n_match_rows"),
-        F.count_distinct(
-            F.when(F.col("view_id").isNotNull(), F.col("purchase_id"))
-        ).alias("n_matched_purchases"),
-        (
-            F.count_distinct("purchase_id")
-            - F.count_distinct(
-                F.when(
-                    F.col("view_id").isNotNull(), F.col("purchase_id")
-                )
-            )
-        ).cast("long").alias("n_unmatched_purchases"),
-    )
+    return _join_completeness_report(spark, joined)
 
 
 @register(

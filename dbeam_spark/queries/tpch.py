@@ -487,7 +487,7 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "rn",
         )
-        .orderBy("o_custkey", "rn")
+        # no terminal sort (order-insensitive hash gate, guide §2.4)
     )
 
 
@@ -1602,7 +1602,7 @@ def customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         ntile_from_rank(F.col("_rank"), n, 4).alias("quartile"),
         F.round(F.col("_rank") / F.lit(n), 6).alias("cume"),
-    ).orderBy("c_custkey")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(
@@ -1674,7 +1674,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_score",
         "f_score",
         "m_score",
-    ).orderBy("c_custkey")
+    )  # no terminal sort (order-insensitive hash gate, guide §2.4)
 
 
 @register(
@@ -1839,7 +1839,7 @@ def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("revenue_per_active_day"),
         )
-        .orderBy("c_custkey")
+        # no terminal sort (order-insensitive hash gate, guide §2.4)
     )
 
 
@@ -4895,7 +4895,11 @@ def window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pctrank_x1e6"),
         F.expr("rk * 1000000 DIV n").cast("long").alias("cume_x1e6"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
+    # no terminal sort: the gate's hash is order-insensitive, and a
+    # global range sort of the 15M-row (at 100x) ladder output was a
+    # full extra exchange + the range-sampling re-evaluation
+    # (guide §2.4: "an orderBy used only to make output deterministic")
 
 
 @register(

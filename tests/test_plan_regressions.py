@@ -322,6 +322,11 @@ def test_collect_surface_is_whitelisted():
             # overflowed driver.maxResultSize in the memory sink) can
             # be deleted eagerly
             "stream_session_hour_overlap": 1,
+            # r9 session 5: 1-row (4 longs) completeness report
+            # aggregated DISTRIBUTED over the raw-match parquet sink
+            # (~30M rows at 100x — the old memory sink was the 468s
+            # wall) and collected so the sink can be deleted eagerly
+            "_join_completeness_report": 1,
         },
         "tpch.py": {
             "join_view_demo": 1,  # bounded maintained-view diff

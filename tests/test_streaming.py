@@ -222,3 +222,77 @@ def test_nib_sampled_stream_prunes_and_matches_batch(spark):
     assert any(
         os.path.isfile(os.path.join(r, "_SUCCESS")) for r in roots
     )
+
+
+def test_session_window_parquet_ledger_complete(spark):
+    """The session ledger's parquet-sink shape (r9: memory sink held
+    9.8M rows in the driver heap at 100x) must stay COMPLETE: the
+    sentinel filter lives on the batch read of the sink, because a
+    pre-sink filter can be pushed below the watermark node, after
+    which the sentinel no longer advances the watermark and the last
+    sessions are silently never sealed (measured: 11 rows missing at
+    sf0.01 when the filter sat inside the streaming plan)."""
+    from dbeam_spark.queries.streaming import stream_session_window
+
+    got = stream_session_window(spark, SF_DIR)
+    rows = got.collect()
+    # no sentinel leakage
+    assert all(r.user_id >= 0 for r in rows)
+    # exact identity with the batch session_window twin — total events
+    # AND session count; a dropped unsealed tail session breaks both
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            "user_id", F.session_window("ts", "15 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    b_n, b_ev = batch.agg(
+        F.count(F.lit(1)), F.sum("n_events")
+    ).collect()[0]
+    assert len(rows) == b_n
+    assert sum(r.n_events for r in rows) == b_ev
+
+
+def test_join_completeness_report_matches_batch(spark):
+    """The outer-join audit's parquet-sink report (r9: the memory sink
+    was the 468s / b=1.32 wall at 100x) must restate the batch LEFT
+    JOIN exactly — every unmatched purchase once, no matched row
+    twice, after the sentinel rows are dropped."""
+    from dbeam_spark.queries.streaming import stream_join_completeness
+
+    row = stream_join_completeness(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"),
+        F.col("user_id").alias("vu"),
+        F.col("ts").alias("vts"),
+    )
+    j = p.join(
+        v,
+        (F.col("vu") == F.col("u"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("pts")),
+        "left_outer",
+    )
+    exp = j.agg(
+        F.count_distinct("pid").alias("n_purchases"),
+        F.sum(F.when(F.col("vid").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match_rows"),
+        F.count_distinct(
+            F.when(F.col("vid").isNotNull(), F.col("pid"))
+        ).alias("n_matched_purchases"),
+    ).collect()[0]
+    assert row.n_purchases == exp.n_purchases
+    assert row.n_match_rows == exp.n_match_rows
+    assert row.n_matched_purchases == exp.n_matched_purchases
+    assert (
+        row.n_unmatched_purchases
+        == exp.n_purchases - exp.n_matched_purchases
+    )

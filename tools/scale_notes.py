@@ -15,6 +15,46 @@ per-key stateful floor) or that was fixed during the sweep.
 """
 
 NOTES: dict[str, str] = {
+    "stream_join_completeness": (
+        "r9 third-session catch (#18): the outer-join audit's RAW "
+        "match ledger (~30M rows at 100x) sat in the in-heap memory "
+        "sink — the catch-#14 shape rule's fourth instance — and "
+        "was the fleet's biggest wall (468s, b=1.32). Parquet sink "
+        "+ distributed 4-long report: 21.5s at 100x, b=0.07; the "
+        "stream-stream join itself was never the problem."
+    ),
+    "stream_join_completeness_sampled": (
+        "nib-bucketed 12.5% key-sample serve path; r9 third session "
+        "moved its ledger to the same parquet-sink shape as the "
+        "exhaustive twin (flat before and after; the sampled scan "
+        "was already the win)."
+    ),
+    "window_suite_orders": (
+        "full analytic-window ladder, ONE shuffle on o_custkey; "
+        "output 15M rows at 100x, collect-bound. r9 third session "
+        "dropped the terminal range sort (plan: 1 exchange fewer); "
+        "62.4s min at 100x in weather-swung windows (weather_note)."
+    ),
+    "dataset_split": (
+        "leakage-safe split re-derives the near-dup component map "
+        "(MinHash tier, linear) before assigning; terminal sort "
+        "removed r9 third session; 100x point weather-bound "
+        "(weather_note)."
+    ),
+    "stream_session_window_bounded": (
+        "day-epoch-bounded sessionizer (r8 skew directive); first "
+        "full fit sweep r9 third session on the parquet-sink ledger "
+        "shape; 100x point taken in degraded host windows "
+        "(weather_note) — its skew posture (0.59x/0.85x under the "
+        "mega key) is the designed-for evidence."
+    ),
+    "multimodal_png_decode": (
+        "pure-python zlib/PNG decode, row-linear with a heavy "
+        "per-row constant (same declared trade as the JPEG tier); "
+        "first measured 100x: 31.1s, b=0.82 — the old b=0.49 "
+        "projection (13.4s) undershot; tail-conversion catch, no "
+        "code change."
+    ),
     # ---- structurally quadratic tiers (kept deliberately) ----
     "knn_self_join": (
         "exact kNN self-join: O(n²d) FLOPs at dgemm speed (bounded "
@@ -121,14 +161,13 @@ NOTES: dict[str, str] = {
         "Full-width repartition before the writer: 44.5s at 100x, "
         "b=0.38."
     ),
-    "dataset_split": (
-        "leakage-safe split re-derives the near-dup component map "
-        "(MinHash tier, linear) before assigning; 3.6x at 10x."
-    ),
     "training_corpus": (
         "five-stage composed pipeline (normalize -> quality -> dedup "
         "-> sample -> pack); every stage individually probed linear; "
-        "3.3x at 10x."
+        "terminal determinism sort removed r9 third session. Its "
+        "100x point is weather-bound (see weather_note: the "
+        "unchanged control read 1.88x its committed wall in the "
+        "same windows)."
     ),
     "split_contamination": (
         "shingle-overlap check between splits — candidate volume "
@@ -163,7 +202,9 @@ NOTES: dict[str, str] = {
         "pure-Catalyst per-doc heuristics; r9 swapped the per-char "
         "[^a-z0-9 ] regex for translate's char map (41.3 -> 4.2s at "
         "100x; the regex was also paid twice via the orderBy range "
-        "partitioner's sampling pass)."
+        "partitioner's sampling pass). The orderBy itself is gone "
+        "since the third session (terminal-sort sweep): no sampling "
+        "pass at all, 3.6s min at 100x."
     ),
     "dedup_containment": (
         "r9: naive shingle equi-join (b=2.2, 112s at 30x) -> "
@@ -185,21 +226,30 @@ NOTES: dict[str, str] = {
         "df-capped posting intersections (absolute cap since r6); "
         "3.1x at 10x."
     ),
-    "text_tokens": ("token-linear; 3.0x at 10x."),
+    "text_tokens": (
+        "token-linear; r9 third session dropped the terminal "
+        "determinism sort — the plan is now exchange-FREE map-only "
+        "(12.9 -> 6.8s at 100x)."
+    ),
     "interval_join_events": (
         "count-only interval join: rank difference over a global "
         "prefix sum (r7 catch #13 — the pair plan was density-"
         "quadratic, 205s at 100x; rank plan 16.6s, size-gated to "
-        "the pair plan's lower constant below 1M events)."
+        "the pair plan's lower constant below 1M events). r9 third "
+        "session dropped the terminal sort: 16.6 -> 11.7s at 100x."
     ),
     "asof_join_events": (
         "per-key ordered-stream carry, linear; the 100x wall is "
-        "dominated by collecting the 2M result rows."
+        "dominated by collecting the 2M result rows. r9 third "
+        "session dropped the terminal sort: 13.9 -> 7.3s at 100x."
     ),
     "events_session_window": (
         "session windows over user keys, output row-linear (977k "
-        "rows at 10x, 9.8M at 100x); 6.0x at 10x, 56.5s/b=0.84 at "
-        "100x — output-bound, sub-linear."
+        "rows at 10x, 9.8M at 100x) — output-bound: the wall is "
+        "collecting the sessions. r9 third session removed the "
+        "terminal determinism orderBy (range exchange of 9.8M rows "
+        "gone from the plan); 55.3s min at 100x in a weather-swung "
+        "window (see the entry's weather_note)."
     ),
     "stream_session_hour_overlap": (
         "r9 decade catch: the sealed-session LEDGER (~10M rows at "
@@ -241,7 +291,15 @@ NOTES: dict[str, str] = {
         "All real files now land in ONE batch, the sentinel alone in "
         "batch 2: 100x measured 213s -> 114s while emitting the FULL "
         "drop-free 9.78M sessions (48x the survivors) — answers the "
-        "r7 394s projection; b was an artifact of the drop regime."
+        "r7 394s projection; b was an artifact of the drop regime. "
+        "r9 third session: the 9.8M-row session ledger moved from "
+        "the in-heap memory sink to a PARQUET sink (catch-#14 shape "
+        "rule; the sentinel filter must stay on the batch read or "
+        "it is pushed below the watermark and the last sessions "
+        "never seal) and the terminal sort was dropped; wall ~flat "
+        "(84.5s min) — the session state machine + output volume "
+        "dominate, the sink was a driver-safety fix here, not a "
+        "wall win."
     ),
     "multimodal_jpeg_sampled_audit": (
         "the 100 TB JPEG posture: structural screen on every asset "
