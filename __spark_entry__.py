@@ -23,24 +23,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _interleaved_names() -> list[str]:
-    """Round-robin the registry across its source suites (tpch /
-    events / llm / streaming) so ANY prefix sample of `queries()`
-    spans all of SURVEY §2.B/C/D — the driver gates a ~50-query
-    sample per round, and pure registration order would leave whole
-    suites unsampled."""
-    from itertools import zip_longest
-
+    """Stable gate order: a FROZEN suite-interleaved prefix (tpch /
+    events / llm / streaming round-robined, so ANY prefix sample of
+    `queries()` spans all of SURVEY §2.B/C/D — the driver gates a
+    ~50-query sample per round) plus any later registration APPENDED
+    after it. A live interleave proved unstable under registration
+    (r9: a mid-module @register rotated stream_drift_daily out of the
+    driver's 50-query window); the frozen prefix makes the driver's
+    verified set monotone under additions."""
     from dbeam_spark.queries import QUERIES
+    from dbeam_spark.queries.gate_order import stable_names
 
-    groups: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
-        groups.setdefault(fn.__module__, []).append(name)
-    return [
-        n
-        for tup in zip_longest(*groups.values())
-        for n in tup
-        if n is not None
-    ]
+    return stable_names(QUERIES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

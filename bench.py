@@ -163,6 +163,17 @@ def main() -> None:
     spark = get_spark("dbeam-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Prove the resolved core count to the driver (r9 verdict #2): the
+    # driver benches at a reduced $SPARK_GRAFT_CPUS to measure core
+    # scaling, and without the session's ACTUAL master/parallelism in
+    # the JSON line it cannot tell "env ignored" from "overhead-bound
+    # at this SF" (its suspect_cpus_ignored heuristic false-positived
+    # in r9 even though session.py honors the env).
+    resolved = {
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    }
+
     calibration = run_calibration(spark)
 
     # Untimed warm-up pass per key AT THE BENCH SF, outside the timed
@@ -352,7 +363,7 @@ def main() -> None:
 
     lines = emit_lines(
         total, per_query, extended, runs, sf, sf_dir,
-        rows_per_minute, regressions, calibration,
+        rows_per_minute, regressions, calibration, resolved,
     )
     write_runs_sidecar(lines[0])
     for line in lines:
@@ -382,7 +393,7 @@ def write_runs_sidecar(runs_payload: str) -> None:
 
 def emit_lines(
     total, per_query, extended, runs, sf, sf_dir,
-    rows_per_minute, regressions, calibration=None,
+    rows_per_minute, regressions, calibration=None, resolved=None,
 ) -> list[str]:
     """Build the bench's stdout lines — PURE (the BENCH_RUNS.json
     sidecar is written by main via write_runs_sidecar). CONTRACT
@@ -414,6 +425,17 @@ def emit_lines(
         "extended_queries": extended,
         "sf": float(sf) if str(sf).replace(".", "").isdigit() else sf,
         "export_rows_per_minute": rows_per_minute,
+        # resolved session shape (master string + defaultParallelism):
+        # proves to the driver that $SPARK_GRAFT_CPUS was honored
+        # (never shed — a constant ~60 bytes)
+        **(
+            {
+                "cpus": resolved["default_parallelism"],
+                "master": resolved["master"],
+            }
+            if resolved
+            else {}
+        ),
         **(
             {
                 "calibration": calibration,

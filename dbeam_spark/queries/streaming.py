@@ -1422,8 +1422,11 @@ def _join_completeness_report(spark: SparkSession, joined) -> DataFrame:
     report row is collected; sink and checkpoint are removed as soon
     as it is materialized."""
     name = f"sjc_{uuid.uuid4().hex[:8]}"
-    out_dir = tempfile.mkdtemp(prefix=f"{name}_out_")
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    # _track_tmp: a failure anywhere below must not leak the sink or
+    # checkpoint dirs for the process lifetime (r9 ADVICE #2) — the
+    # atexit sweep catches what the happy-path rmtree doesn't reach
+    out_dir = _track_tmp(tempfile.mkdtemp(prefix=f"{name}_out_"))
+    checkpoint = _track_tmp(tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
     q = (
         joined.writeStream.format("parquet")
         .option("path", out_dir)
@@ -1441,8 +1444,14 @@ def _join_completeness_report(spark: SparkSession, joined) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .agg(
             F.count_distinct("purchase_id").alias("n_purchases"),
-            F.sum(
-                F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
+            # coalesce: SUM over an all-sentinel-filtered (empty) sink
+            # is NULL; the report must degrade to all-zeros like the
+            # count_distinct fields and the oracle (r9 ADVICE #3)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("view_id").isNotNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).cast("long").alias("n_match_rows"),
             F.count_distinct(
                 F.when(F.col("view_id").isNotNull(), F.col("purchase_id"))

@@ -153,3 +153,25 @@ def test_bench_summary_sheds_to_fit_any_payload():
     assert summary.get("queries_shed", 0) > 0  # ladder reached keys
     # caller's dict is not mutated by the shedding
     assert len(per_query) == 400
+
+
+def test_bench_summary_carries_resolved_cpus():
+    """r9 verdict #2: the summary line must prove the resolved core
+    count (master string + defaultParallelism) so the driver's
+    suspect_cpus_ignored heuristic can't false-positive when sf0.1
+    keys are job-floor-bound."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    lines = bench.emit_lines(
+        total=10.0, per_query={"q1": 10.0}, extended={},
+        runs={"q1": [10.0]}, sf="0.1", sf_dir="/x",
+        rows_per_minute=1, regressions=[],
+        resolved={"master": "local[8]", "default_parallelism": 8},
+    )
+    summary = json.loads(lines[-1])
+    assert summary["cpus"] == 8
+    assert summary["master"] == "local[8]"

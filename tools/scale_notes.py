@@ -107,10 +107,6 @@ NOTES: dict[str, str] = {
         "libs; the Spark plumbing (binary source, Arrow batches, "
         "partitioning) is the part that ships."
     ),
-    "multimodal_png_decode": (
-        "pure-python PNG inflate+unfilter: row-linear (3.8x at 10x "
-        "rows), same codec trade as JPEG."
-    ),
     "avro_roundtrip_audit": (
         "FIXED mid-sweep: a fixed 8-file export serialized the "
         "file-per-task read-back (65s / 15.3x at 10x); export width "
